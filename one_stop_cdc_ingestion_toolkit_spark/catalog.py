@@ -1,0 +1,65 @@
+"""Table catalog over the engine's materialized lake directory.
+
+The reference's unit of queryable data is a table-as-topic
+(``/root/reference/bin/mskc-connector.sh:398``); the engine's is a
+table-as-parquet-directory. This module maps a data directory (one parquet
+per table) to lazily-loaded DataFrames and registered temp views, i.e. the
+engine analogue of ``listMskTopics`` (``/root/reference/bin/kafka-client.sh:5-23``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Canonical fixture tables (driver contract, /root/repo/TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
+
+
+class Catalog:
+    """Lazy table accessor bound to (spark, data_dir)."""
+
+    def __init__(self, spark: SparkSession, data_dir: str):
+        self.spark = spark
+        self.data_dir = data_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name == "events":
+                # events.ts is parquet TIMESTAMP(NANOS); Spark can only read
+                # it as ns-since-epoch longs. Set lazily so sessions built
+                # outside get_session() (e.g. the driver's) work too.
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            self._cache[name] = self.spark.read.parquet(
+                f"{self.data_dir}/{name}.parquet"
+            )
+        return self._cache[name]
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.table(name)
+
+    def register_views(self, tables: tuple[str, ...] = TABLES) -> None:
+        """Register temp views so ``spark.sql`` works over the directory."""
+        for name in tables:
+            self.table(name).createOrReplaceTempView(name)
+
+    def list_tables(self) -> list[str]:
+        return sorted(self._cache)
+
+
+def tables(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)

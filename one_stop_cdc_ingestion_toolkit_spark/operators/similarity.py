@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operator family (BASELINE.json): brute-force cosine top-k as
+the correctness baseline, and an LSH-bucketed variant as the scale path.
+
+Design for 100 TB:
+- The query side is expected small → broadcast it; the corpus streams.
+- Dot products run JVM-side via higher-order functions (``zip_with`` +
+  ``aggregate``), never a Python row UDF. Elements are cast to double and
+  folded left-to-right so the arithmetic is reproducible bit-for-bit in
+  the DuckDB oracle (same fold order).
+- The ANN variant hashes vectors to sign-bit buckets of MD5-derived
+  pseudo-random hyperplanes — deterministic and engine-neutral, so even
+  the ANN path is oracle-checkable. Bucketing turns the all-pairs join
+  into a per-bucket join (shuffle key = signature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import register
+
+EMB_DIM = 64
+LSH_PLANES = 8  # sign bits per signature
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product: sum_i double(a_i)*double(b_i)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Brute-force top-k: broadcast queries × corpus, window top-k per query.
+
+    Returns (q_id, c_id, sim) with sim rounded to 6 places; ranking uses
+    the unrounded cosine with c_id tie-break for determinism.
+    """
+    joined = corpus_df.crossJoin(F.broadcast(queries_df)).withColumn(
+        "__cos", cosine(F.col(q_vec), F.col(c_vec))
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("__cos").desc(), F.col(c_id))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, F.round("__cos", 6).alias("sim"), "rn")
+    )
+
+
+def lsh_signature(vec: Column, n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> Column:
+    """Sign-bit signature against MD5-derived hyperplanes.
+
+    Plane p component i is +1 if the first hex digit of md5('p:i') is < '8'
+    else -1 — reproducible in any engine with md5. Signature is the string
+    of sign bits of plane·vec.
+    """
+    bits = []
+    for p in range(n_planes):
+        terms = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i, p=p: F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1)
+                < "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            * F.element_at(vec, i + 1).cast("double"),
+        )
+        proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = 10,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket (recall < 1 by design).
+
+    Shuffle key is the signature → per-bucket joins only; at 100 TB the
+    corpus signature pass is one projection scan, and buckets are
+    independently parallel.
+    """
+    qs = queries_df.withColumn("__sig", lsh_signature(F.col(q_vec)))
+    cs = corpus_df.withColumn("__sig", lsh_signature(F.col(c_vec)))
+    joined = cs.join(F.broadcast(qs), "__sig").withColumn(
+        "__cos", cosine(F.col(q_vec), F.col(c_vec))
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("__cos").desc(), F.col(c_id))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, c_id, F.round("__cos", 6).alias("sim"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (embeddings fixture)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _duck_cos(a: str, b: str, dim: int = EMB_DIM) -> str:
+    d = _DOT.format(a=a, b=b, dim=dim)
+    na = _DOT.format(a=a, b=a, dim=dim)
+    nb = _DOT.format(a=b, b=b, dim=dim)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "q46_cosine_topk",
+    f"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+                  WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings),
+        scored AS (
+          SELECT q_id, c_id, {_duck_cos('q_vec', 'c_vec')} AS cos
+          FROM q CROSS JOIN c
+        ),
+        ranked AS (
+          SELECT q_id, c_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id, c_id, ROUND(cos, 6) AS sim, rn
+        FROM ranked WHERE rn <= 10 ORDER BY q_id, rn""",
+)
+def q46_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return cosine_topk(qs, cs, 10).orderBy("q_id", "rn")
