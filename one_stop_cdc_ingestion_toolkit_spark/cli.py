@@ -1,0 +1,136 @@
+"""``osci-spark`` CLI: the reference's verb surface over the Spark engine.
+
+Maps the reference dispatch table (`/root/reference/bin/osci.sh:193-269`)
+to engine verbs; composite verbs mirror `bin/global.sh:6-25`.
+
+    setup-pipeline   — register a pipeline spec          (A13, configure+setup)
+    start-pipeline   — start its StreamingQuery          (A13)
+    pipeline-status  — poll state                        (A16 monitor loop)
+    remove-pipeline  — stop + cascade cleanup            (A17)
+    list-pipelines   — registry listing                  (A19 list topics)
+    list-tables      — materialized tables               (A19)
+    show-table       — peek at a table                   (A20 console consumer)
+    sql              — arbitrary SQL over the lake       (A30 exec escape hatch)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from one_stop_cdc_ingestion_toolkit_spark.registry import (
+    PipelineRegistry,
+    spec_from_json,
+)
+from one_stop_cdc_ingestion_toolkit_spark.session import get_session
+from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import Pipeline
+from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import TableStore
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="osci-spark")
+    ap.add_argument("--registry", default="pipelines.json")
+    sub = ap.add_subparsers(dest="verb", required=True)
+
+    p = sub.add_parser("setup-pipeline", help="register a pipeline from a spec file")
+    p.add_argument("spec_file")
+
+    p = sub.add_parser("start-pipeline", help="start a registered pipeline")
+    p.add_argument("name")
+    p.add_argument("--drain", action="store_true", help="process available then stop")
+
+    p = sub.add_parser("pipeline-status")
+    p.add_argument("name")
+
+    p = sub.add_parser("remove-pipeline")
+    p.add_argument("name")
+    p.add_argument("--drop-data", action="store_true")
+
+    sub.add_parser("list-pipelines")
+
+    p = sub.add_parser("list-tables")
+    p.add_argument("sink_dir")
+
+    p = sub.add_parser("show-table")
+    p.add_argument("sink_dir")
+    p.add_argument("table")
+    p.add_argument("-n", type=int, default=20)
+    p.add_argument("--raw", action="store_true", help="include tombstones/merge metadata")
+
+    p = sub.add_parser("sql", help="run SQL over materialized tables")
+    p.add_argument("sink_dir")
+    p.add_argument("query")
+
+    args = ap.parse_args(argv)
+    reg = PipelineRegistry(args.registry)
+
+    if args.verb == "setup-pipeline":
+        spec = spec_from_json(json.load(open(args.spec_file)))
+        reg.save(spec)
+        print(f"registered pipeline {spec.name}")
+        return 0
+
+    if args.verb == "list-pipelines":
+        for name in reg.list_pipelines():
+            print(name)
+        return 0
+
+    if args.verb == "list-tables":
+        for t in TableStore(args.sink_dir).list_tables():
+            print(t)
+        return 0
+
+    if args.verb in ("start-pipeline", "pipeline-status", "remove-pipeline"):
+        spec = reg.get(args.name)
+        if spec is None:
+            print(f"unknown pipeline: {args.name}", file=sys.stderr)
+            return 1
+        pipe = Pipeline(get_session("osci-spark"), spec)
+        if args.verb == "start-pipeline":
+            pipe.start()
+            if args.drain:
+                pipe.process_available()
+                pipe.stop()
+                print(f"{spec.name}: drained")
+            else:
+                print(f"{spec.name}: RUNNING")
+                while pipe.query.isActive:  # monitor loop (A16)
+                    time.sleep(1)
+        elif args.verb == "pipeline-status":
+            print(json.dumps(pipe.status(), default=str))
+        else:
+            pipe.remove(drop_data=args.drop_data)
+            reg.remove(args.name)
+            print(f"{spec.name}: removed")
+        return 0
+
+    if args.verb == "show-table":
+        from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import snapshot
+
+        spark = get_session("osci-spark")
+        df = TableStore(args.sink_dir).read(spark, args.table)
+        if df is None:
+            print(f"no such table: {args.table}", file=sys.stderr)
+            return 1
+        if not args.raw:
+            df = snapshot(df)
+        df.show(args.n, truncate=False)
+        return 0
+
+    if args.verb == "sql":
+        from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import snapshot
+
+        spark = get_session("osci-spark")
+        store = TableStore(args.sink_dir)
+        for t in store.list_tables():
+            snapshot(store.read(spark, t)).createOrReplaceTempView(t)
+        spark.sql(args.query).show(100, truncate=False)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

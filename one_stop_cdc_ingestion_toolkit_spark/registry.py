@@ -1,0 +1,101 @@
+"""Pipeline registry: the engine's control-plane state.
+
+Re-expresses the reference's single JSON config document
+``cnf/osci-conf.json`` (`/root/reference/bin/constants.sh:7`) and its
+CRUD+validation discipline (`bin/mskc-connector.sh:509-727`): every save
+immediately reloads and re-validates (`:571-575`), entries are looked up
+by name, removal is idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import types as T
+
+from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
+    PipelineSpec,
+    TableSpec,
+)
+
+
+def spec_to_json(spec: PipelineSpec) -> dict:
+    return {
+        "name": spec.name,
+        "source_dir": spec.source_dir,
+        "tables": [
+            {
+                "name": t.name,
+                "key_cols": t.key_cols,
+                "row_schema": t.row_schema.jsonValue(),
+            }
+            for t in spec.tables
+        ],
+        "sink_dir": spec.sink_dir,
+        "checkpoint_dir": spec.checkpoint_dir,
+        "compatibility": spec.compatibility,
+        "max_files_per_trigger": spec.max_files_per_trigger,
+        "options": spec.options,
+    }
+
+
+def spec_from_json(doc: dict) -> PipelineSpec:
+    return PipelineSpec(
+        name=doc["name"],
+        source_dir=doc["source_dir"],
+        tables=[
+            TableSpec(
+                name=t["name"],
+                key_cols=t["key_cols"],
+                row_schema=T.StructType.fromJson(t["row_schema"]),
+            )
+            for t in doc["tables"]
+        ],
+        sink_dir=doc["sink_dir"],
+        checkpoint_dir=doc["checkpoint_dir"],
+        compatibility=doc.get("compatibility", "BACKWARD"),
+        max_files_per_trigger=doc.get("max_files_per_trigger"),
+        options=doc.get("options", {}),
+    )
+
+
+class PipelineRegistry:
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+
+    def _load_doc(self) -> dict:
+        if not self.path.exists():
+            return {"pipelines": []}
+        return json.loads(self.path.read_text())
+
+    def list_pipelines(self) -> list[str]:
+        return [p["name"] for p in self._load_doc()["pipelines"]]
+
+    def get(self, name: str) -> PipelineSpec | None:
+        for p in self._load_doc()["pipelines"]:
+            if p["name"] == name:
+                return spec_from_json(p)
+        return None
+
+    def save(self, spec: PipelineSpec) -> None:
+        """Upsert + save → reload → validate (reference invariant)."""
+        spec.validate()
+        doc = self._load_doc()
+        doc["pipelines"] = [p for p in doc["pipelines"] if p["name"] != spec.name]
+        doc["pipelines"].append(spec_to_json(spec))
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(doc, indent=2))
+        tmp.replace(self.path)
+        reloaded = self.get(spec.name)
+        if reloaded is None:
+            raise RuntimeError(f"{spec.name}: registry round-trip failed")
+        reloaded.validate()
+
+    def remove(self, name: str) -> bool:
+        doc = self._load_doc()
+        before = len(doc["pipelines"])
+        doc["pipelines"] = [p for p in doc["pipelines"] if p["name"] != name]
+        self.path.write_text(json.dumps(doc, indent=2))
+        return len(doc["pipelines"]) < before

@@ -1,0 +1,153 @@
+"""Debezium change-event envelope decoding.
+
+The reference pins Debezium 2.2.0 (`/root/reference/bin/constants.sh:11-12`)
+whose public envelope contract is: ``before: struct|null, after:
+struct|null, op: 'c'|'r'|'u'|'d', ts_ms: long, source: struct{db, table,
+pos, server_id, ...}`` with a stringified-PK record key
+(`/root/reference/bin/mskc-connector.sh:438-441`). Three wire formats:
+
+- **JSON** — ``from_json`` with the envelope StructType (tested path).
+- **Avro via Glue SR** (`bin/mskc-connector.sh:434-447`) — plain
+  ``from_avro`` on the value bytes; requires the spark-avro package.
+- **Avro via Confluent SR** (`bin/mskc-connector.sh:449-459`) — the value
+  carries a 5-byte header (magic 0x0 + big-endian int32 schema id) before
+  the Avro body; :func:`strip_confluent_header` splits it so the schema id
+  can be dispatched against the schema store.
+
+All decoding is per-row, shuffle-free, and stays JVM-side (from_json /
+from_avro / substring) — at 100 TB the decode stage is a pure map over
+Kafka partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Debezium operation codes: insert, snapshot read, update, delete.
+OPS = ("c", "r", "u", "d")
+
+#: Fields of the envelope's ``source`` struct the engine relies on.
+SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("pos", T.LongType(), True),
+        T.StructField("server_id", T.LongType(), True),
+    ]
+)
+
+
+def envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """Envelope StructType for a table with the given row schema."""
+    return T.StructType(
+        [
+            T.StructField("before", row_schema, True),
+            T.StructField("after", row_schema, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("source", SOURCE_SCHEMA, True),
+        ]
+    )
+
+
+def decode_json(
+    df: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    key_col: str | None = "key",
+) -> DataFrame:
+    """Decode a JSON-serialized envelope column into typed envelope columns.
+
+    Input: raw records with a string ``value`` (and optional string key —
+    the reference's key converter is StringConverter with schemas disabled).
+    Output columns: ``key?, before, after, op, ts_ms, source``.
+    """
+    env = F.from_json(F.col(value_col).cast("string"), envelope_schema(row_schema))
+    cols = []
+    if key_col is not None and key_col in df.columns:
+        cols.append(F.col(key_col).cast("string").alias("key"))
+    cols += [
+        env["before"].alias("before"),
+        env["after"].alias("after"),
+        env["op"].alias("op"),
+        env["ts_ms"].alias("ts_ms"),
+        env["source"].alias("source"),
+    ]
+    return df.select(*cols)
+
+
+def strip_confluent_header(value: Column) -> tuple[Column, Column]:
+    """Split a Confluent-wire-format value into (schema_id, avro_payload).
+
+    Wire format: 1 magic byte (0x0) + 4-byte big-endian schema id + body.
+    Returns the schema id as an int column and the body as binary.
+    """
+    schema_id = F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("int")
+    payload = F.substring(value, 6, 2147483647)
+    return schema_id.alias("schema_id"), payload.alias("avro_payload")
+
+
+def avro_available(spark) -> bool:
+    """True when the spark-avro data source is on the classpath."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(
+            to_avro(F.struct(F.lit(1).alias("x"))).alias("b")
+        ).collect()
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def decode_avro(
+    df: DataFrame,
+    avro_schema_json: str,
+    value_col: str = "value",
+    confluent_wire_format: bool = False,
+) -> DataFrame:
+    """Decode an Avro-serialized envelope (Glue SR = raw body; Confluent SR
+    = 5-byte header first). Requires the spark-avro package on the
+    classpath — callers should gate on :func:`avro_available`.
+    """
+    from pyspark.sql.avro.functions import from_avro
+
+    value = F.col(value_col)
+    if confluent_wire_format:
+        _, payload = strip_confluent_header(value)
+        value = payload
+    env = from_avro(value, avro_schema_json)
+    return df.select(
+        env["before"].alias("before"),
+        env["after"].alias("after"),
+        env["op"].alias("op"),
+        env["ts_ms"].alias("ts_ms"),
+        env["source"].alias("source"),
+    )
+
+
+def flatten_changes(decoded: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Project an envelope stream to the merge-ready change shape:
+
+    key columns (coalesced from after/before so deletes keep their key),
+    ``row`` (the full after-image struct, null for deletes), ``op``, and
+    the total-order sequence (``pos``, ``ts_ms``) — per-topic ordering is
+    the reference's tasks.max=1 guarantee (`bin/mskc-connector.sh:283-286`),
+    re-expressed here as an explicit sort key so at-least-once + reorder
+    replay converges to the same state.
+    """
+    cols = [
+        F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).alias(k)
+        for k in key_cols
+    ]
+    return decoded.select(
+        *cols,
+        F.col("after").alias("row"),
+        F.col("op"),
+        F.col("source.pos").alias("pos"),
+        F.col("ts_ms"),
+        F.col("source.db").alias("db"),
+        F.col("source.table").alias("table"),
+    )

@@ -1,0 +1,190 @@
+"""CDC ingestion pipeline: change stream → decode → route → merge → lake.
+
+The engine equivalent of the reference's connector lifecycle
+(`/root/reference/bin/mskc-connector.sh:287-362` create,
+`:461-489` monitor, `:48-63` remove): a named StreamingQuery with a
+checkpoint, driven by ``foreachBatch``:
+
+    readStream (file source; Kafka shares the code path — the decode and
+    merge stages are source-agnostic)
+      → decode_json (Debezium envelope)
+      → per-table routing (the reference's topic-per-table, A4)
+      → schema auto-registration + BACKWARD gate   (A10/A11)
+      → flatten_changes → apply_changes            (latest-wins merge)
+      → TableStore.write (atomic snapshot swap)
+
+Checkpointing makes replay after restart at-least-once; the merge is
+idempotent (keyed, total-ordered), so end-to-end state is exactly-once.
+
+Scale posture: the only shuffles are keyed (window + anti-join) inside
+each table's merge; decode is a map; routing is a filter per table (one
+pass when tables share a batch, Spark caches the decoded batch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import (
+    apply_changes,
+    snapshot,
+)
+from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
+    decode_json,
+    flatten_changes,
+)
+from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
+from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import TableStore
+
+
+@dataclass
+class TableSpec:
+    """One captured table: name, primary-key columns, row schema."""
+
+    name: str
+    key_cols: list[str]
+    row_schema: T.StructType
+
+
+@dataclass
+class PipelineSpec:
+    """Engine analogue of the reference's connector config
+    (`bin/mskc-connector.sh:509-543`): where to read, what to capture,
+    where to materialize, how schemas may evolve."""
+
+    name: str
+    source_dir: str  # directory of envelope-JSON files (the change stream)
+    tables: list[TableSpec]
+    sink_dir: str
+    checkpoint_dir: str
+    compatibility: str = "BACKWARD"
+    max_files_per_trigger: int | None = None  # capacity knob (A14)
+    options: dict = field(default_factory=dict)
+
+    def validate(self) -> None:
+        if not self.name:
+            raise ValueError("pipeline name required")
+        if not self.tables:
+            raise ValueError(f"{self.name}: at least one table required")
+        for t in self.tables:
+            missing = [k for k in t.key_cols if k not in t.row_schema.fieldNames()]
+            if missing:
+                raise ValueError(f"{self.name}.{t.name}: key cols {missing} not in schema")
+
+
+#: raw schema of the change-stream files: one JSON envelope per line with
+#: a string key — mirrors the Kafka record shape (key string, value bytes).
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+    ]
+)
+
+
+class Pipeline:
+    """A running (or startable) CDC ingestion pipeline."""
+
+    def __init__(self, spark: SparkSession, spec: PipelineSpec):
+        spec.validate()
+        self.spark = spark
+        self.spec = spec
+        self.store = TableStore(spec.sink_dir)
+        self.schemas = SchemaStore(
+            Path(spec.sink_dir) / "_schemas", spec.compatibility
+        )
+        self.query: StreamingQuery | None = None
+
+    # -- batch core (also used directly by tests / backfills) -------------
+
+    def apply_batch(self, raw: DataFrame) -> None:
+        """Decode + merge one micro-batch of raw (key,value) records."""
+        n_tables = len(self.spec.tables)
+        for tspec in self.spec.tables:
+            decoded = decode_json(raw, tspec.row_schema)
+            mine = decoded.filter(F.col("source.table") == tspec.name)
+            if n_tables > 1:
+                mine = mine.persist()
+            try:
+                if mine.isEmpty():
+                    continue
+                # schema auto-registration + BACKWARD gate (A10/A11):
+                # the envelope's after-image schema is the table's schema.
+                self.schemas.register(tspec.name, tspec.row_schema)
+                changes = flatten_changes(mine, tspec.key_cols)
+                current = self.store.read(self.spark, tspec.name)
+                merged = apply_changes(current, changes, tspec.key_cols)
+                self.store.write(merged, tspec.name)
+            finally:
+                if n_tables > 1:
+                    mine.unpersist()
+
+    def read_table(self, name: str) -> DataFrame | None:
+        """Live rows of a materialized table (tombstones/metadata hidden)."""
+        state = self.store.read(self.spark, name)
+        return snapshot(state) if state is not None else None
+
+    # -- streaming lifecycle ----------------------------------------------
+
+    def start(self) -> StreamingQuery:
+        """Start the StreamingQuery (A13). File source: new files in
+        source_dir are micro-batches; Kafka would swap the reader only."""
+        reader = (
+            self.spark.readStream.schema(RAW_SCHEMA)
+            .format("json")
+        )
+        if self.spec.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", self.spec.max_files_per_trigger
+            )
+        stream = reader.load(self.spec.source_dir)
+
+        def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            self.apply_batch(batch_df)
+
+        self.query = (
+            stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", self.spec.checkpoint_dir)
+            .queryName(self.spec.name)
+            .start()
+        )
+        return self.query
+
+    def process_available(self) -> None:
+        """Drain everything currently in the source dir (test/backfill aid)."""
+        if self.query is None:
+            self.start()
+        self.query.processAllAvailable()
+
+    def status(self) -> dict:
+        """Connector-state analogue (A16)."""
+        if self.query is None:
+            return {"state": "STOPPED"}
+        return {
+            "state": "RUNNING" if self.query.isActive else "TERMINATED",
+            "status": self.query.status,
+            "exception": self.query.exception(),
+        }
+
+    def stop(self) -> None:
+        if self.query is not None and self.query.isActive:
+            self.query.stop()
+
+    def remove(self, drop_data: bool = False) -> None:
+        """Teardown with cascade (A17), best-effort idempotent like the
+        reference's `removeMskcConnector` (`bin/mskc-connector.sh:48-63`)."""
+        try:
+            self.stop()
+        finally:
+            import shutil
+
+            shutil.rmtree(self.spec.checkpoint_dir, ignore_errors=True)
+            if drop_data:
+                for t in self.spec.tables:
+                    self.store.drop(t.name)

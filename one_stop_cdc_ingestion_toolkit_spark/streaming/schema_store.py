@@ -1,0 +1,118 @@
+"""Versioned schema store with BACKWARD-compatibility enforcement.
+
+Re-expresses the reference's registry behavior: schemas auto-register on
+first sight (`/root/reference/bin/mskc-connector.sh:444`) and evolve under
+a compatibility mode, default BACKWARD (`bin/osci.sh:21`, applied at
+`bin/mskc-connector.sh:445`). The exact BACKWARD semantics are fixed by
+the reference's manual test (`README.md:466-479`):
+
+- drop a column                         → compatible
+- add a nullable column                 → compatible
+- add a NOT NULL column without default → **incompatible**
+
+The store is an append-only JSON log per subject (one subject per table,
+mirroring the registry's subject-per-topic), like the reference's schema
+history topic (`bin/mskc-connector.sh:407-408`).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import types as T
+
+
+class IncompatibleSchemaError(Exception):
+    """Raised when a schema evolution violates the compatibility mode."""
+
+
+def check_backward(old: T.StructType, new: T.StructType) -> list[str]:
+    """Problems making ``new`` backward-incompatible with ``old``.
+
+    BACKWARD = a reader using ``new`` must read data written with ``old``:
+    columns present only in ``new`` have no value in old data, so they
+    must be nullable (Debezium/MySQL "NOT NULL without default" maps to a
+    non-nullable field with no default — rejected).
+    Type changes are rejected outright (no promotion rules in scope).
+    """
+    problems = []
+    old_fields = {f.name: f for f in old.fields}
+    for f in new.fields:
+        if f.name not in old_fields:
+            if not f.nullable and (f.metadata or {}).get("default") is None:
+                problems.append(
+                    f"added NOT NULL column without default: {f.name}"
+                )
+        elif old_fields[f.name].dataType != f.dataType:
+            problems.append(
+                f"type change for {f.name}: "
+                f"{old_fields[f.name].dataType.simpleString()} -> {f.dataType.simpleString()}"
+            )
+    return problems
+
+
+COMPAT_CHECKS = {
+    "BACKWARD": check_backward,
+    "NONE": lambda old, new: [],
+}
+
+
+class SchemaStore:
+    """Directory-backed registry: one ``<subject>.json`` per subject holding
+    the append-only version list. Save → reload → validate round-trip, the
+    reference's config-integrity invariant (`bin/mskc-connector.sh:571-575`)."""
+
+    def __init__(self, root: str | Path, compatibility: str = "BACKWARD"):
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+        if compatibility not in COMPAT_CHECKS:
+            raise ValueError(f"unknown compatibility mode: {compatibility}")
+        self.compatibility = compatibility
+
+    def _path(self, subject: str) -> Path:
+        return self.root / f"{subject}.json"
+
+    def versions(self, subject: str) -> list[T.StructType]:
+        p = self._path(subject)
+        if not p.exists():
+            return []
+        doc = json.loads(p.read_text())
+        return [T.StructType.fromJson(v) for v in doc["versions"]]
+
+    def latest(self, subject: str) -> T.StructType | None:
+        vs = self.versions(subject)
+        return vs[-1] if vs else None
+
+    def register(self, subject: str, schema: T.StructType) -> int:
+        """Register a schema version (auto-registration, SURVEY §2.1 A10).
+
+        No-op (returns the existing version) when the schema equals the
+        latest; raises :class:`IncompatibleSchemaError` when the
+        compatibility check fails; otherwise appends and returns the new
+        1-based version number.
+        """
+        versions = self.versions(subject)
+        if versions and versions[-1] == schema:
+            return len(versions)
+        if versions:
+            problems = COMPAT_CHECKS[self.compatibility](versions[-1], schema)
+            if problems:
+                raise IncompatibleSchemaError(
+                    f"{subject}: {'; '.join(problems)}"
+                )
+        versions.append(schema)
+        doc = {
+            "subject": subject,
+            "compatibility": self.compatibility,
+            "versions": [v.jsonValue() for v in versions],
+        }
+        self._path(subject).write_text(json.dumps(doc, indent=2))
+        # save -> reload -> validate (reference invariant)
+        reloaded = self.versions(subject)
+        if reloaded[-1] != schema:
+            raise RuntimeError(f"{subject}: schema store round-trip failed")
+        return len(reloaded)
+
+    def list_subjects(self) -> list[str]:
+        return sorted(p.stem for p in self.root.glob("*.json"))

@@ -1,0 +1,100 @@
+"""BACKWARD-compatibility truth table (reference README.md:466-479) +
+property tests over random add/drop sequences (SURVEY §5.2.4)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+    IncompatibleSchemaError,
+    SchemaStore,
+    check_backward,
+)
+
+V1 = T.StructType(
+    [
+        T.StructField("firstName", T.StringType(), True),
+        T.StructField("lastName", T.StringType(), True),
+        T.StructField("age", T.IntegerType(), False),
+    ]
+)
+# v1 -> v2: DROP COLUMN lastName            => compatible
+V2 = T.StructType([f for f in V1.fields if f.name != "lastName"])
+# v2 -> v3: ADD COLUMN email varchar NULL   => compatible
+V3 = T.StructType(V2.fields + [T.StructField("email", T.StringType(), True)])
+# v3 -> v4: ADD COLUMN address varchar NOT NULL => incompatible
+V4 = T.StructType(V3.fields + [T.StructField("address", T.StringType(), False)])
+
+
+def test_reference_truth_table(tmp_path):
+    store = SchemaStore(tmp_path, "BACKWARD")
+    assert store.register("person", V1) == 1
+    assert store.register("person", V2) == 2  # drop column: 通过
+    assert store.register("person", V3) == 3  # add nullable: 通过
+    with pytest.raises(IncompatibleSchemaError, match="address"):
+        store.register("person", V4)  # add NOT NULL w/o default: 失败
+    # failed registration must not advance the store
+    assert store.latest("person") == V3
+    # re-registering the current schema is a no-op
+    assert store.register("person", V3) == 3
+
+
+def test_none_mode_accepts_everything(tmp_path):
+    store = SchemaStore(tmp_path, "NONE")
+    store.register("person", V3)
+    assert store.register("person", V4) == 2
+
+
+def test_type_change_rejected():
+    changed = T.StructType(
+        [
+            T.StructField("firstName", T.IntegerType(), True),
+            T.StructField("lastName", T.StringType(), True),
+            T.StructField("age", T.IntegerType(), False),
+        ]
+    )
+    problems = check_backward(V1, changed)
+    assert any("type change" in p for p in problems)
+
+
+NAMES = st.sampled_from([f"c{i}" for i in range(8)])
+FIELDS = st.lists(
+    st.tuples(NAMES, st.booleans()), unique_by=lambda t: t[0], min_size=1, max_size=8
+)
+
+
+def _schema(fields):
+    return T.StructType(
+        [T.StructField(n, T.StringType(), nullable) for n, nullable in fields]
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(old=FIELDS, new=FIELDS)
+def test_backward_property(old, new):
+    """check_backward(old, new) flags exactly the added non-nullable cols
+    (string-typed fields: no type changes possible here)."""
+    problems = check_backward(_schema(old), _schema(new))
+    old_names = {n for n, _ in old}
+    expect = {n for n, nullable in new if n not in old_names and not nullable}
+    flagged = {p.split(": ")[1] for p in problems}
+    assert flagged == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(steps=st.lists(FIELDS, min_size=1, max_size=5))
+def test_store_never_admits_incompatible(tmp_path_factory, steps):
+    """After any register sequence (accepted or rejected), every adjacent
+    accepted pair in the store is backward-compatible."""
+    store = SchemaStore(tmp_path_factory.mktemp("schemas"), "BACKWARD")
+    for fields in steps:
+        try:
+            store.register("s", _schema(fields))
+        except IncompatibleSchemaError:
+            pass
+    versions = store.versions("s")
+    for a, b in zip(versions, versions[1:]):
+        assert check_backward(a, b) == []

@@ -1,0 +1,105 @@
+"""End-to-end streaming ingestion: file-source change stream → decode →
+merge → materialized snapshot; checkpoint recovery; registry round-trip."""
+
+from __future__ import annotations
+
+import json
+
+from one_stop_cdc_ingestion_toolkit_spark.registry import PipelineRegistry
+from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
+    Pipeline,
+    PipelineSpec,
+    TableSpec,
+)
+from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import TableStore
+from tests.cdc_fixtures import (
+    CANONICAL_EVENTS,
+    GOLDEN_STATE,
+    PERSON_SCHEMA,
+    envelope,
+    person,
+    write_stream_files,
+)
+
+
+def _spec(tmp_path, name="p1") -> PipelineSpec:
+    return PipelineSpec(
+        name=name,
+        source_dir=str(tmp_path / "stream"),
+        tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+
+def _state(df) -> dict:
+    return {
+        r["firstName"]: (r["firstName"], r["lastName"], r["age"])
+        for r in df.collect()
+    }  # df is already the clean read_table() view
+
+
+def test_stream_ingest_golden(spark, tmp_path):
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=3)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    snap = pipe.read_table("person")
+    assert _state(snap) == GOLDEN_STATE
+    assert pipe.schemas.list_subjects() == ["person"]
+
+
+def test_stream_checkpoint_recovery(spark, tmp_path):
+    """Restarting from the checkpoint must not re-apply old files, and new
+    files continue the state."""
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+
+    late = [
+        envelope("u", 8, before=person("carol", "white", 25), after=person("carol", "black", 26)),
+        envelope("d", 9, before=person("dave", None, 55)),
+    ]
+    import pathlib
+
+    with open(pathlib.Path(spec.source_dir) / "batch-late.json", "w") as f:
+        for e in late:
+            f.write(json.dumps(e) + "\n")
+
+    pipe2 = Pipeline(spark, spec)  # fresh instance, same checkpoint
+    pipe2.process_available()
+    pipe2.stop()
+    snap = pipe2.read_table("person")
+    expect = dict(GOLDEN_STATE)
+    expect["carol"] = ("carol", "black", 26)
+    del expect["dave"]
+    assert _state(snap) == expect
+
+
+def test_stream_status_and_remove(spark, tmp_path):
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS[:2], files=1)
+    pipe = Pipeline(spark, spec)
+    assert pipe.status() == {"state": "STOPPED"}
+    pipe.process_available()
+    assert pipe.status()["state"] == "RUNNING"
+    pipe.remove(drop_data=True)
+    assert pipe.status()["state"] == "TERMINATED"
+    assert TableStore(spec.sink_dir).list_tables() == []
+    # remove is idempotent (reference teardown is best-effort, A17)
+    pipe.remove(drop_data=True)
+
+
+def test_registry_round_trip(tmp_path):
+    reg = PipelineRegistry(tmp_path / "pipelines.json")
+    spec = _spec(tmp_path)
+    reg.save(spec)
+    assert reg.list_pipelines() == ["p1"]
+    loaded = reg.get("p1")
+    assert loaded.tables[0].row_schema == PERSON_SCHEMA
+    assert loaded.tables[0].key_cols == ["firstName"]
+    assert reg.remove("p1") is True
+    assert reg.remove("p1") is False
