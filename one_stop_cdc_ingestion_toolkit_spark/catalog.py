@@ -61,5 +61,15 @@ class Catalog:
         return sorted(self._cache)
 
 
+#: process-level catalog cache: parquet schema inference costs ~0.1-0.3 s
+#: per table; re-running 50+ queries against the same dir should pay it
+#: once, not once per query.
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+
+
 def tables(spark: SparkSession, sf_dir: str) -> Catalog:
-    return Catalog(spark, sf_dir)
+    key = (id(spark), sf_dir.rstrip("/"))
+    cat = _CATALOGS.get(key)
+    if cat is None:
+        cat = _CATALOGS[key] = Catalog(spark, sf_dir)
+    return cat

@@ -28,8 +28,14 @@ from pyspark.sql.window import Window as W
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.operators import register
 
-# MinHash configuration: 8 seeded hashes, 4 bands x 2 rows.
-MINHASH_SEEDS = tuple(f"s{i}:" for i in range(8))
+# MinHash configuration: 8 hash functions, 4 bands x 2 rows.
+# One md5 per shingle gives a 32-bit base hash h; hash i is the affine
+# (A[i]*h + B[i]) mod P — one digest instead of eight per shingle, and
+# pure BIGINT math that DuckDB reproduces exactly. A[i]*h stays < 2^51,
+# far from int64 overflow.
+MINHASH_P = 2_147_483_647  # 2^31 - 1, prime
+MINHASH_A = (68111, 99173, 131071, 174763, 200003, 233021, 269513, 301237)
+MINHASH_B = (12893, 57923, 88547, 121001, 160817, 191999, 222557, 259001)
 MINHASH_BANDS = ((0, 1), (2, 3), (4, 5), (6, 7))
 SHINGLE_K = 3  # word-shingle width
 
@@ -50,49 +56,62 @@ def dedup_exact(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
-    """Array of k-word shingles of ``lower(text)``; empty when < k words."""
+    """Array of k-word shingles of ``lower(text)``; empty when < k words.
+
+    Built by zip_with over k shifted slices — NOT by indexing the word
+    array inside a transform lambda: a lambda that references the outer
+    array re-evaluates it per element after projection collapse (the
+    split becomes O(words^2) per document; observed 16x slowdown at
+    sf0.1 before this formulation).
+    """
     words = F.split(F.lower(text), r"\s+")
-    n = F.size(words)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    sh = F.slice(words, 1, m)
+    for i in range(1, k):
+        sh = F.zip_with(sh, F.slice(words, i + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return sh
 
 
-def _seeded_min(shingles: Column, seed: str) -> Column:
-    # NB: the transform lambda must take exactly ONE arg — a 2-arg lambda
-    # would receive the element index as its second argument.
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(seed), s))))
-
-
-def minhash_signature(shingles: Column, seeds: tuple[str, ...] = MINHASH_SEEDS) -> list[Column]:
-    """Per-seed min of md5(seed || shingle). Lexicographic min over hex
-    strings is engine-neutral (pure ASCII compare)."""
-    return [_seeded_min(shingles, seed).alias(f"mh{i}") for i, seed in enumerate(seeds)]
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via MinHash banding.
 
-    Plan shape: project → per-row signature (no shuffle) → explode 4 band
-    rows → shuffle on (band_idx, band_sig) → self-join inside buckets.
+    Plan shape: explode shingles → md5 (whole-stage codegen, not an
+    interpreted array lambda) → groupBy(doc) with 8 min() aggregates —
+    map-side partial agg means the shuffle carries just 8 longs per doc
+    per partition — → explode 4 band rows → shuffle on (band_idx,
+    band_sig) → self-join inside buckets.
     """
-    sig = df.select(
+    sh = df.select(
         F.col(id_col).alias("id"),
-        *minhash_signature(word_shingles(F.col(text_col))),
-    ).filter(F.col("mh0").isNotNull())
-    bands = sig.select(
-        "id",
-        F.array(
-            *[
-                F.concat_ws("|", f"mh{a}", f"mh{b}").alias(f"band{i}")
-                for i, (a, b) in enumerate(MINHASH_BANDS)
-            ]
-        ).alias("bands"),
-    ).select("id", F.posexplode("bands").alias("band_idx", "band_sig"))
+        F.explode(word_shingles(F.col(text_col))).alias("shingle"),
+    )
+    h = sh.select(
+        "id", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    sig = h.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    bands = (
+        sig.select(
+            "id",
+            F.array(
+                *[
+                    F.concat_ws("|", f"mh{a}", f"mh{b}").alias(f"band{i}")
+                    for i, (a, b) in enumerate(MINHASH_BANDS)
+                ]
+            ).alias("bands"),
+        )
+        .select("id", F.posexplode("bands").alias("band_idx", "band_sig"))
+        # persist: the self-join would otherwise recompute the whole
+        # shingle+signature pipeline for BOTH sides; bands is tiny
+        # (4 short rows per doc) at any corpus size.
+        .persist()
+    )
     left = bands.select("band_idx", "band_sig", F.col("id").alias("id_a"))
     right = bands.select("band_idx", "band_sig", F.col("id").alias("id_b"))
     return (
@@ -117,6 +136,9 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
         .distinct()
+        # persist: referenced three times (sizes + both join sides); without
+        # it the shingle pipeline runs three times.
+        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
@@ -205,10 +227,15 @@ def simhash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                         i -> array_to_string(words[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
           FROM w WHERE len(words) >= {SHINGLE_K}
         ),
+        base AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh
+        ),
         sig AS (
           SELECT doc_id,
-                 {", ".join(f"MIN(MD5('s{i}:' || shingle)) AS mh{i}" for i in range(8))}
-          FROM sh GROUP BY doc_id
+                 {", ".join(f"MIN((h*{a}+{b})%{MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+          FROM base GROUP BY doc_id
         ),
         bands AS (
           {" UNION ALL ".join(f"SELECT doc_id, {i} AS band_idx, mh{a} || '|' || mh{b} AS band_sig FROM sig" for i, (a, b) in enumerate(MINHASH_BANDS))}

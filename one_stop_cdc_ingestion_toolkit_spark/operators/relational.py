@@ -854,6 +854,25 @@ def q41_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q53_tumbling_window",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+              COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS v
+       FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
+)
+def q53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation
+    (streaming/analytics.tumbling_counts; equivalence tested in
+    tests/test_streaming_analytics.py). DECIMAL sum keeps the aggregate
+    order-independent and oracle-exact."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.analytics import (
+        tumbling_counts,
+    )
+
+    ev = tables(spark, sf_dir)["events"]
+    return tumbling_counts(ev, "1 hour").orderBy("w_start", "event_type")
+
+
+@register(
     "q42_revenue_join",
     """SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
        FROM customer, orders, lineitem

@@ -77,19 +77,25 @@ def lsh_signature(vec: Column, n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -
     else -1 — reproducible in any engine with md5. Signature is the string
     of sign bits of plane·vec.
     """
-    bits = []
-    for p in range(n_planes):
+    def plane_projection(p: int) -> Column:
+        seed = f"{p}:"
+        # NB: transform lambdas must take exactly ONE arg (a second arg
+        # receives the element index and would clobber closure bindings).
         terms = F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i, p=p: F.when(
-                F.substring(F.md5(F.concat(F.lit(f"{p}:"), i.cast("string"))), 1, 1)
+            lambda i: F.when(
+                F.substring(F.md5(F.concat(F.lit(seed), i.cast("string"))), 1, 1)
                 < "8",
                 F.lit(1.0),
             ).otherwise(F.lit(-1.0))
             * F.element_at(vec, i + 1).cast("double"),
         )
-        proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [
+        F.when(plane_projection(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
     return F.concat(*bits)
 
 
@@ -136,6 +142,95 @@ def _duck_cos(a: str, b: str, dim: int = EMB_DIM) -> str:
     na = _DOT.format(a=a, b=a, dim=dim)
     nb = _DOT.format(a=b, b=b, dim=dim)
     return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _duck_proj(p: int, vec: str = "embedding", dim: int = EMB_DIM) -> str:
+    """DuckDB twin of one lsh_signature hyperplane projection."""
+    return (
+        f"list_sum(list_transform(generate_series(0, {dim - 1}), "
+        f"i -> (CASE WHEN substr(md5('{p}:' || i), 1, 1) < '8' "
+        f"THEN 1.0 ELSE -1.0 END) * CAST({vec}[i+1] AS DOUBLE)))"
+    )
+
+
+def _duck_signature(vec: str = "embedding", n_planes: int = LSH_PLANES) -> str:
+    bits = [
+        f"(CASE WHEN {_duck_proj(p, vec)} >= 0 THEN '1' ELSE '0' END)"
+        for p in range(n_planes)
+    ]
+    return " || ".join(bits)
+
+
+@register(
+    "q54_ann_lsh_topk",
+    f"""WITH sig AS (
+          SELECT vec_id, embedding, {_duck_signature()} AS s
+          FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, s FROM sig
+              WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS c_vec, s FROM sig),
+        scored AS (
+          SELECT q_id, c_id, {_duck_cos('q_vec', 'c_vec')} AS cos
+          FROM q JOIN c USING (s)
+        ),
+        ranked AS (
+          SELECT q_id, c_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id, c_id, ROUND(cos, 6) AS sim, rn
+        FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
+)
+def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN path: top-5 within the query's LSH sign-bucket only (recall<1 by
+    design; the all-pairs join never happens — shuffle key is the bucket)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return ann_lsh_topk(qs, cs, 5).orderBy("q_id", "rn")
+
+
+@register(
+    "q55_embedding_neardup",
+    f"""WITH sig AS (
+          SELECT vec_id, embedding, {_duck_signature()} AS s
+          FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_duck_cos('a.embedding', 'b.embedding')} AS cos
+          FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(cos, 6) AS sim
+        FROM pairs WHERE cos >= 0.9 ORDER BY id_a, id_b""",
+)
+def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed so the pair
+    space is per-bucket, never all-pairs (the dedup-by-embedding scale
+    path for a 100 TB corpus)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    # persist: the signature (512 md5-derived terms per row, interpreted
+    # HOFs) feeds both sides of the self-join.
+    sig = emb.select(
+        "vec_id", "embedding", lsh_signature(F.col("embedding")).alias("s")
+    ).persist()
+    a = sig.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "s"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "s"
+    )
+    return (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("__cos") >= 0.9)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(

@@ -1,0 +1,87 @@
+"""Streaming analytics over event streams: tumbling/sliding windows,
+session windows, stateful dedup — each with an exact batch twin
+(SURVEY §2.3: streaming ops are verified by batch equivalence).
+
+The fixtures' ``events.ts`` arrives as ns-since-epoch longs (see
+``catalog.py``); :func:`event_time` converts to a µs TimestampType column
+for Spark's native window operators — matching DuckDB's µs truncation of
+the same parquet.
+
+Scale posture: watermark + windowed aggregation is incremental state in
+the state store (keyed by window × group), so a 100 TB/day stream holds
+state proportional to open windows only; ``dropDuplicates`` with a
+watermark bounds dedup state the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def event_time(ts_ns: str = "ts") -> Column:
+    """ns-long event time → µs TimestampType (named ``ts_ev``)."""
+    return F.timestamp_micros(F.expr(f"{ts_ns} div 1000")).alias("ts_ev")
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-(window, event_type) counts + value sums; works identically on a
+    batch DataFrame and a watermarked stream (append mode after close)."""
+    return (
+        events.withColumn("ts_ev", event_time())
+        .groupBy(F.window("ts_ev", width).alias("w"), "event_type")
+        # DECIMAL sum: order-independent exact arithmetic, so batch, stream
+        # and the DuckDB oracle agree bit-for-bit regardless of merge order.
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withColumn("ts_ev", event_time())
+        .groupBy(F.window("ts_ev", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user (native session_window operator —
+    the streaming twin of the Q40 batch sessionization)."""
+    return (
+        events.withColumn("ts_ev", event_time())
+        .groupBy(F.session_window("ts_ev", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_of(spark, parquet_path: str, schema) -> DataFrame:
+    """Replay a parquet file as a file-source stream (test/backfill aid)."""
+    return spark.readStream.schema(schema).format("parquet").load(parquet_path)
+
+
+def watermarked(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    return df.withColumn("ts_ev", event_time()).withWatermark("ts_ev", delay)
+
+
+def dedup_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Stateful exact dedup by event_id with bounded state (watermark);
+    batch twin: ``dropDuplicates`` / SELECT DISTINCT."""
+    return watermarked(events, delay).dropDuplicates(["event_id"])

@@ -1,0 +1,118 @@
+"""Batch-equivalence tests for streaming analytics (SURVEY §5.2.5):
+each streaming operator replayed as a stream over the events fixture must
+equal its batch twin exactly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from one_stop_cdc_ingestion_toolkit_spark.streaming.analytics import (
+    dedup_stream,
+    session_counts,
+    sliding_counts,
+    stream_of,
+    tumbling_counts,
+    watermarked,
+)
+from tests.conftest import SF_DIR
+
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark):
+    return spark.read.parquet(EVENTS).schema
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-stream sources need a DIRECTORY; symlink the single-file fixture."""
+    d = tmp_path_factory.mktemp("events_stream")
+    (d / "events.parquet").symlink_to(EVENTS)
+    return str(d)
+
+
+def _run_stream(spark, make_query, events_schema, events_dir, name):
+    stream = stream_of(spark, events_dir, events_schema)
+    q = (
+        make_query(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}")
+    finally:
+        q.stop()
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_equivalence(spark, events_schema, events_dir):
+    batch = tumbling_counts(spark.read.parquet(EVENTS))
+    streamed = _run_stream(spark, tumbling_counts, events_schema, events_dir, "tumbling_out")
+    assert _rows(streamed, "w_start", "event_type") == _rows(
+        batch, "w_start", "event_type"
+    )
+
+
+def test_sliding_equivalence(spark, events_schema, events_dir):
+    batch = sliding_counts(spark.read.parquet(EVENTS))
+    streamed = _run_stream(spark, sliding_counts, events_schema, events_dir, "sliding_out")
+    assert _rows(streamed, "w_start", "event_type") == _rows(
+        batch, "w_start", "event_type"
+    )
+
+
+def test_session_window_equivalence(spark, events_schema, events_dir):
+    batch = session_counts(spark.read.parquet(EVENTS))
+    streamed = _run_stream(spark, session_counts, events_schema, events_dir, "session_out")
+    assert _rows(streamed, "user_id", "s_start") == _rows(batch, "user_id", "s_start")
+
+
+def test_session_matches_q40_gap_logic(spark):
+    """session_window(30 min) must produce the same per-user session count
+    as the Q40 LAG-based batch sessionization."""
+    ev = spark.read.parquet(EVENTS)
+    sw = (
+        session_counts(ev, "30 minutes")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.relational import (
+        q40_sessionization,
+    )
+
+    q40 = q40_sessionization(spark, SF_DIR)
+    assert _rows(sw, "user_id") == _rows(q40, "user_id")
+
+
+def test_dedup_stream_equivalence(spark, events_schema, events_dir):
+    """Watermarked dropDuplicates == batch distinct on event_id."""
+    stream = stream_of(spark, events_dir, events_schema)
+    q = (
+        dedup_stream(stream)
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT event_id FROM dedup_out")
+        batch = spark.read.parquet(EVENTS).select("event_id").distinct()
+        assert _rows(streamed, "event_id") == _rows(batch, "event_id")
+    finally:
+        q.stop()
+
+
+def test_watermark_is_set(spark, events_schema, events_dir):
+    stream = stream_of(spark, events_dir, events_schema)
+    wm = watermarked(stream, "10 minutes")
+    assert wm.isStreaming
