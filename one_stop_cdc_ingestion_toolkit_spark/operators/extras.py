@@ -1,0 +1,130 @@
+"""Additional query-surface operators: pivot, date arithmetic, grouped-map
+Pandas UDF, approximate aggregates.
+
+These round out the downstream-query capabilities a reference user gets
+from Spark/Hudi atop the CDC lake (SURVEY §2.3): the pivot and date
+queries are oracle-checked; the approx sketches are engine-native
+(sketch values differ across engines by design) and are bounds-tested
+against exact counts instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import register
+
+
+@register(
+    "q56_pivot",
+    """SELECT l_returnflag,
+              COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt,
+              COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
+              SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'F') AS f_qty,
+              SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'O') AS o_qty
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on l_linestatus. Spark's pivot with an explicit value list is
+    a single-pass conditional aggregation — same plan the FILTER-clause
+    oracle describes; no extra shuffle versus a plain groupBy."""
+    li = tables(spark, sf_dir)["lineitem"]
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        )
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("F_qty").alias("f_qty"),
+        F.col("O_qty").alias("o_qty"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "q57_date_arith",
+    """SELECT o_orderkey,
+              CAST(o_orderdate AS DATE) + 30 AS due,
+              CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS reminded,
+              EXTRACT(DOW FROM o_orderdate) AS dow
+       FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
+)
+def q57_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic. DOW normalized: Spark dayofweek is 1=Sunday,
+    DuckDB EXTRACT(DOW) is 0=Sunday — subtract 1 on the Spark side."""
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due"),
+            F.date_sub(F.col("o_orderdate").cast("date"), 7).cast("timestamp").alias(
+                "reminded"
+            ),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q58_zscore_pandas",
+    """SELECT doc_id,
+              ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
+                    / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4) AS z
+       FROM documents ORDER BY doc_id""",
+)
+def q58_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length z-scores via applyInPandas (grouped-map
+    Pandas UDF — the Arrow batch path for per-group logic Spark lacks;
+    here checkable because z-scores are SQL-expressible too).
+
+    Scale shape: one shuffle on lang; each group processed as a pandas
+    frame inside the executor. Groups must fit in executor memory — for
+    skewed/huge groups prefer the window-function form (the oracle SQL).
+    """
+    d = tables(spark, sf_dir)["documents"]
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "z": ((pdf["n_chars"] - mu) / sd).round(4)}
+        )
+
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(zscore, "doc_id long, z double")
+        .orderBy("doc_id")
+    )
+
+
+def approx_distinct_stats(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """approx_count_distinct (HLL sketch) next to the exact count — the
+    constant-memory path for 100 TB cardinality estimation."""
+    return df.agg(
+        F.approx_count_distinct(col, rsd).alias("approx"),
+        F.countDistinct(col).alias("exact"),
+    )
+
+
+def approx_quantiles(df: DataFrame, col: str, probs: list[float]) -> list[float]:
+    """Greenwald-Khanna approximate quantiles (single pass, mergeable)."""
+    return df.approxQuantile(col, probs, 0.01)
+
+
+@register("q59_approx_distinct", None)  # sketch values are engine-specific
+def q59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables(spark, sf_dir)["lineitem"]
+    return approx_distinct_stats(li, "l_partkey")

@@ -1,0 +1,70 @@
+"""Kafka change-stream reader builder.
+
+The reference consumes per-table topics named ``<prefix>.<db>.<table>``
+(`/root/reference/bin/mskc-connector.sh:398`) with SASL/IAM client
+properties (`bin/mskc-connector.sh:410-431`, `cnf/kafka-client.properties:1-4`).
+The engine maps this to ``readStream.format("kafka")`` with a
+``subscribePattern`` over the prefix and a passthrough of ``kafka.*``
+client options — the same decode/merge stages as the file source then
+apply unchanged (source-agnostic pipeline).
+
+No broker exists in the test container, so this module only BUILDS the
+reader (unit-tested for option construction); end-to-end coverage runs on
+the file source, which shares every downstream stage.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def topic_pattern(prefix: str, db: str | None = None, table: str | None = None) -> str:
+    """Subscribe pattern for the reference's topic naming scheme."""
+    parts = [re.escape(prefix), re.escape(db) if db else "[^.]+", re.escape(table) if table else "[^.]+"]
+    return r"\.".join(parts)
+
+
+def kafka_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    prefix: str,
+    *,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    client_options: dict[str, str] | None = None,
+):
+    """Configured (not started) Kafka stream reader.
+
+    ``client_options`` passes SASL/TLS settings through as ``kafka.*``
+    options, e.g. ``{"security.protocol": "SASL_SSL",
+    "sasl.mechanism": "AWS_MSK_IAM"}`` — the engine analogue of the
+    reference's IAM auth block (A25). ``max_offsets_per_trigger`` is the
+    capacity knob (A14) bounding micro-batch size at scale.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", topic_pattern(prefix))
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in (client_options or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        reader = reader.option(key, v)
+    return reader
+
+
+def raw_records(df: DataFrame) -> DataFrame:
+    """Kafka frame → the engine's raw (key,value) change-record shape
+    (string key per the reference's StringConverter, A9)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.col("topic"),
+    )

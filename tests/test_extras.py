@@ -1,0 +1,52 @@
+"""Extras: approx-sketch bounds, multimodal frame sampling, blob decode stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from one_stop_cdc_ingestion_toolkit_spark.operators.extras import (
+    approx_distinct_stats,
+    approx_quantiles,
+)
+from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
+    decode_image,
+    extract_blob_metadata,
+    fake_decode,
+    frame_sample,
+)
+from tests.conftest import SF_DIR
+
+
+def test_approx_distinct_within_rsd(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    row = approx_distinct_stats(li, "l_partkey", rsd=0.05).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.15 * row["exact"]
+
+
+def test_approx_quantiles_ordered(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q25, q50, q75 = approx_quantiles(li, "l_quantity", [0.25, 0.5, 0.75])
+    assert q25 <= q50 <= q75
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\x89PNG...")
+
+
+def test_fake_decode_deterministic():
+    a, b = fake_decode(b"same bytes"), fake_decode(b"same bytes")
+    assert a == b
+    assert 1 <= a["width"] <= 1920 and 1 <= a["height"] <= 1080
+
+
+def test_frame_sample_shape(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = frame_sample(blobs, "doc_id", "payload", every_n=10)
+    rows = frames.collect()
+    assert rows and all(r["frame_idx"] % 10 == 0 for r in rows)
+    # every doc appears with at least frame 0
+    meta = extract_blob_metadata(blobs, "doc_id", "payload").collect()
+    assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in meta}
