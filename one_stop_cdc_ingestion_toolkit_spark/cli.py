@@ -26,7 +26,9 @@ from one_stop_cdc_ingestion_toolkit_spark.registry import (
 )
 from one_stop_cdc_ingestion_toolkit_spark.session import get_session
 from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import Pipeline
-from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import TableStore
+from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
+    BucketedTableStore,
+)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -35,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="verb", required=True)
 
     p = sub.add_parser("setup-pipeline", help="register a pipeline from a spec file")
+    p.add_argument("spec_file")
+
+    p = sub.add_parser(
+        "quickstart",
+        help="register + start + drain in one step (the reference's composite verb)",
+    )
     p.add_argument("spec_file")
 
     p = sub.add_parser("start-pipeline", help="start a registered pipeline")
@@ -72,13 +80,23 @@ def main(argv: list[str] | None = None) -> int:
         print(f"registered pipeline {spec.name}")
         return 0
 
+    if args.verb == "quickstart":
+        spec = spec_from_json(json.load(open(args.spec_file)))
+        reg.save(spec)
+        pipe = Pipeline(get_session("osci-spark"), spec)
+        pipe.process_available()
+        pipe.stop()
+        print(f"{spec.name}: registered + drained; tables: "
+              + ", ".join(pipe.store.list_tables()))
+        return 0
+
     if args.verb == "list-pipelines":
         for name in reg.list_pipelines():
             print(name)
         return 0
 
     if args.verb == "list-tables":
-        for t in TableStore(args.sink_dir).list_tables():
+        for t in BucketedTableStore(args.sink_dir).list_tables():
             print(t)
         return 0
 
@@ -110,7 +128,7 @@ def main(argv: list[str] | None = None) -> int:
         from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import snapshot
 
         spark = get_session("osci-spark")
-        df = TableStore(args.sink_dir).read(spark, args.table)
+        df = BucketedTableStore(args.sink_dir).read(spark, args.table)
         if df is None:
             print(f"no such table: {args.table}", file=sys.stderr)
             return 1
@@ -123,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import snapshot
 
         spark = get_session("osci-spark")
-        store = TableStore(args.sink_dir)
+        store = BucketedTableStore(args.sink_dir)
         for t in store.list_tables():
             snapshot(store.read(spark, t)).createOrReplaceTempView(t)
         spark.sql(args.query).show(100, truncate=False)

@@ -29,6 +29,7 @@ def spec_to_json(spec: PipelineSpec) -> dict:
                 "name": t.name,
                 "key_cols": t.key_cols,
                 "row_schema": t.row_schema.jsonValue(),
+                "n_buckets": t.n_buckets,
             }
             for t in spec.tables
         ],
@@ -49,6 +50,7 @@ def spec_from_json(doc: dict) -> PipelineSpec:
                 name=t["name"],
                 key_cols=t["key_cols"],
                 row_schema=T.StructType.fromJson(t["row_schema"]),
+                n_buckets=t.get("n_buckets"),
             )
             for t in doc["tables"]
         ],

@@ -40,16 +40,24 @@ from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
     flatten_changes,
 )
 from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
-from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import TableStore
+from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
+    BucketedTableStore,
+)
 
 
 @dataclass
 class TableSpec:
-    """One captured table: name, primary-key columns, row schema."""
+    """One captured table: name, primary-key columns, row schema.
+
+    ``n_buckets`` switches the table to key-bucketed state
+    (BucketedTableStore): each micro-batch rewrites only the hash buckets
+    its keys touch — the 100 TB merge path. None = whole-snapshot swap.
+    """
 
     name: str
     key_cols: list[str]
     row_schema: T.StructType
+    n_buckets: int | None = None
 
 
 @dataclass
@@ -95,7 +103,7 @@ class Pipeline:
         spec.validate()
         self.spark = spark
         self.spec = spec
-        self.store = TableStore(spec.sink_dir)
+        self.store = BucketedTableStore(spec.sink_dir)
         self.schemas = SchemaStore(
             Path(spec.sink_dir) / "_schemas", spec.compatibility
         )
@@ -118,12 +126,40 @@ class Pipeline:
                 # the envelope's after-image schema is the table's schema.
                 self.schemas.register(tspec.name, tspec.row_schema)
                 changes = flatten_changes(mine, tspec.key_cols)
-                current = self.store.read(self.spark, tspec.name)
-                merged = apply_changes(current, changes, tspec.key_cols)
-                self.store.write(merged, tspec.name)
+                if tspec.n_buckets:
+                    self._apply_bucketed(tspec, changes)
+                else:
+                    current = self.store.read(self.spark, tspec.name)
+                    merged = apply_changes(current, changes, tspec.key_cols)
+                    self.store.write(merged, tspec.name)
             finally:
                 if n_tables > 1:
                     mine.unpersist()
+
+    def _apply_bucketed(self, tspec: TableSpec, changes: DataFrame) -> None:
+        """Partition-scoped merge: only the key-buckets present in this
+        batch are read, merged and rewritten (cdc.affected_partitions
+        idea specialized to hash buckets)."""
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in tspec.key_cols]), F.lit(tspec.n_buckets)
+        ).cast("int")
+        changes = changes.withColumn("__bucket", bucket).persist()
+        try:
+            affected = sorted(
+                r[0] for r in changes.select("__bucket").distinct().collect()
+            )
+            current = self.store.read_buckets(self.spark, tspec.name, affected)
+            merged = apply_changes(current, changes, tspec.key_cols)
+            merged = merged.withColumn(
+                "__bucket",
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
+                    F.lit(tspec.n_buckets),
+                ).cast("int"),
+            )
+            self.store.write_buckets(merged, tspec.name, affected)
+        finally:
+            changes.unpersist()
 
     def read_table(self, name: str) -> DataFrame | None:
         """Live rows of a materialized table (tombstones/metadata hidden)."""

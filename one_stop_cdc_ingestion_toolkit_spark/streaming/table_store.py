@@ -67,5 +67,79 @@ class TableStore:
 
     def list_tables(self) -> list[str]:
         return sorted(
-            p.name for p in self.root.iterdir() if p.is_dir() and (p / "_CURRENT").exists()
+            p.name
+            for p in self.root.iterdir()
+            if p.is_dir() and ((p / "_CURRENT").exists() or (p / "_BUCKETS").exists())
         )
+
+
+class BucketedTableStore(TableStore):
+    """Key-bucketed snapshots: the 100 TB CDC state layout.
+
+    State is hash-partitioned into ``n_buckets`` by key; each merge batch
+    rewrites ONLY the buckets its changes touch (a micro-batch touching
+    0.1% of keys rewrites ~0.1% of the table, not all of it). Layout:
+
+        <table>/gen-K/__bucket=i/...parquet   (one write per batch,
+                                               partitioned by bucket)
+        <table>/_BUCKETS                      {bucket: generation} pointer
+
+    The pointer maps every bucket to the generation holding its current
+    state; a batch flips only the affected buckets' entries (atomic file
+    replace), then prunes generations no bucket references. Readers union
+    the per-bucket paths. Crash safety matches TableStore: a half-written
+    generation is invisible until the pointer flips.
+    """
+
+    def _bucket_pointer(self, table: str) -> Path:
+        return self._table_dir(table) / "_BUCKETS"
+
+    def bucket_map(self, table: str) -> dict[int, str]:
+        ptr = self._bucket_pointer(table)
+        if not ptr.exists():
+            return {}
+        import json
+
+        return {int(k): v for k, v in json.loads(ptr.read_text()).items()}
+
+    def read_buckets(
+        self, spark: SparkSession, table: str, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        bmap = self.bucket_map(table)
+        if buckets is not None:
+            bmap = {b: g for b, g in bmap.items() if b in buckets}
+        if not bmap:
+            return None
+        tdir = self._table_dir(table)
+        paths = [str(tdir / gen / f"__bucket={b}") for b, gen in sorted(bmap.items())]
+        return spark.read.parquet(*paths)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """Dispatch on layout: bucketed pointer if present, else the
+        whole-snapshot _CURRENT pointer (a store can hold both kinds)."""
+        if self._bucket_pointer(table).exists():
+            return self.read_buckets(spark, table)
+        return super().read(spark, table)
+
+    def write_buckets(self, df: DataFrame, table: str, buckets: list[int]) -> Path:
+        """Write a new generation holding ONLY the given buckets (df must
+        carry a ``__bucket`` column) and flip their pointer entries."""
+        import json
+
+        tdir = self._table_dir(table)
+        tdir.mkdir(parents=True, exist_ok=True)
+        bmap = self.bucket_map(table)
+        gens = [int(g.split("-")[1]) for g in bmap.values()] or [-1]
+        gen = f"gen-{max(gens) + 1:06d}"
+        df.write.mode("overwrite").partitionBy("__bucket").parquet(str(tdir / gen))
+        for b in buckets:
+            bmap[b] = gen
+        tmp = tdir / "_BUCKETS.tmp"
+        tmp.write_text(json.dumps({str(b): g for b, g in sorted(bmap.items())}))
+        tmp.replace(self._bucket_pointer(table))
+        # prune generations no bucket references anymore
+        live = set(bmap.values())
+        for p in tdir.glob("gen-*"):
+            if p.name not in live:
+                shutil.rmtree(p, ignore_errors=True)
+        return tdir / gen

@@ -93,6 +93,35 @@ def test_stream_status_and_remove(spark, tmp_path):
     pipe.remove(drop_data=True)
 
 
+def test_pipeline_rejects_incompatible_evolution(spark, tmp_path):
+    """Restarting a pipeline whose table schema added a NOT NULL column
+    must fail the batch (BACKWARD gate inside the stream, A11)."""
+    import pyspark.sql.types as T
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS[:3], files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+
+    evolved = T.StructType(
+        PERSON_SCHEMA.fields + [T.StructField("address", T.StringType(), False)]
+    )
+    spec2 = PipelineSpec(
+        name="p1",
+        source_dir=spec.source_dir,
+        tables=[TableSpec("person", ["firstName"], evolved)],
+        sink_dir=spec.sink_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),  # fresh stream, same lake
+    )
+    pipe2 = Pipeline(spark, spec2)
+    with pytest.raises(StreamingQueryException, match="address"):
+        pipe2.process_available()
+    pipe2.stop()
+
+
 def test_registry_round_trip(tmp_path):
     reg = PipelineRegistry(tmp_path / "pipelines.json")
     spec = _spec(tmp_path)
