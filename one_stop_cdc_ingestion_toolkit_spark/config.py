@@ -1,0 +1,52 @@
+"""Config-value indirection: never store plaintext secrets in specs.
+
+The reference injects secrets via ``${secretsmanager:<name>:<key>}``
+placeholders resolved by a config provider at runtime
+(`/root/reference/bin/mskc-connector.sh:401,405`; provider wiring
+`bin/mskc-worker.sh:58-64`). The engine keeps the same contract with two
+providers (no AWS in scope):
+
+- ``${env:VAR}``           → environment variable
+- ``${file:/path:key}``    → key in a JSON credentials file
+
+Unresolvable placeholders raise — a spec must never silently run with a
+literal placeholder as a password.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+
+_PLACEHOLDER = re.compile(r"\$\{(env|file):([^}:]+)(?::([^}]+))?\}")
+
+
+class UnresolvedSecretError(Exception):
+    pass
+
+
+def resolve_value(value: str) -> str:
+    """Resolve every placeholder inside a string value."""
+
+    def _sub(m: re.Match) -> str:
+        provider, name, key = m.group(1), m.group(2), m.group(3)
+        if provider == "env":
+            if name not in os.environ:
+                raise UnresolvedSecretError(f"environment variable not set: {name}")
+            return os.environ[name]
+        doc = json.loads(Path(name).read_text())
+        if key is None or key not in doc:
+            raise UnresolvedSecretError(f"key {key!r} not in credentials file {name}")
+        return str(doc[key])
+
+    return _PLACEHOLDER.sub(_sub, value)
+
+
+def resolve_options(options: dict) -> dict:
+    """Resolve all string values of an options mapping (e.g. the Kafka
+    client options passed through ``sources.kafka.kafka_reader``)."""
+    return {
+        k: resolve_value(v) if isinstance(v, str) else v for k, v in options.items()
+    }

@@ -63,14 +63,27 @@ def apply_changes(
     (row columns + ``__pos``/``__ts_ms``/``__deleted``). Returns the new
     state INCLUDING tombstones — use :func:`snapshot` for the live rows.
     """
-    data_cols = _row_field_names(changes)
+    row_fields = changes.schema["row"].dataType.fields
+    data_cols = [f.name for f in row_fields]
     batch = changes.select(*key_cols, "row", "op", *order_cols)
     if state is not None:
+        # Align old-schema state to the CURRENT row schema — this is
+        # BACKWARD compatibility applied to live state: columns the new
+        # schema dropped are not selected; columns it added (nullable by
+        # the SchemaStore gate) read as NULL from old rows.
+        pseudo_row = F.struct(
+            *[
+                (
+                    F.col(f.name)
+                    if f.name in state.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in row_fields
+            ]
+        )
         pseudo = state.select(
             *key_cols,
-            F.when(F.col("__deleted"), F.lit(None))
-            .otherwise(F.struct(*[F.col(c) for c in data_cols]))
-            .alias("row"),
+            F.when(F.col("__deleted"), F.lit(None)).otherwise(pseudo_row).alias("row"),
             F.when(F.col("__deleted"), F.lit("d")).otherwise(F.lit("r")).alias("op"),
             F.col("__pos").alias(order_cols[0]),
             F.col("__ts_ms").alias(order_cols[1]),

@@ -43,6 +43,9 @@ def kafka_reader(
     reference's IAM auth block (A25). ``max_offsets_per_trigger`` is the
     capacity knob (A14) bounding micro-batch size at scale.
     """
+    from one_stop_cdc_ingestion_toolkit_spark.config import resolve_options
+
+    client_options = resolve_options(client_options or {})
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -52,7 +55,7 @@ def kafka_reader(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    for k, v in (client_options or {}).items():
+    for k, v in client_options.items():
         key = k if k.startswith("kafka.") else f"kafka.{k}"
         reader = reader.option(key, v)
     return reader

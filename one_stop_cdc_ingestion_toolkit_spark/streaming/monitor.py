@@ -1,0 +1,90 @@
+"""Pipeline monitoring & diagnostics.
+
+The reference polls connector state in a loop
+(`/root/reference/bin/mskc-connector.sh:461-489`) and greps S3 logs for
+``error|failed|exception`` (`:491-499`). The engine gets both natively:
+
+- :class:`PipelineListener` — a StreamingQueryListener appending one JSON
+  line per progress/termination event (the CloudWatch-log analogue,
+  queryable with any log tool).
+- :func:`diagnose` — the log-grep analogue: surface the query's
+  exception plus the last progress snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class PipelineListener(StreamingQueryListener):
+    """Append-only JSONL event log for every streaming query in the session.
+
+    Register with ``spark.streams.addListener(PipelineListener(path))``.
+    """
+
+    def __init__(self, log_path: str | Path):
+        self.log_path = Path(log_path)
+        self.log_path.parent.mkdir(parents=True, exist_ok=True)
+
+    def _append(self, doc: dict) -> None:
+        with self.log_path.open("a") as f:
+            f.write(json.dumps(doc, default=str) + "\n")
+
+    def onQueryStarted(self, event) -> None:
+        self._append(
+            {"ts": time.time(), "event": "started", "id": str(event.id), "name": event.name}
+        )
+
+    def onQueryProgress(self, event) -> None:
+        # listener callbacks run on the listener bus thread; a raise here
+        # is swallowed by Spark, so keep the extraction defensive.
+        p = event.progress
+        doc = {"ts": time.time(), "event": "progress", "id": str(p.id)}
+        for attr in ("name", "batchId", "numInputRows", "inputRowsPerSecond"):
+            try:
+                doc[attr] = getattr(p, attr)
+            except Exception:  # noqa: BLE001
+                doc[attr] = None
+        self._append(doc)
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self._append(
+            {
+                "ts": time.time(),
+                "event": "terminated",
+                "id": str(event.id),
+                "exception": event.exception,
+            }
+        )
+
+
+def diagnose(pipeline) -> dict:
+    """Error surface for a pipeline (`searchMskcConnectorLogErrors`
+    analogue): state + exception + last progress, no log-grep needed."""
+    status = pipeline.status()
+    out = {"state": status.get("state"), "exception": None, "last_progress": None}
+    q = pipeline.query
+    if q is not None:
+        exc = q.exception()
+        out["exception"] = str(exc) if exc else None
+        if q.lastProgress:
+            lp = q.lastProgress
+            out["last_progress"] = {
+                "batchId": lp.get("batchId"),
+                "numInputRows": lp.get("numInputRows"),
+            }
+    return out
+
+
+def read_event_log(log_path: str | Path) -> list[dict]:
+    p = Path(log_path)
+    if not p.exists():
+        return []
+    return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]

@@ -1,0 +1,80 @@
+"""Monitoring listener + secret indirection (A16/A27/A12 analogues)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from one_stop_cdc_ingestion_toolkit_spark.config import (
+    UnresolvedSecretError,
+    resolve_options,
+    resolve_value,
+)
+from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import (
+    PipelineListener,
+    diagnose,
+    read_event_log,
+)
+from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
+    Pipeline,
+    PipelineSpec,
+    TableSpec,
+)
+from tests.cdc_fixtures import CANONICAL_EVENTS, PERSON_SCHEMA, write_stream_files
+
+
+def test_listener_logs_lifecycle(spark, tmp_path):
+    log = tmp_path / "events.jsonl"
+    listener = PipelineListener(log)
+    spark.streams.addListener(listener)
+    try:
+        spec = PipelineSpec(
+            name="mon",
+            source_dir=str(tmp_path / "stream"),
+            tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],
+            sink_dir=str(tmp_path / "lake"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=1)
+        pipe = Pipeline(spark, spec)
+        pipe.process_available()
+        d = diagnose(pipe)
+        assert d["state"] == "RUNNING" and d["exception"] is None
+        assert d["last_progress"] is not None
+        pipe.stop()
+    finally:
+        spark.streams.removeListener(listener)
+    # listener events are delivered asynchronously on the bus thread
+    import time
+
+    events, deadline = [], time.time() + 15
+    while time.time() < deadline:
+        events = read_event_log(log)
+        if any(e["event"] == "progress" for e in events):
+            break
+        time.sleep(0.5)
+    kinds = [e["event"] for e in events]
+    assert "started" in kinds and "progress" in kinds
+    prog = [e for e in events if e["event"] == "progress"]
+    assert any(e["numInputRows"] > 0 for e in prog)
+
+
+def test_resolve_env(monkeypatch):
+    monkeypatch.setenv("OSCI_PW", "s3cret")
+    assert resolve_value("${env:OSCI_PW}") == "s3cret"
+    assert resolve_value("user:${env:OSCI_PW}@host") == "user:s3cret@host"
+
+
+def test_resolve_file(tmp_path):
+    cred = tmp_path / "creds.json"
+    cred.write_text(json.dumps({"password": "pw123"}))
+    opts = resolve_options(
+        {"sasl.jaas.config": f"pw=${{file:{cred}:password}}", "n": 3}
+    )
+    assert opts == {"sasl.jaas.config": "pw=pw123", "n": 3}
+
+
+def test_unresolved_raises():
+    with pytest.raises(UnresolvedSecretError, match="NO_SUCH_VAR"):
+        resolve_value("${env:NO_SUCH_VAR}")

@@ -122,6 +122,67 @@ def test_pipeline_rejects_incompatible_evolution(spark, tmp_path):
     pipe2.stop()
 
 
+def test_pipeline_survives_compatible_evolution(spark, tmp_path):
+    """v1 state + v3 schema (drop lastName, add nullable email): the
+    SchemaStore accepts the evolution AND the merge reads old-schema
+    state under the new schema (old rows get NULL email, lose lastName)."""
+    import pyspark.sql.types as T
+
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+
+    v3 = T.StructType(
+        [
+            T.StructField("firstName", T.StringType(), True),
+            T.StructField("age", T.IntegerType(), False),
+            T.StructField("email", T.StringType(), True),
+        ]
+    )
+    v3_events = [
+        {
+            "key": "erin",
+            "value": json.dumps(
+                {
+                    "before": None,
+                    "after": {"firstName": "erin", "age": 22, "email": "e@x.io"},
+                    "op": "c",
+                    "ts_ms": 1_700_000_000_020,
+                    "source": {"db": "cdc_test_db", "table": "person", "pos": 20, "server_id": 1},
+                }
+            ),
+        }
+    ]
+    import pathlib
+
+    with open(pathlib.Path(spec.source_dir) / "v3.json", "w") as f:
+        for e in v3_events:
+            f.write(json.dumps(e) + "\n")
+
+    spec2 = PipelineSpec(
+        name="p1",
+        source_dir=spec.source_dir,
+        tables=[TableSpec("person", ["firstName"], v3)],
+        sink_dir=spec.sink_dir,
+        checkpoint_dir=spec.checkpoint_dir,  # same checkpoint: continue
+    )
+    pipe2 = Pipeline(spark, spec2)
+    pipe2.process_available()
+    pipe2.stop()
+    snap = pipe2.read_table("person")
+    assert set(snap.columns) == {"firstName", "age", "email"}
+    got = {r["firstName"]: (r["age"], r["email"]) for r in snap.collect()}
+    assert got == {
+        "alice": (31, None),
+        "carol": (25, None),
+        "dave": (55, None),
+        "erin": (22, "e@x.io"),
+    }
+    assert len(pipe2.schemas.versions("person")) == 2
+
+
 def test_registry_round_trip(tmp_path):
     reg = PipelineRegistry(tmp_path / "pipelines.json")
     spec = _spec(tmp_path)
