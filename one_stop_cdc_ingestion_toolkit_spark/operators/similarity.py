@@ -70,32 +70,33 @@ def cosine_topk(
     )
 
 
-def lsh_signature(vec: Column, n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> Column:
-    """Sign-bit signature against MD5-derived hyperplanes.
+def _plane_signs(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[float]]:
+    """The (constant) hyperplane sign matrix: plane p component i is +1 if
+    the first hex digit of md5('p:i') is < '8' else -1. Computed ONCE
+    driver-side — hashlib produces the exact digests the DuckDB oracle
+    derives with its own md5(), so parity is preserved while the per-row
+    work drops from 512 md5 calls to 64x8 multiply-adds."""
+    import hashlib
 
-    Plane p component i is +1 if the first hex digit of md5('p:i') is < '8'
-    else -1 — reproducible in any engine with md5. Signature is the string
-    of sign bits of plane·vec.
-    """
-    def plane_projection(p: int) -> Column:
-        seed = f"{p}:"
-        # NB: transform lambdas must take exactly ONE arg (a second arg
-        # receives the element index and would clobber closure bindings).
-        terms = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.substring(F.md5(F.concat(F.lit(seed), i.cast("string"))), 1, 1)
-                < "8",
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            * F.element_at(vec, i + 1).cast("double"),
-        )
-        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-
-    bits = [
-        F.when(plane_projection(p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0] < "8" else -1.0
+            for i in range(dim)
+        ]
         for p in range(n_planes)
     ]
+
+
+def lsh_signature(vec: Column, n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> Column:
+    """Sign-bit signature against MD5-derived hyperplanes (string of sign
+    bits of plane.vec; fold order matches the oracle's list_sum)."""
+    signs = _plane_signs(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in signs[p]])
+        terms = F.zip_with(vec, plane, lambda x, sg: x.cast("double") * sg)
+        proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
