@@ -61,6 +61,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("list-tables")
     p.add_argument("sink_dir")
 
+    p = sub.add_parser(
+        "remove-tables", help="drop tables matching a regex (reference A18)"
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("pattern")
+
     p = sub.add_parser("show-table")
     p.add_argument("sink_dir")
     p.add_argument("table")
@@ -98,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "list-tables":
         for t in BucketedTableStore(args.sink_dir).list_tables():
             print(t)
+        return 0
+
+    if args.verb == "remove-tables":
+        for t in BucketedTableStore(args.sink_dir).drop_tables(args.pattern):
+            print(f"dropped {t}")
         return 0
 
     if args.verb in ("start-pipeline", "pipeline-status", "remove-pipeline"):

@@ -37,6 +37,7 @@ def spec_to_json(spec: PipelineSpec) -> dict:
         "checkpoint_dir": spec.checkpoint_dir,
         "compatibility": spec.compatibility,
         "max_files_per_trigger": spec.max_files_per_trigger,
+        "database_include": spec.database_include,
         "options": spec.options,
     }
 
@@ -58,6 +59,7 @@ def spec_from_json(doc: dict) -> PipelineSpec:
         checkpoint_dir=doc["checkpoint_dir"],
         compatibility=doc.get("compatibility", "BACKWARD"),
         max_files_per_trigger=doc.get("max_files_per_trigger"),
+        database_include=doc.get("database_include"),
         options=doc.get("options", {}),
     )
 

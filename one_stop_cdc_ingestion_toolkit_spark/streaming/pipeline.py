@@ -73,6 +73,7 @@ class PipelineSpec:
     checkpoint_dir: str
     compatibility: str = "BACKWARD"
     max_files_per_trigger: int | None = None  # capacity knob (A14)
+    database_include: list[str] | None = None  # database.include.list (A3)
     options: dict = field(default_factory=dict)
 
     def validate(self) -> None:
@@ -116,6 +117,11 @@ class Pipeline:
         n_tables = len(self.spec.tables)
         for tspec in self.spec.tables:
             decoded = decode_json(raw, tspec.row_schema)
+            if self.spec.database_include:
+                # database.include.list (A3): restrict captured schemas
+                decoded = decoded.filter(
+                    F.col("source.db").isin(self.spec.database_include)
+                )
             mine = decoded.filter(F.col("source.table") == tspec.name)
             if n_tables > 1:
                 mine = mine.persist()

@@ -65,6 +65,19 @@ class TableStore:
     def drop(self, table: str) -> None:
         shutil.rmtree(self._table_dir(table), ignore_errors=True)
 
+    def drop_tables(self, pattern: str) -> list[str]:
+        """Drop every table whose name matches the regex — the engine
+        analogue of the reference's regex topic deletion
+        (`/root/reference/bin/mskc-connector.sh:97-114`,
+        `bin/kafka-client.sh:50-68`). Best-effort idempotent."""
+        import re
+
+        rx = re.compile(pattern)
+        dropped = [t for t in self.list_tables() if rx.fullmatch(t)]
+        for t in dropped:
+            self.drop(t)
+        return dropped
+
     def list_tables(self) -> list[str]:
         return sorted(
             p.name

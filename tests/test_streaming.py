@@ -186,10 +186,45 @@ def test_pipeline_survives_compatible_evolution(spark, tmp_path):
 def test_registry_round_trip(tmp_path):
     reg = PipelineRegistry(tmp_path / "pipelines.json")
     spec = _spec(tmp_path)
+    spec.database_include = ["cdc_test_db"]
     reg.save(spec)
     assert reg.list_pipelines() == ["p1"]
     loaded = reg.get("p1")
     assert loaded.tables[0].row_schema == PERSON_SCHEMA
     assert loaded.tables[0].key_cols == ["firstName"]
+    assert loaded.database_include == ["cdc_test_db"]
     assert reg.remove("p1") is True
     assert reg.remove("p1") is False
+
+
+def test_database_include_filters_foreign_dbs(spark, tmp_path):
+    """database.include.list (A3): events from other databases are ignored
+    even when table names collide."""
+    import pathlib
+
+    spec = _spec(tmp_path)
+    spec.database_include = ["cdc_test_db"]
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=1)
+    foreign = envelope("c", 99, after=person("zoe", "foreign", 99))
+    doc = json.loads(foreign["value"])
+    doc["source"]["db"] = "other_db"
+    foreign["value"] = json.dumps(doc)
+    with open(pathlib.Path(spec.source_dir) / "foreign.json", "w") as f:
+        f.write(json.dumps(foreign) + "\n")
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    assert _state(pipe.read_table("person")) == GOLDEN_STATE  # no zoe
+
+
+def test_drop_tables_by_pattern(spark, tmp_path):
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS[:2], files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    store = pipe.store
+    assert store.list_tables() == ["person"]
+    assert store.drop_tables("nomatch.*") == []
+    assert store.drop_tables("per.*") == ["person"]
+    assert store.list_tables() == []
