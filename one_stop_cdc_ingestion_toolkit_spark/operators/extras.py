@@ -128,3 +128,41 @@ def approx_quantiles(df: DataFrame, col: str, probs: list[float]) -> list[float]
 def q59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables(spark, sf_dir)["lineitem"]
     return approx_distinct_stats(li, "l_partkey")
+
+
+@register(
+    "q60_levenshtein",
+    """SELECT p_partkey, levenshtein(p_brand, p_type) AS d,
+              levenshtein(p_name, p_brand) AS dn
+       FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
+)
+def q60_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (fuzzy matching primitive for entity dedup)."""
+    p = tables(spark, sf_dir)["part"]
+    return (
+        p.filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.levenshtein("p_brand", "p_type").alias("d"),
+            F.levenshtein("p_name", "p_brand").alias("dn"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q61_array_stats",
+    """SELECT vec_id, len(embedding) AS n,
+              ROUND(CAST(list_max(embedding) AS DOUBLE), 5) AS mx,
+              ROUND(CAST(list_min(embedding) AS DOUBLE), 5) AS mn
+       FROM embeddings ORDER BY vec_id""",
+)
+def q61_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column primitives over the embedding fixture."""
+    e = tables(spark, sf_dir)["embeddings"]
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n"),
+        F.round(F.array_max("embedding").cast("double"), 5).alias("mx"),
+        F.round(F.array_min("embedding").cast("double"), 5).alias("mn"),
+    ).orderBy("vec_id")
