@@ -206,12 +206,14 @@ def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, ROUND(cos, 6) AS sim
-        FROM pairs WHERE cos >= 0.9 ORDER BY id_a, id_b""",
+        FROM pairs WHERE cos >= 0.3 ORDER BY id_a, id_b""",
 )
 def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed so the pair
     space is per-bucket, never all-pairs (the dedup-by-embedding scale
-    path for a 100 TB corpus)."""
+    path for a 100 TB corpus). Threshold 0.3 is calibrated to the random
+    synthetic embeddings (max in-bucket cosine ~0.5) so the filter and
+    output paths are genuinely exercised; real corpora would use ~0.9."""
     emb = tables(spark, sf_dir)["embeddings"]
     # persist: the signature (512 md5-derived terms per row, interpreted
     # HOFs) feeds both sides of the self-join.
@@ -228,7 +230,7 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("__cos") >= 0.9)
+        .filter(F.col("__cos") >= 0.3)
         .select("id_a", "id_b", F.round("__cos", 6).alias("sim"))
         .orderBy("id_a", "id_b")
     )

@@ -1,0 +1,69 @@
+"""Batch sinks & file-compaction helpers (SURVEY §2.4, §4.4).
+
+The reference's sink surface is Kafka topics + an implied Hudi lake
+(`/root/reference/README.md:22-32`); the engine's is parquet directories
+(TableStore for CDC state, these helpers for analytics outputs). The
+100 TB concern addressed here is the small-files problem: a streaming
+merge or a fine-grained partitionBy write produces thousands of tiny
+files that destroy later scan performance; compaction rewrites a
+directory at a target file size with one job.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # match maxPartitionBytes
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Analytics-table writer: partitioned parquet (partition pruning for
+    downstream readers comes free from the directory layout)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def dir_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under a parquet directory."""
+    files = [p for p in Path(path).rglob("*.parquet") if p.is_file()]
+    return len(files), sum(p.stat().st_size for p in files)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dir with ~target-sized files; returns the new
+    file count. Uses coalesce (no shuffle) sized from the on-disk bytes.
+    Safe swap: write to a staging sibling, then atomic directory replace.
+    """
+    import shutil
+
+    n_files, total = dir_stats(path)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    if n_files <= n_out:
+        return n_files
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + "._compact"
+    w = df.coalesce(n_out).write.mode("overwrite")
+    if partition_by:
+        w = df.repartition(n_out, *partition_by).write.mode("overwrite").partitionBy(
+            *partition_by
+        )
+    w.parquet(staging)
+    backup = path.rstrip("/") + "._old"
+    Path(path).rename(backup)
+    Path(staging).rename(path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return dir_stats(path)[0]

@@ -45,3 +45,37 @@ def test_decorrelated_subquery_broadcasts(spark):
 
 def test_whole_stage_codegen_present(spark):
     assert codegen_stage_count(q42_revenue_join(spark, SF_DIR)) >= 2
+
+
+def test_window_topk_uses_group_limit(spark):
+    """rank<=k must plan a WindowGroupLimit (per-partition top-k), not a
+    full per-partition sort+filter."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.relational import q21_rank_topk
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    assert "WindowGroupLimit" in physical_plan(q21_rank_topk(spark, SF_DIR))
+
+
+def test_agg_has_partial_phase(spark):
+    """groupBy aggregates must do map-side partial aggregation (shuffle
+    carries partial states, not raw rows)."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.relational import (
+        q13_hash_agg_having,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    assert "partial_" in physical_plan(q13_hash_agg_having(spark, SF_DIR))
+
+
+def test_compaction_reduces_files(spark, tmp_path):
+    from one_stop_cdc_ingestion_toolkit_spark.sinks import compact, dir_stats, write_table
+
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+    out = str(tmp_path / "frag")
+    df.repartition(40).write.parquet(out)
+    n_before, total = dir_stats(out)
+    assert n_before >= 40
+    n_after = compact(spark, out)
+    assert n_after == 1  # tiny table → one target-size file
+    got = spark.read.parquet(out)
+    assert got.count() == 10_000
