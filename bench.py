@@ -35,6 +35,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+        # operators that persist() self-join intermediates would otherwise
+        # accumulate cached partitions across the whole run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -112,10 +112,20 @@ def expire_tombstones(state: DataFrame, min_pos: int) -> DataFrame:
 
 def affected_partitions(changes: DataFrame, partition_cols: list[str]) -> list[dict]:
     """Distinct partition tuples a change batch touches — the rewrite set
-    for a partitioned state (rewrite only these, not the table)."""
-    cols = [
-        F.col(c) if c in changes.columns else F.col(f"row.{c}").alias(c)
-        for c in partition_cols
-    ]
-    rows = changes.select(*cols).distinct().collect()
+    for a partitioned state (rewrite only these, not the table).
+
+    Partition columns must be KEY columns (top-level in the flattened
+    change shape): a delete's after-image is NULL, so partitioning on a
+    non-key data column cannot locate the deleted row's partition and
+    would silently skip applying the delete. Hash-bucket partitioning on
+    the key (``BucketedTableStore``) is the general-purpose scheme.
+    """
+    missing = [c for c in partition_cols if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"partition cols must be key columns of the change stream; "
+            f"{missing} are not (deletes carry no after-image, so non-key "
+            "partitioning cannot locate the rows to rewrite)"
+        )
+    rows = changes.select(*partition_cols).distinct().collect()
     return [r.asDict() for r in rows]

@@ -96,11 +96,19 @@ def q58_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         mu = pdf["n_chars"].mean()
         sd = pdf["n_chars"].std(ddof=1)
-        return pd.DataFrame(
-            {"doc_id": pdf["doc_id"], "z": ((pdf["n_chars"] - mu) / sd).round(4)}
-        )
+        if pd.isna(sd) or sd == 0:
+            # SQL: STDDEV_SAMP over 1 row is NULL (and x/0 is NULL) —
+            # mirror as None, not pandas NaN
+            z = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            v = (pdf["n_chars"] - mu) / sd
+            # SQL ROUND is half-away-from-zero; pandas .round is half-even
+            z = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "z": z})
 
     return (
         d.select("doc_id", "lang", "n_chars")

@@ -33,10 +33,16 @@ def norm_cell(v: object) -> str:
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    """Order-insensitive: row strings are sorted before hashing, so a
+    query whose ORDER BY is only a partial order cannot flake on
+    tie-ordering differences between engines."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(norm_cell(row[i]) for i in order) for row in rows
+    )
     h = hashlib.md5()
-    for row in rows:
-        h.update("|".join(norm_cell(row[i]) for i in order).encode())
+    for line in lines:
+        h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
 

@@ -46,24 +46,48 @@ def compact(
 ) -> int:
     """Rewrite a parquet dir with ~target-sized files; returns the new
     file count. Uses coalesce (no shuffle) sized from the on-disk bytes.
-    Safe swap: write to a staging sibling, then atomic directory replace.
+    Swap discipline: write to a staging sibling, rename away the old dir,
+    rename staging into place, drop the old dir. The two renames are NOT
+    one atomic step — a crash between them leaves ``<path>._old`` holding
+    the intact data, which the next call (or :func:`recover`) restores
+    before doing anything else. Readers racing the swap should retry on
+    ENOENT.
     """
     import shutil
 
+    recover(path)
+    staging = Path(path.rstrip("/") + "._compact")
+    shutil.rmtree(staging, ignore_errors=True)  # stale staging from a crash
     n_files, total = dir_stats(path)
     n_out = max(1, -(-total // target_file_bytes))  # ceil
     if n_files <= n_out:
         return n_files
     df = spark.read.parquet(path)
-    staging = path.rstrip("/") + "._compact"
-    w = df.coalesce(n_out).write.mode("overwrite")
     if partition_by:
         w = df.repartition(n_out, *partition_by).write.mode("overwrite").partitionBy(
             *partition_by
         )
-    w.parquet(staging)
-    backup = path.rstrip("/") + "._old"
+    else:
+        w = df.coalesce(n_out).write.mode("overwrite")
+    w.parquet(str(staging))
+    backup = Path(path.rstrip("/") + "._old")
     Path(path).rename(backup)
-    Path(staging).rename(path)
+    staging.rename(path)
     shutil.rmtree(backup, ignore_errors=True)
     return dir_stats(path)[0]
+
+
+def recover(path: str) -> bool:
+    """Restore a dataset left mid-swap by a crashed :func:`compact`:
+    if ``<path>._old`` exists and ``path`` is missing, the first rename
+    completed but the second didn't — move the old data back. Returns
+    True when a recovery happened."""
+    import shutil
+
+    backup = Path(path.rstrip("/") + "._old")
+    if backup.exists():
+        if not Path(path).exists():
+            backup.rename(path)
+            return True
+        shutil.rmtree(backup, ignore_errors=True)
+    return False

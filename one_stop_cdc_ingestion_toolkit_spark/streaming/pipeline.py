@@ -113,57 +113,73 @@ class Pipeline:
     # -- batch core (also used directly by tests / backfills) -------------
 
     def apply_batch(self, raw: DataFrame) -> None:
-        """Decode + merge one micro-batch of raw (key,value) records."""
-        n_tables = len(self.spec.tables)
-        for tspec in self.spec.tables:
-            decoded = decode_json(raw, tspec.row_schema)
-            if self.spec.database_include:
-                # database.include.list (A3): restrict captured schemas
-                decoded = decoded.filter(
-                    F.col("source.db").isin(self.spec.database_include)
-                )
-            mine = decoded.filter(F.col("source.table") == tspec.name)
-            if n_tables > 1:
-                mine = mine.persist()
-            try:
-                if mine.isEmpty():
-                    continue
-                # schema auto-registration + BACKWARD gate (A10/A11):
-                # the envelope's after-image schema is the table's schema.
-                self.schemas.register(tspec.name, tspec.row_schema)
-                changes = flatten_changes(mine, tspec.key_cols)
-                if tspec.n_buckets:
-                    self._apply_bucketed(tspec, changes)
-                else:
-                    current = self.store.read(self.spark, tspec.name)
-                    merged = apply_changes(current, changes, tspec.key_cols)
-                    self.store.write(merged, tspec.name)
-            finally:
-                if n_tables > 1:
+        """Decode + merge one micro-batch of raw (key,value) records.
+
+        The raw batch is persisted once so per-table decodes (each table
+        has its own envelope row schema) re-parse from memory, not from
+        the source; each table's decoded slice is persisted across its
+        isEmpty + merge actions."""
+        raw = raw.persist()
+        try:
+            for tspec in self.spec.tables:
+                decoded = decode_json(raw, tspec.row_schema)
+                if self.spec.database_include:
+                    # database.include.list (A3): restrict captured schemas
+                    decoded = decoded.filter(
+                        F.col("source.db").isin(self.spec.database_include)
+                    )
+                mine = decoded.filter(F.col("source.table") == tspec.name).persist()
+                try:
+                    if mine.isEmpty():
+                        continue
+                    # schema auto-registration + BACKWARD gate (A10/A11):
+                    # the envelope's after-image schema is the table's schema.
+                    self.schemas.register(tspec.name, tspec.row_schema)
+                    changes = flatten_changes(mine, tspec.key_cols)
+                    if tspec.n_buckets:
+                        self._apply_bucketed(tspec, changes)
+                    else:
+                        current = self.store.read(self.spark, tspec.name)
+                        merged = apply_changes(current, changes, tspec.key_cols)
+                        self.store.write(merged, tspec.name)
+                finally:
                     mine.unpersist()
+        finally:
+            raw.unpersist()
 
     def _apply_bucketed(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Partition-scoped merge: only the key-buckets present in this
         batch are read, merged and rewritten (cdc.affected_partitions
         idea specialized to hash buckets)."""
-        bucket = F.pmod(
-            F.xxhash64(*[F.col(k) for k in tspec.key_cols]), F.lit(tspec.n_buckets)
-        ).cast("int")
-        changes = changes.withColumn("__bucket", bucket).persist()
+        def bucket_of(df: DataFrame) -> F.Column:
+            return F.pmod(
+                F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
+                F.lit(tspec.n_buckets),
+            ).cast("int")
+
+        changes = changes.withColumn("__bucket", bucket_of(changes)).persist()
         try:
-            affected = sorted(
-                r[0] for r in changes.select("__bucket").distinct().collect()
-            )
-            current = self.store.read_buckets(self.spark, tspec.name, affected)
+            migrating = self.store.layout(tspec.name) == "snapshot"
+            if migrating:
+                # one-time layout migration: fold the whole existing
+                # snapshot in, then rewrite every bucket it lands in.
+                current = self.store.read(self.spark, tspec.name)
+            else:
+                affected = sorted(
+                    r[0] for r in changes.select("__bucket").distinct().collect()
+                )
+                current = self.store.read_buckets(self.spark, tspec.name, affected)
             merged = apply_changes(current, changes, tspec.key_cols)
-            merged = merged.withColumn(
-                "__bucket",
-                F.pmod(
-                    F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
-                    F.lit(tspec.n_buckets),
-                ).cast("int"),
-            )
+            merged = merged.withColumn("__bucket", bucket_of(merged))
+            if migrating:
+                merged = merged.persist()
+                affected = sorted(
+                    r[0] for r in merged.select("__bucket").distinct().collect()
+                )
             self.store.write_buckets(merged, tspec.name, affected)
+            if migrating:
+                self.store.retire_snapshot(tspec.name)
+                merged.unpersist()
         finally:
             changes.unpersist()
 

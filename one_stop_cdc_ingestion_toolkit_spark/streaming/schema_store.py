@@ -49,6 +49,9 @@ def check_backward(old: T.StructType, new: T.StructType) -> list[str]:
                 f"type change for {f.name}: "
                 f"{old_fields[f.name].dataType.simpleString()} -> {f.dataType.simpleString()}"
             )
+        elif old_fields[f.name].nullable and not f.nullable:
+            # old data may hold NULLs the tightened schema forbids
+            problems.append(f"nullable column tightened to NOT NULL: {f.name}")
     return problems
 
 

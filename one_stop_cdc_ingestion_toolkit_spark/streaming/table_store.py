@@ -48,6 +48,12 @@ class TableStore:
 
     def write(self, df: DataFrame, table: str) -> Path:
         """Write a new snapshot generation and flip the pointer."""
+        if (self._table_dir(table) / "_BUCKETS").exists():
+            raise ValueError(
+                f"{table} uses the bucketed layout; writing a whole snapshot "
+                "would be shadowed by the _BUCKETS pointer — use "
+                "write_buckets, or drop the table first"
+            )
         tdir = self._table_dir(table)
         tdir.mkdir(parents=True, exist_ok=True)
         ptr = self._pointer(table)
@@ -115,6 +121,14 @@ class BucketedTableStore(TableStore):
 
         return {int(k): v for k, v in json.loads(ptr.read_text()).items()}
 
+    def layout(self, table: str) -> str | None:
+        """'bucketed' | 'snapshot' | None — which pointer kind governs."""
+        if self._bucket_pointer(table).exists():
+            return "bucketed"
+        if self._pointer(table).exists():
+            return "snapshot"
+        return None
+
     def read_buckets(
         self, spark: SparkSession, table: str, buckets: list[int] | None = None
     ) -> DataFrame | None:
@@ -125,7 +139,10 @@ class BucketedTableStore(TableStore):
             return None
         tdir = self._table_dir(table)
         paths = [str(tdir / gen / f"__bucket={b}") for b, gen in sorted(bmap.items())]
-        return spark.read.parquet(*paths)
+        # mergeSchema: buckets can sit at different generations that span a
+        # compatible schema evolution; taking the schema from one file
+        # would silently drop evolved columns from the others.
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame | None:
         """Dispatch on layout: bucketed pointer if present, else the
@@ -133,6 +150,15 @@ class BucketedTableStore(TableStore):
         if self._bucket_pointer(table).exists():
             return self.read_buckets(spark, table)
         return super().read(spark, table)
+
+    def retire_snapshot(self, table: str) -> None:
+        """Remove a whole-snapshot pointer + generation after migrating the
+        table to the bucketed layout."""
+        ptr = self._pointer(table)
+        if ptr.exists():
+            gen = ptr.read_text().strip()
+            ptr.unlink()
+            shutil.rmtree(self._table_dir(table) / gen, ignore_errors=True)
 
     def write_buckets(self, df: DataFrame, table: str, buckets: list[int]) -> Path:
         """Write a new generation holding ONLY the given buckets (df must
@@ -142,7 +168,10 @@ class BucketedTableStore(TableStore):
         tdir = self._table_dir(table)
         tdir.mkdir(parents=True, exist_ok=True)
         bmap = self.bucket_map(table)
-        gens = [int(g.split("-")[1]) for g in bmap.values()] or [-1]
+        # number from ALL on-disk generations, not just bucket-referenced
+        # ones — a snapshot-layout gen (during migration) must not be
+        # reused as the write target while it is still the read source.
+        gens = [int(p.name.split("-")[1]) for p in tdir.glob("gen-*")] or [-1]
         gen = f"gen-{max(gens) + 1:06d}"
         df.write.mode("overwrite").partitionBy("__bucket").parquet(str(tdir / gen))
         for b in buckets:

@@ -78,6 +78,50 @@ def test_batch_rewrites_only_touched_buckets(spark, tmp_path):
     assert all(after[b] == before[b] for b in untouched)
 
 
+def test_snapshot_to_bucketed_migration(spark, tmp_path):
+    """Enabling n_buckets on an existing whole-snapshot table must fold
+    the snapshot into the bucketed layout, not silently start empty."""
+    spec_flat = PipelineSpec(
+        name="pb",
+        source_dir=str(tmp_path / "stream"),
+        tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],  # no buckets
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    write_stream_files(spec_flat.source_dir, CANONICAL_EVENTS, files=1)
+    pipe = Pipeline(spark, spec_flat)
+    pipe.process_available()
+    pipe.stop()
+    assert pipe.store.layout("person") == "snapshot"
+
+    late = [envelope("u", 10, before=person("alice", "brown", 31),
+                     after=person("alice", "grey", 32))]
+    with open(pathlib.Path(spec_flat.source_dir) / "late.json", "w") as f:
+        for e in late:
+            f.write(json.dumps(e) + "\n")
+    spec_b = _spec(tmp_path)  # same dirs, now bucketed
+    pipe2 = Pipeline(spark, spec_b)
+    pipe2.process_available()
+    pipe2.stop()
+    assert pipe2.store.layout("person") == "bucketed"
+    expect = dict(GOLDEN_STATE)
+    expect["alice"] = ("alice", "grey", 32)
+    assert _state(pipe2) == expect  # snapshot rows survived the migration
+
+
+def test_whole_snapshot_write_refused_on_bucketed_table(spark, tmp_path):
+    import pytest
+
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS[:2], files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    df = pipe.store.read(spark, "person")
+    with pytest.raises(ValueError, match="bucketed layout"):
+        pipe.store.write(df, "person")
+
+
 def test_generation_pruning(spark, tmp_path):
     spec = _spec(tmp_path)
     write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=4)

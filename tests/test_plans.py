@@ -67,6 +67,23 @@ def test_agg_has_partial_phase(spark):
     assert "partial_" in physical_plan(q13_hash_agg_having(spark, SF_DIR))
 
 
+def test_compact_recovery_after_crash(spark, tmp_path):
+    """A crash between the two swap renames leaves <path>._old; the next
+    compact() must restore it before proceeding."""
+    import pathlib
+
+    from one_stop_cdc_ingestion_toolkit_spark.sinks import compact, recover
+
+    out = str(tmp_path / "t")
+    spark.range(100).write.parquet(out)
+    # simulate: first rename done, second not
+    pathlib.Path(out).rename(out + "._old")
+    assert recover(out) is True
+    assert spark.read.parquet(out).count() == 100
+    compact(spark, out)  # runs clean after recovery
+    assert spark.read.parquet(out).count() == 100
+
+
 def test_compaction_reduces_files(spark, tmp_path):
     from one_stop_cdc_ingestion_toolkit_spark.sinks import compact, dir_stats, write_table
 

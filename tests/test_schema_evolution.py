@@ -75,11 +75,17 @@ def _schema(fields):
 @settings(max_examples=200, deadline=None)
 @given(old=FIELDS, new=FIELDS)
 def test_backward_property(old, new):
-    """check_backward(old, new) flags exactly the added non-nullable cols
-    (string-typed fields: no type changes possible here)."""
+    """check_backward(old, new) flags exactly (a) added non-nullable cols
+    and (b) existing cols tightened nullable -> NOT NULL (string-typed
+    fields: no type changes possible here)."""
     problems = check_backward(_schema(old), _schema(new))
-    old_names = {n for n, _ in old}
-    expect = {n for n, nullable in new if n not in old_names and not nullable}
+    old_null = dict(old)
+    expect = {
+        n
+        for n, nullable in new
+        if (n not in old_null and not nullable)
+        or (n in old_null and old_null[n] and not nullable)
+    }
     flagged = {p.split(": ")[1] for p in problems}
     assert flagged == expect
 
