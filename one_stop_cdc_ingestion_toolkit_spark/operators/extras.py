@@ -139,6 +139,94 @@ def q59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q62_analytic_funcs",
+    """SELECT c_custkey,
+              FIRST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey
+                                           ORDER BY c_custkey) AS fv,
+              LAST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey
+                                          ORDER BY c_custkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS lv,
+              ROUND(PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                                         ORDER BY c_custkey), 6) AS pr
+       FROM customer ORDER BY c_custkey""",
+)
+def q62_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    c = tables(spark, sf_dir)["customer"]
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.first("c_custkey").over(w).alias("fv"),
+        F.last("c_custkey").over(w_full).alias("lv"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q63_except_all",
+    """SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
+       EXCEPT ALL SELECT s_suppkey FROM supplier
+       ORDER BY k""",
+)
+def q63_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tables(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_quantity") > 40).select(
+        F.col("l_suppkey").alias("k")
+    )
+    s = t["supplier"].select(F.col("s_suppkey").alias("k"))
+    return li.exceptAll(s).orderBy("k")
+
+
+@register(
+    "q64_median",
+    """SELECT l_returnflag,
+              ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS med,
+              ROUND(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q64_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark percentile == SQL
+    quantile_cont/percentile_cont definition)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)).cast("double"), 4).alias(
+                "med"
+            ),
+            F.round(F.percentile("l_quantity", F.lit(0.9)).cast("double"), 4).alias(
+                "p90"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q65_bool_aggs",
+    """SELECT o_orderstatus,
+              BOOL_AND(o_totalprice > 0) AS all_pos,
+              BOOL_OR(o_totalprice > 400000) AS any_big,
+              COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+)
+def q65_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_big"),
+            F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "q60_levenshtein",
     """SELECT p_partkey, levenshtein(p_brand, p_type) AS d,
               levenshtein(p_name, p_brand) AS dn

@@ -93,6 +93,54 @@ def test_stream_status_and_remove(spark, tmp_path):
     pipe.remove(drop_data=True)
 
 
+def test_multi_table_demux(spark, tmp_path):
+    """One change stream carrying two tables (the reference's
+    topic-per-table demux, A4): each table materializes independently,
+    and a mixed batch routes rows to the right merges."""
+    import pyspark.sql.types as T
+
+    order_schema = T.StructType(
+        [
+            T.StructField("order_id", T.LongType(), False),
+            T.StructField("amount", T.IntegerType(), True),
+        ]
+    )
+
+    def order_env(op, pos, before=None, after=None):
+        e = envelope(op, pos, before=before, after=after)
+        doc = json.loads(e["value"])
+        doc["source"]["table"] = "orders"
+        e["value"] = json.dumps(doc)
+        e["key"] = str(((after or before) or {}).get("order_id"))
+        return e
+
+    events = list(CANONICAL_EVENTS) + [
+        order_env("c", 1, after={"order_id": 1, "amount": 10}),
+        order_env("c", 2, after={"order_id": 2, "amount": 20}),
+        order_env("u", 3, before={"order_id": 1, "amount": 10},
+                  after={"order_id": 1, "amount": 15}),
+        order_env("d", 4, before={"order_id": 2, "amount": 20}),
+    ]
+    spec = PipelineSpec(
+        name="multi",
+        source_dir=str(tmp_path / "stream"),
+        tables=[
+            TableSpec("person", ["firstName"], PERSON_SCHEMA),
+            TableSpec("orders", ["order_id"], order_schema, n_buckets=4),
+        ],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    write_stream_files(spec.source_dir, events, files=2)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    assert _state(pipe.read_table("person")) == GOLDEN_STATE
+    orders = {r["order_id"]: r["amount"] for r in pipe.read_table("orders").collect()}
+    assert orders == {1: 15}
+    assert sorted(pipe.store.list_tables()) == ["orders", "person"]
+
+
 def test_pipeline_rejects_incompatible_evolution(spark, tmp_path):
     """Restarting a pipeline whose table schema added a NOT NULL column
     must fail the batch (BACKWARD gate inside the stream, A11)."""
