@@ -67,6 +67,27 @@ def test_agg_has_partial_phase(spark):
     assert "partial_" in physical_plan(q13_hash_agg_having(spark, SF_DIR))
 
 
+def test_no_accidental_cartesian_or_row_python_udf(spark):
+    """Sweep EVERY registered query's physical plan: no CartesianProduct
+    (outside the intentionally tiny cross joins) and no row-at-a-time
+    BatchEvalPython anywhere — Python only via Arrow (mapInPandas /
+    ArrowEvalPython). These are the two 100 TB plan killers."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators import load_all
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    # q10: region x region (25 rows) and q46: corpus x broadcast-queries
+    # are cross joins BY DESIGN, planned as BroadcastNestedLoopJoin.
+    allowed_cross = {"q10_cross_join", "q46_cosine_topk"}
+    offenders = []
+    for name, spec in sorted(load_all().items()):
+        plan = physical_plan(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan and name not in allowed_cross:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "row-at-a-time Python UDF"))
+    assert not offenders, offenders
+
+
 def test_compact_recovery_after_crash(spark, tmp_path):
     """A crash between the two swap renames leaves <path>._old; the next
     compact() must restore it before proceeding."""
