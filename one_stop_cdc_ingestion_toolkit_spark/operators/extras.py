@@ -132,6 +132,68 @@ def approx_quantiles(df: DataFrame, col: str, probs: list[float]) -> list[float]
     return df.approxQuantile(col, probs, 0.01)
 
 
+@register(
+    "q66_unpivot",
+    """SELECT p_partkey, metric, val FROM (
+         SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'retail', CAST(p_retailprice AS DOUBLE) FROM part
+       ) t
+       WHERE p_partkey <= 300 ORDER BY p_partkey, metric""",
+)
+def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via the native melt/unpivot operator — one
+    Expand node, a single scan, no self-union."""
+    p = tables(spark, sf_dir)["part"]
+    return (
+        p.filter(F.col("p_partkey") <= 300)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retail"),
+        )
+        .unpivot("p_partkey", ["size", "retail"], "metric", "val")
+        .orderBy("p_partkey", "metric")
+    )
+
+
+@register(
+    "q67_cohort_retention",
+    """WITH firsts AS (
+         SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort
+         FROM events GROUP BY user_id
+       ),
+       activity AS (
+         SELECT DISTINCT e.user_id, f.cohort,
+                datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS day_n
+         FROM events e JOIN firsts f ON e.user_id = f.user_id
+       )
+       SELECT cohort, day_n, COUNT(*) AS n_users
+       FROM activity WHERE day_n <= 7
+       GROUP BY cohort, day_n ORDER BY cohort, day_n""",
+)
+def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct active
+    users per day-offset. Two keyed shuffles (first-seen agg + the
+    distinct); the join broadcasts the cohort dim when small."""
+    ev = tables(spark, sf_dir)["events"]
+    day = F.timestamp_micros(F.expr("ts div 1000")).cast("date")
+    ev_d = ev.select("user_id", day.alias("day"))
+    firsts = ev_d.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    activity = (
+        ev_d.join(firsts, "user_id")
+        .select("user_id", "cohort", F.datediff("day", "cohort").alias("day_n"))
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_n") <= 7)
+        .groupBy("cohort", "day_n")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "day_n")
+    )
+
+
 @register("q59_approx_distinct", None)  # sketch values are engine-specific
 def q59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables(spark, sf_dir)["lineitem"]
