@@ -194,6 +194,32 @@ def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q68_geomean_udaf",
+    """SELECT lang, ROUND(EXP(AVG(LN(n_chars))), 4) AS gm
+       FROM documents WHERE n_chars > 0 GROUP BY lang ORDER BY lang""",
+)
+def q68_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean as a grouped-aggregate Pandas UDF — the UDAF shape
+    of the engine's Python surface (scalar pandas_udf and grouped-map
+    applyInPandas are shown elsewhere). Arrow-batched; partial
+    aggregation does NOT apply to pandas UDAFs, so at 100 TB favor the
+    algebraic identity exp(avg(ln x)) (the oracle text) which does."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v).mean()))
+
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(F.round(geomean("n_chars"), 4).alias("gm"))
+        .orderBy("lang")
+    )
+
+
 @register("q59_approx_distinct", None)  # sketch values are engine-specific
 def q59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables(spark, sf_dir)["lineitem"]

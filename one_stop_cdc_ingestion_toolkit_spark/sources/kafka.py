@@ -61,6 +61,31 @@ def kafka_reader(
     return reader
 
 
+def kafka_writer(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    client_options: dict[str, str] | None = None,
+):
+    """Configured (not started) Kafka re-publish sink (SURVEY §2.4): a
+    streaming DataFrame with string ``key``/``value`` columns written back
+    to a topic — the engine's analogue of the pipeline's topic outputs.
+    Same gating as the reader: no broker/jar in the test container."""
+    from one_stop_cdc_ingestion_toolkit_spark.config import resolve_options
+
+    writer = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    for k, v in resolve_options(client_options or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        writer = writer.option(key, v)
+    return writer
+
+
 def raw_records(df: DataFrame) -> DataFrame:
     """Kafka frame → the engine's raw (key,value) change-record shape
     (string key per the reference's StringConverter, A9)."""
