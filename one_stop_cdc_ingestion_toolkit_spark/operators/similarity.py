@@ -236,6 +236,108 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_N_CELLS = 16
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    v_id: str = "v_id",
+    v_vec: str = "v_vec",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its max-cosine
+    centroid (tie → lowest centroid id). Centroids broadcast; one window
+    on the vector id picks the argmax — the posting-list build is a
+    single scan + small shuffle at any corpus size."""
+    # hoist the norms out of the cross join: cosine recomputed per pair
+    # would fold each vector's self-dot-product N_CELLS times; the hoisted
+    # form is the same IEEE arithmetic (identical fold, then one divide).
+    vn = vectors.withColumn("__vn", norm(F.col(v_vec)))
+    cn = centroids.withColumn("__cn", norm(F.col("cent_vec")))
+    scored = vn.crossJoin(F.broadcast(cn)).withColumn(
+        "__cos",
+        dot(F.col(v_vec), F.col("cent_vec")) / (F.col("__vn") * F.col("__cn")),
+    )
+    w = W.partitionBy(v_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(v_id, v_vec, "cent_id")
+    )
+
+
+def ivf_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """IVF search with nprobe=1: query and corpus vectors are quantized to
+    cells; each query scans only its own cell's posting list. Recall < 1
+    by design (like the LSH variant); raise nprobe by unioning the next
+    nearest cells."""
+    cells = ivf_assign(
+        corpus_df.select(F.col("c_id").alias("v_id"), F.col("c_vec").alias("v_vec")),
+        centroids,
+    ).select(F.col("v_id").alias("c_id"), F.col("v_vec").alias("c_vec"), "cent_id")
+    q_cells = ivf_assign(
+        queries_df.select(F.col("q_id").alias("v_id"), F.col("q_vec").alias("v_vec")),
+        centroids,
+    ).select(F.col("v_id").alias("q_id"), F.col("v_vec").alias("q_vec"), "cent_id")
+    joined = cells.join(F.broadcast(q_cells), "cent_id").withColumn(
+        "__cos", cosine(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("c_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("__cos", 6).alias("sim"), "rn")
+    )
+
+
+@register(
+    "q69_ivf_topk",
+    f"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+                     FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, c.cent_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_duck_cos('v.embedding', 'c.cent_vec')} DESC,
+                            c.cent_id) AS rn
+          FROM embeddings v CROSS JOIN cent c
+        ),
+        cells AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, cent_id FROM cells
+              WHERE vec_id < 5),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS c_id,
+                 {_duck_cos('q.q_vec', 'c.embedding')} AS cos
+          FROM q JOIN cells c USING (cent_id)
+        ),
+        ranked AS (
+          SELECT q_id, c_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id, c_id, ROUND(cos, 6) AS sim, rn
+        FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
+)
+def q69_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (first N vectors as
+    centroids — a stand-in for k-means, which would not be
+    oracle-reproducible), nprobe=1 posting-list search."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return ivf_topk(qs, cs, centroids, 5).orderBy("q_id", "rn")
+
+
 @register(
     "q46_cosine_topk",
     f"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
