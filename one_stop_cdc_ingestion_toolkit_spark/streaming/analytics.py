@@ -85,3 +85,56 @@ def dedup_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """Stateful exact dedup by event_id with bounded state (watermark);
     batch twin: ``dropDuplicates`` / SELECT DISTINCT."""
     return watermarked(events, delay).dropDuplicates(["event_id"])
+
+
+def start_materialized_counts(
+    spark,
+    source_dir: str,
+    schema,
+    store,
+    table: str = "event_counts",
+    checkpoint_dir: str = "checkpoint/event_counts",
+    width: str = "1 hour",
+    delay: str = "10 minutes",
+):
+    """Incrementally-maintained materialized view: windowed counts kept
+    up to date in the table store as the stream advances.
+
+    Update-mode emits each (window, event_type) row whenever its
+    aggregate changes; ``foreachBatch`` upserts those rows into the
+    stored view (anti-join out the superseded keys, union the fresh
+    ones). State in the streaming agg is bounded by the watermark; the
+    stored view only ever rewrites the windows a batch touched — the
+    same partition-scoped discipline as the CDC merge.
+    """
+    ev = stream_of(spark, source_dir, schema).withColumn("ts_ev", event_time())
+    agg = (
+        ev.withWatermark("ts_ev", delay)
+        .groupBy(F.window("ts_ev", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "v")
+    )
+
+    def upsert(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        current = store.read(spark, table)
+        if current is None:
+            new = batch
+        else:
+            keys = ["w_start", "event_type"]
+            new = current.join(batch.select(*keys), keys, "left_anti").unionByName(
+                batch
+            )
+        store.write(new, table)
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"mv_{table}")
+        .start()
+    )
