@@ -77,6 +77,28 @@ def compact(
     return dir_stats(path)[0]
 
 
+def lakehouse_format_available(spark: SparkSession, fmt: str = "delta") -> bool:
+    """True when a lakehouse table format (delta/iceberg/hudi) is on the
+    classpath. None ship in this container — the CDC merge would become a
+    single ``MERGE INTO`` with one (`delta-spark` etc.) jar added."""
+    try:
+        spark.range(1).write.format(fmt).mode("overwrite").save(
+            "/tmp/__fmt_probe__"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def write_lakehouse(
+    df: DataFrame, path: str, fmt: str = "delta", mode: str = "append"
+) -> None:
+    """Write through a lakehouse format; callers should gate on
+    :func:`lakehouse_format_available`. Raises the underlying
+    data-source error when the format jar is absent."""
+    df.write.format(fmt).mode(mode).save(path)
+
+
 def recover(path: str) -> bool:
     """Restore a dataset left mid-swap by a crashed :func:`compact`:
     if ``<path>._old`` exists and ``path`` is missing, the first rename

@@ -41,6 +41,15 @@ def test_fake_decode_deterministic():
     assert 1 <= a["width"] <= 1920 and 1 <= a["height"] <= 1080
 
 
+def test_lakehouse_formats_gated(spark):
+    """No delta/iceberg/hudi jars in this container: availability probe
+    must return False (and not raise) so callers can branch to the
+    parquet TableStore path."""
+    from one_stop_cdc_ingestion_toolkit_spark.sinks import lakehouse_format_available
+
+    assert lakehouse_format_available(spark, "delta") is False
+
+
 def test_frame_sample_shape(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
