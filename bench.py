@@ -29,6 +29,12 @@ def main() -> None:
     # should hold ~128MB each (set SPARK_GRAFT_SHUFFLE explicitly); AQE
     # coalesces post-shuffle either way.
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+    # AQE's query-stage materialization adds ~0.1s of re-planning per
+    # shuffle stage — pure overhead when a whole shuffle is a few MB. At
+    # bench scale (<= sf0.1) turn it off; at real scale AQE is back on by
+    # default (session.py) where coalescing/skew-splitting pay for
+    # themselves. Override with SPARK_GRAFT_AQE=true to measure with AQE.
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
     spark = get_session("bench")
 
     queries = entry_mod.queries()

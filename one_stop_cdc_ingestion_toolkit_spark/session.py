@@ -36,12 +36,18 @@ def get_session(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+    # AQE is the right default for real data sizes (runtime coalescing,
+    # skew-join splitting). At sub-GB scale its extra query-stage
+    # materialization + re-planning rounds cost ~0.1s per shuffle stage and
+    # buy nothing, so the bench harness flips this off via env (see
+    # bench.py); production leaves it on.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
 
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
