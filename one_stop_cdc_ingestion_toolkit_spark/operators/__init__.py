@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         extras,
         multimodal,
         relational,
+        relational2,
         similarity,
         text,
     )
