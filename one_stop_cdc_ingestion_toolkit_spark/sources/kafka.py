@@ -26,6 +26,18 @@ def topic_pattern(prefix: str, db: str | None = None, table: str | None = None) 
     return r"\.".join(parts)
 
 
+def normalize_client_options(client_options: dict[str, str] | None) -> dict[str, str]:
+    """Resolve secret placeholders and apply the ``kafka.``-prefix rule the
+    Spark Kafka source expects (the reference's auth/config block A25,
+    `bin/mskc-connector.sh:410-431`, becomes these passthrough options)."""
+    from one_stop_cdc_ingestion_toolkit_spark.config import resolve_options
+
+    out = {}
+    for k, v in resolve_options(client_options or {}).items():
+        out[k if k.startswith("kafka.") else f"kafka.{k}"] = v
+    return out
+
+
 def kafka_reader(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -43,9 +55,6 @@ def kafka_reader(
     reference's IAM auth block (A25). ``max_offsets_per_trigger`` is the
     capacity knob (A14) bounding micro-batch size at scale.
     """
-    from one_stop_cdc_ingestion_toolkit_spark.config import resolve_options
-
-    client_options = resolve_options(client_options or {})
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -55,8 +64,7 @@ def kafka_reader(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    for k, v in client_options.items():
-        key = k if k.startswith("kafka.") else f"kafka.{k}"
+    for key, v in normalize_client_options(client_options).items():
         reader = reader.option(key, v)
     return reader
 
@@ -72,16 +80,13 @@ def kafka_writer(
     streaming DataFrame with string ``key``/``value`` columns written back
     to a topic — the engine's analogue of the pipeline's topic outputs.
     Same gating as the reader: no broker/jar in the test container."""
-    from one_stop_cdc_ingestion_toolkit_spark.config import resolve_options
-
     writer = (
         df.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint_dir)
     )
-    for k, v in resolve_options(client_options or {}).items():
-        key = k if k.startswith("kafka.") else f"kafka.{k}"
+    for key, v in normalize_client_options(client_options).items():
         writer = writer.option(key, v)
     return writer
 

@@ -1,0 +1,108 @@
+"""CLI verb coverage: the reference's operational surface end-to-end
+(`/root/reference/bin/osci.sh:193-269` dispatch → osci-spark verbs).
+
+Drives quickstart (A29 composite), registry listing (A19), status (A16),
+show-table/sql inspection (A20/A30), regex table removal (A18), and
+remove-pipeline cascade (A17) through ``cli.main`` with a file-source
+change stream over the person fixture.
+"""
+
+from __future__ import annotations
+
+import json
+
+from one_stop_cdc_ingestion_toolkit_spark.cli import main
+from one_stop_cdc_ingestion_toolkit_spark.registry import spec_to_json
+from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
+    PipelineSpec,
+    TableSpec,
+)
+from tests.cdc_fixtures import (
+    CANONICAL_EVENTS,
+    GOLDEN_STATE,
+    PERSON_SCHEMA,
+    write_stream_files,
+)
+
+
+def _setup(tmp_path):
+    spec = PipelineSpec(
+        name="p1",
+        source_dir=str(tmp_path / "stream"),
+        tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=2)
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec_to_json(spec)))
+    registry = str(tmp_path / "pipelines.json")
+    return spec, str(spec_file), registry
+
+
+def test_cli_quickstart_inspect_remove(spark, tmp_path, capsys):
+    spec, spec_file, registry = _setup(tmp_path)
+
+    assert main(["--registry", registry, "quickstart", spec_file]) == 0
+    out = capsys.readouterr().out
+    assert "p1" in out and "person" in out
+
+    assert main(["--registry", registry, "list-pipelines"]) == 0
+    assert capsys.readouterr().out.strip() == "p1"
+
+    assert main(["--registry", registry, "pipeline-status", "p1"]) == 0
+    status = json.loads(capsys.readouterr().out)
+    assert status["pipeline"] == "p1" if "pipeline" in status else status
+
+    assert main(["--registry", registry, "list-tables", spec.sink_dir]) == 0
+    assert capsys.readouterr().out.strip() == "person"
+
+    # A20 console-consumer analogue: golden row visible, tombstones hidden
+    assert main(["--registry", registry, "show-table", spec.sink_dir, "person"]) == 0
+    out = capsys.readouterr().out
+    for key in GOLDEN_STATE:
+        assert key in out
+
+    # A30 exec escape hatch: SQL over the materialized lake
+    assert (
+        main(
+            [
+                "--registry",
+                registry,
+                "sql",
+                spec.sink_dir,
+                "SELECT COUNT(*) AS n FROM person",
+            ]
+        )
+        == 0
+    )
+    assert str(len(GOLDEN_STATE)) in capsys.readouterr().out
+
+    # unknown table / unknown pipeline are clean failures, not tracebacks
+    assert main(["--registry", registry, "show-table", spec.sink_dir, "nope"]) == 1
+    assert main(["--registry", registry, "pipeline-status", "ghost"]) == 1
+    capsys.readouterr()
+
+    # A17 cascade removal deregisters and drops data
+    assert (
+        main(["--registry", registry, "remove-pipeline", "p1", "--drop-data"]) == 0
+    )
+    capsys.readouterr()
+    assert main(["--registry", registry, "list-pipelines"]) == 0
+    assert capsys.readouterr().out.strip() == ""
+    assert main(["--registry", registry, "list-tables", spec.sink_dir]) == 0
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_setup_start_drain_and_remove_tables(spark, tmp_path, capsys):
+    spec, spec_file, registry = _setup(tmp_path)
+
+    assert main(["--registry", registry, "setup-pipeline", spec_file]) == 0
+    assert main(["--registry", registry, "start-pipeline", "p1", "--drain"]) == 0
+    capsys.readouterr()
+
+    # A18: regex-scoped table removal (reference deletes topics by regex)
+    assert main(["--registry", registry, "remove-tables", spec.sink_dir, "pers.*"]) == 0
+    assert "dropped person" in capsys.readouterr().out
+    assert main(["--registry", registry, "list-tables", spec.sink_dir]) == 0
+    assert capsys.readouterr().out.strip() == ""
