@@ -305,7 +305,8 @@ def q44_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                          ELSE 0 END) AS fp
          FROM votes GROUP BY doc_id
        )
-       SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+       SELECT CAST(fp AS BIGINT) AS fp, COUNT(*) AS n,
+              CAST(MIN(doc_id) AS BIGINT) AS keeper
        FROM fp GROUP BY fp ORDER BY fp""",
 )
 def q45_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,10 +23,10 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import register
     """SELECT l_returnflag,
               COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt,
               COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
-              SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                FILTER (WHERE l_linestatus = 'F') AS f_qty,
-              SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                FILTER (WHERE l_linestatus = 'O') AS o_qty
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f_qty,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
 def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,8 +46,8 @@ def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("F_cnt").alias("f_cnt"),
         F.col("O_cnt").alias("o_cnt"),
-        F.col("F_qty").alias("f_qty"),
-        F.col("O_qty").alias("o_qty"),
+        F.col("F_qty").cast("double").alias("f_qty"),
+        F.col("O_qty").cast("double").alias("o_qty"),
     ).orderBy("l_returnflag")
 
 

@@ -277,17 +277,21 @@ def q12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q13_hash_agg_having",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        HAVING COUNT(*) > 10 ORDER BY l_returnflag, l_linestatus""",
 )
 def q13_hash_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL sum keeps the aggregate order-independent; the final DOUBLE
+    cast (mirrored in the oracle) removes DECIMAL-precision rendering
+    ambiguity between engines (r1 driver hash divergence: Spark
+    DECIMAL(28,2) vs DuckDB DECIMAL(38,2))."""
     li = tables(spark, sf_dir)["lineitem"]
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sq"),
         )
         .filter(F.col("n") > 10)
         .orderBy("l_returnflag", "l_linestatus")
@@ -359,7 +363,7 @@ def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_rollup",
     """SELECT l_returnflag, l_linestatus,
-              SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
 )
@@ -367,7 +371,7 @@ def q18_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables(spark, sf_dir)["lineitem"]
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("s"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("s"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
             F.col("l_linestatus").asc_nulls_first(),
@@ -560,15 +564,18 @@ def q26_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q27_topk",
-    """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p
        FROM orders ORDER BY p DESC, o_orderkey LIMIT 10""",
 )
 def q27_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k: Catalyst plans TakeOrderedAndProject — per-partition heap of
-    10, no global sort."""
+    10, no global sort. DOUBLE output type (both sides) per the
+    no-DECIMAL-in-results hygiene rule."""
     o = tables(spark, sf_dir)["orders"]
     return (
-        o.select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("p"))
+        o.select(
+            "o_orderkey", F.col("o_totalprice").cast(DEC).cast("double").alias("p")
+        )
         .orderBy(F.col("p").desc(), "o_orderkey")
         .limit(10)
     )
@@ -856,7 +863,7 @@ def q41_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q53_tumbling_window",
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
-              COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS v
+              COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
 )
 def q53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,7 +876,11 @@ def q53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = tables(spark, sf_dir)["events"]
-    return tumbling_counts(ev, "1 hour").orderBy("w_start", "event_type")
+    return (
+        tumbling_counts(ev, "1 hour")
+        .withColumn("v", F.col("v").cast("double"))
+        .orderBy("w_start", "event_type")
+    )
 
 
 @register(

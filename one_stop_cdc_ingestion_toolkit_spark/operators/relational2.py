@@ -90,7 +90,7 @@ def q70_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT o_custkey, o_orderkey,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderkey
-                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS rsum
+                RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
        FROM orders ORDER BY o_custkey, o_orderkey""",
 )
 def q71_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,7 +101,7 @@ def q71_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec("o_totalprice")).over(w).cast("decimal(18,2)").alias("rsum"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("rsum"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
@@ -159,7 +159,7 @@ def q73_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q74_month_rollup",
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
               COUNT(*) AS n,
-              SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
        FROM orders GROUP BY 1 ORDER BY mon""",
 )
 def q74_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,7 +171,7 @@ def q74_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.trunc("o_orderdate", "mon").alias("mon"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("o_totalprice")).alias("s"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("s"),
         )
         .orderBy("mon")
     )
@@ -180,8 +180,8 @@ def q74_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q75_late_ship",
     """SELECT o_orderpriority,
-              SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
-                       THEN 1 ELSE 0 END) AS late_cnt,
+              CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                       THEN 1 ELSE 0 END) AS BIGINT) AS late_cnt,
               COUNT(*) AS n
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -297,7 +297,7 @@ def q78_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q79_salted_join_parity",
     """SELECT s_nationkey, COUNT(*) AS n,
-              SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        GROUP BY s_nationkey ORDER BY s_nationkey""",
 )
@@ -317,7 +317,7 @@ def q79_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_quantity")).alias("sq"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sq"),
         )
         .orderBy("s_nationkey")
     )

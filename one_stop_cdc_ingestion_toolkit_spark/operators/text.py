@@ -84,20 +84,25 @@ def fingerprint(text: Column) -> Column:
 @register(
     "q47_token_stats",
     r"""SELECT lang, COUNT(*) AS n_docs,
-              SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens,
-              ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+              CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                AS n_tokens,
+              CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
        FROM documents GROUP BY lang ORDER BY lang""",
 )
 def q47_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit BIGINT cast on the token sum (DuckDB SUM(BIGINT) widens to
+    HUGEINT — r1 driver hash divergence) and a round-free exact-ratio avg:
+    one double division of identical integer operands is bit-equal across
+    engines, unlike ROUND(double, n) whose tie-handling may differ."""
     d = tables(spark, sf_dir)["documents"]
     return (
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens"),
-            F.round(
-                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
-            ).alias("avg_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "avg_chars"
+            ),
         )
         .orderBy("lang")
     )
@@ -182,7 +187,8 @@ def q50_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q51_json_extract",
     """SELECT event_type,
-              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
               COUNT(json_extract_string(props, '$.k')) AS n_k
        FROM events GROUP BY event_type ORDER BY event_type""",
 )

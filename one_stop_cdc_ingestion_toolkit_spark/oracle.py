@@ -14,7 +14,13 @@ import hashlib
 import math
 
 
-def norm_cell(v: object) -> str:
+def norm_cell(v: object, side: str = "spark") -> str:
+    """Driver-faithful cell rendering (r1 forensics): the driver's compare
+    keeps Spark DECIMAL as ``decimal.Decimal`` (scale-preserving str,
+    '126074.00') but DuckDB DECIMAL/HUGEINT collapse to float64
+    ('126074.0'). Emulating that asymmetry here means a query whose output
+    types are ambiguous fails locally exactly as it would at the driver;
+    tests/test_output_types.py bans such types outright."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -24,7 +30,7 @@ def norm_cell(v: object) -> str:
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return repr(float(v)) if v != v.to_integral_value() else str(int(v))
+        return str(v) if side == "spark" else repr(float(v))
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -32,13 +38,13 @@ def norm_cell(v: object) -> str:
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
+def table_hash(cols: list[str], rows: list[tuple], side: str = "spark") -> str:
     """Order-insensitive: row strings are sorted before hashing, so a
     query whose ORDER BY is only a partial order cannot flake on
     tie-ordering differences between engines."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
-        "|".join(norm_cell(row[i]) for i in order) for row in rows
+        "|".join(norm_cell(row[i], side) for i in order) for row in rows
     )
     h = hashlib.md5()
     for line in lines:
@@ -62,14 +68,14 @@ def compare(
         problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
     if problems:
         return problems
-    if table_hash(scols, srows) != table_hash(dcols, drows):
+    if table_hash(scols, srows, "spark") != table_hash(dcols, drows, "duck"):
         problems.append("value hash mismatch")
         order_s = sorted(range(len(scols)), key=lambda i: scols[i])
         order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
         shown = 0
         for i, (sr, dr) in enumerate(zip(srows, drows)):
-            sn = [norm_cell(sr[j]) for j in order_s]
-            dn = [norm_cell(dr[j]) for j in order_d]
+            sn = [norm_cell(sr[j], "spark") for j in order_s]
+            dn = [norm_cell(dr[j], "duck") for j in order_d]
             if sn != dn:
                 problems.append(f"row {i}: spark={sn} duck={dn}")
                 shown += 1
