@@ -283,7 +283,7 @@ def q44_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q45_simhash_buckets",
+    "b45_simhash_buckets",
     """WITH words AS (
          SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS w
          FROM documents
@@ -309,6 +309,6 @@ def q44_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(MIN(doc_id) AS BIGINT) AS keeper
        FROM fp GROUP BY fp ORDER BY fp""",
 )
-def q45_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b45_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     return simhash_dedup(d, "doc_id", "text").orderBy("fp")

@@ -19,7 +19,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import register
 
 
 @register(
-    "q56_pivot",
+    "b56_pivot",
     """SELECT l_returnflag,
               COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_cnt,
               COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_cnt,
@@ -29,7 +29,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import register
                 FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o_qty
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
-def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot on l_linestatus. Spark's pivot with an explicit value list is
     a single-pass conditional aggregation — same plan the FILTER-clause
     oracle describes; no extra shuffle versus a plain groupBy."""
@@ -52,14 +52,14 @@ def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q57_date_arith",
+    "b57_date_arith",
     """SELECT o_orderkey,
               CAST(o_orderdate AS DATE) + 30 AS due,
               CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS reminded,
               EXTRACT(DOW FROM o_orderdate) AS dow
        FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""",
 )
-def q57_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b57_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date arithmetic. DOW normalized: Spark dayofweek is 1=Sunday,
     DuckDB EXTRACT(DOW) is 0=Sunday — subtract 1 on the Spark side."""
     o = tables(spark, sf_dir)["orders"]
@@ -78,13 +78,13 @@ def q57_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q58_zscore_pandas",
+    "b58_zscore_pandas",
     """SELECT doc_id,
               ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY lang))
                     / STDDEV_SAMP(n_chars) OVER (PARTITION BY lang), 4) AS z
        FROM documents ORDER BY doc_id""",
 )
-def q58_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b58_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language doc-length z-scores via applyInPandas (grouped-map
     Pandas UDF — the Arrow batch path for per-group logic Spark lacks;
     here checkable because z-scores are SQL-expressible too).
@@ -133,7 +133,7 @@ def approx_quantiles(df: DataFrame, col: str, probs: list[float]) -> list[float]
 
 
 @register(
-    "q66_unpivot",
+    "b66_unpivot",
     """SELECT p_partkey, metric, val FROM (
          SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
          FROM part
@@ -142,7 +142,7 @@ def approx_quantiles(df: DataFrame, col: str, probs: list[float]) -> list[float]
        ) t
        WHERE p_partkey <= 300 ORDER BY p_partkey, metric""",
 )
-def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (wide → long) via the native melt/unpivot operator — one
     Expand node, a single scan, no self-union."""
     p = tables(spark, sf_dir)["part"]
@@ -159,7 +159,7 @@ def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q67_cohort_retention",
+    "b67_cohort_retention",
     """WITH firsts AS (
          SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort
          FROM events GROUP BY user_id
@@ -173,7 +173,7 @@ def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM activity WHERE day_n <= 7
        GROUP BY cohort, day_n ORDER BY cohort, day_n""",
 )
-def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, distinct active
     users per day-offset. Two keyed shuffles (first-seen agg + the
     distinct); the join broadcasts the cohort dim when small."""
@@ -195,11 +195,11 @@ def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q68_geomean_udaf",
+    "b68_geomean_udaf",
     """SELECT lang, ROUND(EXP(AVG(LN(n_chars))), 4) AS gm
        FROM documents WHERE n_chars > 0 GROUP BY lang ORDER BY lang""",
 )
-def q68_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b68_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric mean as a grouped-aggregate Pandas UDF — the UDAF shape
     of the engine's Python surface (scalar pandas_udf and grouped-map
     applyInPandas are shown elsewhere). Arrow-batched; partial
@@ -220,14 +220,14 @@ def q68_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q59_approx_distinct", None)  # sketch values are engine-specific
-def q59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("b59_approx_distinct", None)  # sketch values are engine-specific
+def b59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables(spark, sf_dir)["lineitem"]
     return approx_distinct_stats(li, "l_partkey")
 
 
 @register(
-    "q62_analytic_funcs",
+    "b62_analytic_funcs",
     """SELECT c_custkey,
               FIRST_VALUE(c_custkey) OVER (PARTITION BY c_nationkey
                                            ORDER BY c_custkey) AS fv,
@@ -239,7 +239,7 @@ def q59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY c_custkey), 6) AS pr
        FROM customer ORDER BY c_custkey""",
 )
-def q62_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b62_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     c = tables(spark, sf_dir)["customer"]
@@ -254,12 +254,12 @@ def q62_analytic_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q63_except_all",
+    "b63_except_all",
     """SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 40
        EXCEPT ALL SELECT s_suppkey FROM supplier
        ORDER BY k""",
 )
-def q63_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b63_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     li = t["lineitem"].filter(F.col("l_quantity") > 40).select(
         F.col("l_suppkey").alias("k")
@@ -269,13 +269,13 @@ def q63_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q64_median",
+    "b64_median",
     """SELECT l_returnflag,
               ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS med,
               ROUND(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 )
-def q64_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b64_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles (Spark percentile == SQL
     quantile_cont/percentile_cont definition)."""
     li = tables(spark, sf_dir)["lineitem"]
@@ -294,14 +294,14 @@ def q64_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q65_bool_aggs",
+    "b65_bool_aggs",
     """SELECT o_orderstatus,
               BOOL_AND(o_totalprice > 0) AS all_pos,
               BOOL_OR(o_totalprice > 400000) AS any_big,
               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 )
-def q65_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b65_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tables(spark, sf_dir)["orders"]
     return (
         o.groupBy("o_orderstatus")
@@ -315,12 +315,12 @@ def q65_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q60_levenshtein",
+    "b60_levenshtein",
     """SELECT p_partkey, levenshtein(p_brand, p_type) AS d,
               levenshtein(p_name, p_brand) AS dn
        FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""",
 )
-def q60_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b60_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance (fuzzy matching primitive for entity dedup)."""
     p = tables(spark, sf_dir)["part"]
     return (
@@ -335,13 +335,13 @@ def q60_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q61_array_stats",
+    "b61_array_stats",
     """SELECT vec_id, len(embedding) AS n,
               ROUND(CAST(list_max(embedding) AS DOUBLE), 5) AS mx,
               ROUND(CAST(list_min(embedding) AS DOUBLE), 5) AS mn
        FROM embeddings ORDER BY vec_id""",
 )
-def q61_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b61_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-column primitives over the embedding fixture."""
     e = tables(spark, sf_dir)["embeddings"]
     return e.select(

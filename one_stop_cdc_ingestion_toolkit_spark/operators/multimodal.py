@@ -98,11 +98,11 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10
 
 
 @register(
-    "q52_blob_metadata",
+    "b52_blob_metadata",
     """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest
        FROM documents ORDER BY doc_id""",
 )
-def q52_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b52_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary plumbing proof over the documents fixture: treat utf-8 text
     bytes as an opaque payload, extract metadata via the Arrow batch path."""
     d = tables(spark, sf_dir)["documents"]

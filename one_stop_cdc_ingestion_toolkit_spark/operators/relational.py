@@ -275,13 +275,13 @@ def q12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q13_hash_agg_having",
+    "b13_hash_agg_having",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        HAVING COUNT(*) > 10 ORDER BY l_returnflag, l_linestatus""",
 )
-def q13_hash_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b13_hash_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DECIMAL sum keeps the aggregate order-independent; the final DOUBLE
     cast (mirrored in the oracle) removes DECIMAL-precision rendering
     ambiguity between engines (r1 driver hash divergence: Spark
@@ -861,12 +861,12 @@ def q41_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q53_tumbling_window",
+    "b53_tumbling_window",
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
               COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
 )
-def q53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming tumbling-window aggregation
     (streaming/analytics.tumbling_counts; equivalence tested in
     tests/test_streaming_analytics.py). DECIMAL sum keeps the aggregate

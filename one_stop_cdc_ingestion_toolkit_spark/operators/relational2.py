@@ -34,7 +34,7 @@ def _dec(col: str) -> F.Column:
 
 
 @register(
-    "q70_stats_moments",
+    "b70_stats_moments",
     """SELECT l_returnflag, n,
               ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
               ROUND((n * sxy - sx * sy) /
@@ -53,7 +53,7 @@ def _dec(col: str) -> F.Column:
          FROM lineitem GROUP BY l_returnflag) t
        ORDER BY l_returnflag""",
 )
-def q70_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b70_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample stddev + Pearson correlation from exact decimal sums.
 
     Deliberately NOT Spark's ``stddev``/``corr``: their partial-aggregate
@@ -86,14 +86,14 @@ def q70_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q71_range_frame",
+    "b71_range_frame",
     """SELECT o_custkey, o_orderkey,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderkey
                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rsum
        FROM orders ORDER BY o_custkey, o_orderkey""",
 )
-def q71_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b71_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE (value-based) window frame over the order-key domain —
     complements the ROWS frame of q24. One shuffle on o_custkey."""
     o = tables(spark, sf_dir)["orders"]
@@ -106,14 +106,14 @@ def q71_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q72_grouping_id",
+    "b72_grouping_id",
     """SELECT o_orderstatus, o_orderpriority,
               GROUPING(o_orderstatus) AS gs, GROUPING(o_orderpriority) AS gp,
               COUNT(*) AS n
        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
        ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
 )
-def q72_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b72_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE with GROUPING() markers distinguishing 'NULL because rolled
     up' from a genuine NULL group key (q19 without the markers)."""
     o = tables(spark, sf_dir)["orders"]
@@ -135,14 +135,14 @@ def q72_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q73_regexp_funcs",
+    "b73_regexp_funcs",
     """SELECT p_partkey,
               regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
               LENGTH(regexp_replace(p_type, '[^0-9]', '', 'g')) AS n_digits,
               CAST(regexp_matches(p_type, '(BRASS|STEEL|COPPER)') AS INT) AS has_metal
        FROM part ORDER BY p_partkey""",
 )
-def q73_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b73_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp extract/replace/match. Dialects differ only in spelling
     (DuckDB needs the 'g' flag and regexp_matches); values are identical.
     All three stay in whole-stage codegen — no UDF."""
@@ -156,13 +156,13 @@ def q73_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q74_month_rollup",
+    "b74_month_rollup",
     """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
               COUNT(*) AS n,
               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
        FROM orders GROUP BY 1 ORDER BY mon""",
 )
-def q74_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b74_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-month rollup — the partition granularity a 100 TB lake
     table would use ((db, table, month) per SURVEY §4.4), so this agg is
     partition-pruned there; here it is a single shuffle on the month."""
@@ -178,7 +178,7 @@ def q74_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q75_late_ship",
+    "b75_late_ship",
     """SELECT o_orderpriority,
               CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
                        THEN 1 ELSE 0 END) AS BIGINT) AS late_cnt,
@@ -186,7 +186,7 @@ def q74_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 )
-def q75_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b75_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape on the fixture schema: fact-fact equi-join with
     conditional counts. Shuffle on the join key, partial aggs both
     sides of the final group-by; integer outputs are exact."""
@@ -210,7 +210,7 @@ def q75_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q76_promo_share",
+    "b76_promo_share",
     """SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
                      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
                           (1 - CAST(l_discount AS DECIMAL(18,2)))
@@ -220,7 +220,7 @@ def q75_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
                    6) AS promo_pct
        FROM lineitem JOIN part ON l_partkey = p_partkey""",
 )
-def q76_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b76_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: revenue share of PROMO parts. Exact decimal
     revenue sums; the single double division on top is order-free.
     `part` broadcasts (dimension side), so the only shuffle is the
@@ -243,7 +243,7 @@ def q76_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q77_first_last_nth",
+    "b77_first_last_nth",
     """SELECT o_custkey, o_orderkey,
               FIRST_VALUE(o_orderkey) OVER w AS first_k,
               LAST_VALUE(o_orderkey) OVER
@@ -256,7 +256,7 @@ def q76_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
        ORDER BY o_custkey, o_orderkey""",
 )
-def q77_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b77_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth_value analytics; the unbounded frame makes last/nth
     deterministic under the total (date, key) order. One shuffle, all
     three windows share the same sort."""
@@ -273,7 +273,7 @@ def q77_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q78_posexplode_words",
+    "b78_posexplode_words",
     """SELECT p_partkey, u.pos, u.word FROM (
          SELECT p_partkey,
                 unnest(list_transform(generate_series(1, len(l)),
@@ -281,7 +281,7 @@ def q77_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
          FROM (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part) s) t
        ORDER BY p_partkey, u.pos""",
 )
-def q78_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b78_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-valued positional explode (the UDTF surface of SURVEY §2.3,
     as a built-in generator — no Python). DuckDB spells it
     unnest+list_transform; values are identical."""
@@ -295,13 +295,13 @@ def q78_posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q79_salted_join_parity",
+    "b79_salted_join_parity",
     """SELECT s_nationkey, COUNT(*) AS n,
               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        GROUP BY s_nationkey ORDER BY s_nationkey""",
 )
-def q79_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b79_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted skew-join path, oracle-checked against the plain join:
     lineitem's hot supplier keys are scattered across 8 salt buckets and
     the supplier dimension is replicated 8x — results must be (and are)

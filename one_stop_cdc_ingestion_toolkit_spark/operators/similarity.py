@@ -163,7 +163,7 @@ def _duck_signature(vec: str = "embedding", n_planes: int = LSH_PLANES) -> str:
 
 
 @register(
-    "q54_ann_lsh_topk",
+    "b54_ann_lsh_topk",
     f"""WITH sig AS (
           SELECT vec_id, embedding, {_duck_signature()} AS s
           FROM embeddings
@@ -183,7 +183,7 @@ def _duck_signature(vec: str = "embedding", n_planes: int = LSH_PLANES) -> str:
         SELECT q_id, c_id, ROUND(cos, 6) AS sim, rn
         FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
 )
-def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN path: top-5 within the query's LSH sign-bucket only (recall<1 by
     design; the all-pairs join never happens — shuffle key is the bucket)."""
     emb = tables(spark, sf_dir)["embeddings"]
@@ -195,7 +195,7 @@ def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q55_embedding_neardup",
+    "b55_embedding_neardup",
     f"""WITH sig AS (
           SELECT vec_id, embedding, {_duck_signature()} AS s
           FROM embeddings
@@ -208,7 +208,7 @@ def q54_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id_a, id_b, ROUND(cos, 6) AS sim
         FROM pairs WHERE cos >= 0.3 ORDER BY id_a, id_b""",
 )
-def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed so the pair
     space is per-bucket, never all-pairs (the dedup-by-embedding scale
     path for a 100 TB corpus). Threshold 0.3 is calibrated to the random
@@ -296,7 +296,7 @@ def ivf_topk(
 
 
 @register(
-    "q69_ivf_topk",
+    "b69_ivf_topk",
     f"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
                      FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
         assigned AS (
@@ -323,7 +323,7 @@ def ivf_topk(
         SELECT q_id, c_id, ROUND(cos, 6) AS sim, rn
         FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
 )
-def q69_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b69_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic coarse quantizer (first N vectors as
     centroids — a stand-in for k-means, which would not be
     oracle-reproducible), nprobe=1 posting-list search."""

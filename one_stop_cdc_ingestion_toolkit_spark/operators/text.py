@@ -82,14 +82,14 @@ def fingerprint(text: Column) -> Column:
 
 
 @register(
-    "q47_token_stats",
+    "b47_token_stats",
     r"""SELECT lang, COUNT(*) AS n_docs,
               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
                 AS n_tokens,
               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
        FROM documents GROUP BY lang ORDER BY lang""",
 )
-def q47_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b47_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit BIGINT cast on the token sum (DuckDB SUM(BIGINT) widens to
     HUGEINT — r1 driver hash divergence) and a round-free exact-ratio avg:
     one double division of identical integer operands is bit-equal across
@@ -185,14 +185,14 @@ def q50_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q51_json_extract",
+    "b51_json_extract",
     """SELECT event_type,
               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
               COUNT(json_extract_string(props, '$.k')) AS n_k
        FROM events GROUP BY event_type ORDER BY event_type""",
 )
-def q51_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def b51_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props string column (SURVEY §2.3 —
     dialect-pair test: Spark get_json_object vs DuckDB json_extract_string)."""
     ev = tables(spark, sf_dir)["events"]

@@ -60,11 +60,11 @@ def test_agg_has_partial_phase(spark):
     """groupBy aggregates must do map-side partial aggregation (shuffle
     carries partial states, not raw rows)."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.relational import (
-        q13_hash_agg_having,
+        b13_hash_agg_having,
     )
     from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
 
-    assert "partial_" in physical_plan(q13_hash_agg_having(spark, SF_DIR))
+    assert "partial_" in physical_plan(b13_hash_agg_having(spark, SF_DIR))
 
 
 def test_no_accidental_cartesian_or_row_python_udf(spark):
