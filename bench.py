@@ -17,6 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches  # noqa: E402
 from one_stop_cdc_ingestion_toolkit_spark.session import get_session  # noqa: E402
 
 
@@ -49,7 +50,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         # operators that persist() self-join intermediates would otherwise
         # accumulate cached partitions across the whole run
-        spark.catalog.clearCache()
+        release_caches()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -27,6 +27,33 @@ class QuerySpec:
 #: Global registry, populated by operator modules at import time.
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: DataFrames persisted by operators during query construction. Operators
+#: that cache an intermediate (LSH bands, inverted indexes, signatures)
+#: register it here so long-lived sessions (bench loops, the driver's
+#: 79-query sweep) can release storage memory between queries instead of
+#: accumulating cached blocks until executor eviction.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def track_cache(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with session-scoped bookkeeping (see release_caches)."""
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every tracked cache; returns how many were released.
+
+    Call between queries in sweep/bench loops. Blocking=False: eviction
+    proceeds asynchronously, the next query does not wait on it.
+    """
+    n = 0
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(blocking=False)
+        n += 1
+    return n
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 
 # MinHash configuration: 8 hash functions, 4 bands x 2 rows.
 # One md5 per shingle gives a 32-bit base hash h; hash i is the affine
@@ -107,11 +107,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("bands"),
         )
         .select("id", F.posexplode("bands").alias("band_idx", "band_sig"))
-        # persist: the self-join would otherwise recompute the whole
-        # shingle+signature pipeline for BOTH sides; bands is tiny
-        # (4 short rows per doc) at any corpus size.
-        .persist()
     )
+    # persist: the self-join would otherwise recompute the whole
+    # shingle+signature pipeline for BOTH sides; bands is tiny
+    # (4 short rows per doc) at any corpus size. Tracked so sweep loops
+    # can release it between queries (operators.release_caches).
+    bands = track_cache(bands)
     left = bands.select("band_idx", "band_sig", F.col("id").alias("id_a"))
     right = bands.select("band_idx", "band_sig", F.col("id").alias("id_b"))
     return (
@@ -122,24 +123,44 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
-) -> DataFrame:
-    """Exact Jaccard over word-shingle sets for pairs sharing >=1 shingle.
+#: Shingles appearing in more documents than this are dropped from the
+#: inverted index: they cannot distinguish near-duplicates (every doc
+#: shares stopword runs) and they bound pair generation — without a cap
+#: one df=10^6 shingle yields 10^12 candidate pairs; with it the join is
+#: O(sum over kept shingles of df^2) <= DF_CAP * total_postings.
+NGRAM_DF_CAP = 1000
 
-    Inverted-index join: explode distinct shingles → shuffle on shingle →
-    pair counts → join per-doc set sizes → filter by threshold. Hot
-    shingles (stopword runs) are the skew risk at scale; AQE skew-join
-    splits them.
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Jaccard over capped word-shingle sets for pairs sharing >=1 shingle.
+
+    Inverted-index join: explode distinct shingles → drop shingles with
+    document frequency > ``df_cap`` (standard inverted-index practice;
+    see NGRAM_DF_CAP) → shuffle on shingle → pair counts → join per-doc
+    set sizes → filter by threshold. Jaccard is exact over the capped
+    shingle universe (sizes are computed AFTER the cap, mirrored in the
+    oracle SQL). Residual hot shingles under the cap are handled by AQE
+    skew-join splitting.
     """
-    sh = (
+    exploded = (
         df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
         .distinct()
-        # persist: referenced three times (sizes + both join sides); without
-        # it the shingle pipeline runs three times.
-        .persist()
     )
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    # persist: referenced three times (sizes + both join sides); without
+    # it the shingle pipeline runs three times. Tracked for release
+    # between queries (operators.release_caches). The df-cap join
+    # co-partitions with the self-join shuffle key (shingle).
+    sh = track_cache(exploded.join(rare, "shingle"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -257,12 +278,16 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
           FROM documents
         ),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id,
                  unnest(list_transform(generate_series(1, len(words) - {SHINGLE_K - 1}),
                         i -> array_to_string(words[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
           FROM w WHERE len(words) >= {SHINGLE_K}
         ),
+        rare AS (
+          SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common

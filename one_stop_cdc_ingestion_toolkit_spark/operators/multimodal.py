@@ -9,8 +9,20 @@ deterministic test double). What IS real and tested end-to-end:
 - the Arrow batch path: ``mapInPandas`` over binary columns, preserving
   partitioning, with a bounded batch size so a 100 TB blob scan never
   materializes more than one Arrow batch per task at a time,
-- deterministic metadata extraction (byte length + md5 digest), which is
-  oracle-checkable against DuckDB.
+- deterministic metadata extraction (byte length + md5 digest), computed
+  JVM-side with built-ins (``octet_length`` / ``md5`` — whole-stage
+  codegen, no Python round-trip), oracle-checkable against DuckDB.
+
+Split of responsibilities (round-2: the metadata path must never pay the
+Arrow→Python→Arrow round-trip over full payload bytes):
+
+- :func:`blob_metadata` — byte_len + digest, pure built-ins, codegen.
+- :func:`decode_blobs` — width/height/n_frames via ``mapInPandas``; the
+  ONLY place payload bytes enter Python, because a codec genuinely cannot
+  run JVM-side.
+- :func:`extract_blob_metadata` — both, one pass: JVM metadata columns
+  are computed before the decode stage and pass through the Arrow batch
+  untouched (column copies, no per-row Python work on them).
 
 At scale, blobs should live in parquet with a small row-group size (or as
 object-store pointers); the operators below only touch bytes inside the
@@ -53,33 +65,61 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
-def extract_blob_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
-    """(id, byte_len, digest, width, height, n_frames) via mapInPandas.
+def blob_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, byte_len, digest) computed entirely JVM-side.
 
-    One pass over executor-local Arrow batches; output is narrow metadata,
-    so the wide binary column is dropped before any shuffle.
+    ``octet_length`` + ``md5`` are codegen built-ins: the payload bytes
+    never cross into Python, which at 100 TB is the difference between a
+    pure scan-project stage and shipping every blob through Arrow.
     """
-    out_schema = (
-        f"{id_col} long, byte_len long, digest string, "
-        "width int, height int, n_frames int"
+    return df.select(
+        id_col,
+        F.octet_length(F.col(payload_col)).alias("byte_len"),
+        F.md5(F.col(payload_col)).alias("digest"),
     )
+
+
+def decode_blobs(df: DataFrame, id_col: str, payload_col: str, *passthrough: str) -> DataFrame:
+    """(id, *passthrough, width, height, n_frames) via ``mapInPandas``.
+
+    The decode trio is the only work done in Python (stubbed — see
+    module docstring); ``passthrough`` columns are copied into the output
+    batch without per-row Python compute.
+    """
+    pt_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in df.select(*passthrough).schema.fields
+    )
+    out_schema = f"{id_col} long{pt_schema}, width int, height int, n_frames int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf[payload_col]
-            meta = [fake_decode(b) for b in payloads]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "byte_len": [len(b) for b in payloads],
-                    "digest": [hashlib.md5(b).hexdigest() for b in payloads],
-                    "width": [m["width"] for m in meta],
-                    "height": [m["height"] for m in meta],
-                    "n_frames": [m["n_frames"] for m in meta],
-                }
-            )
+            meta = [fake_decode(b) for b in pdf[payload_col]]
+            out = {id_col: pdf[id_col].values}
+            for c in passthrough:
+                out[c] = pdf[c].values
+            out["width"] = [m["width"] for m in meta]
+            out["height"] = [m["height"] for m in meta]
+            out["n_frames"] = [m["n_frames"] for m in meta]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+    return df.select(id_col, *passthrough, payload_col).mapInPandas(batches, out_schema)
+
+
+def extract_blob_metadata(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """(id, byte_len, digest, width, height, n_frames) in one pass.
+
+    byte_len/digest are computed JVM-side *before* the decode stage and
+    ride through the Arrow batch as plain column copies; only the decode
+    trio costs Python time.
+    """
+    enriched = df.select(
+        id_col,
+        F.col(payload_col),
+        F.octet_length(F.col(payload_col)).alias("byte_len"),
+        F.md5(F.col(payload_col)).alias("digest"),
+    )
+    return decode_blobs(enriched, id_col, payload_col, "byte_len", "digest")
 
 
 def frame_sample(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10) -> DataFrame:
@@ -88,7 +128,7 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10
     The actual frame grab is behind the stubbed decoder; the Spark-side
     shape (explode → one row per frame, partitioning preserved) is real.
     """
-    meta = extract_blob_metadata(df, id_col, payload_col)
+    meta = decode_blobs(df, id_col, payload_col)
     return meta.select(
         id_col,
         F.explode(
@@ -104,8 +144,8 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10
 )
 def b52_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary plumbing proof over the documents fixture: treat utf-8 text
-    bytes as an opaque payload, extract metadata via the Arrow batch path."""
+    bytes as an opaque payload; the metadata path is pure codegen
+    (octet_length/md5 built-ins — no Python in this plan)."""
     d = tables(spark, sf_dir)["documents"]
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    meta = extract_blob_metadata(blobs, "doc_id", "payload")
-    return meta.select("doc_id", "byte_len", "digest").orderBy("doc_id")
+    return blob_metadata(blobs, "doc_id", "payload").orderBy("doc_id")

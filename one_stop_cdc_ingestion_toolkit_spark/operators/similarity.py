@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 
 EMB_DIM = 64
 LSH_PLANES = 8  # sign bits per signature
@@ -216,10 +216,11 @@ def b55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output paths are genuinely exercised; real corpora would use ~0.9."""
     emb = tables(spark, sf_dir)["embeddings"]
     # persist: the signature (512 md5-derived terms per row, interpreted
-    # HOFs) feeds both sides of the self-join.
-    sig = emb.select(
-        "vec_id", "embedding", lsh_signature(F.col("embedding")).alias("s")
-    ).persist()
+    # HOFs) feeds both sides of the self-join. Tracked for release between
+    # queries (operators.release_caches).
+    sig = track_cache(
+        emb.select("vec_id", "embedding", lsh_signature(F.col("embedding")).alias("s"))
+    )
     a = sig.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "s"
     )

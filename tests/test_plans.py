@@ -78,6 +78,10 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
     # q10: region x region (25 rows) and q46: corpus x broadcast-queries
     # are cross joins BY DESIGN, planned as BroadcastNestedLoopJoin.
     allowed_cross = {"q10_cross_join", "q46_cosine_topk"}
+    # Arrow-batched pandas stages are allowed ONLY where the semantics
+    # genuinely need Python (grouped-map zscore, pandas UDAF); everything
+    # else must stay in codegen — b52 regressed to mapInPandas in r1.
+    allowed_pandas = {"b58_zscore_pandas", "b68_geomean_udaf"}
     offenders = []
     for name, spec in sorted(load_all().items()):
         plan = physical_plan(spec.fn(spark, SF_DIR))
@@ -85,7 +89,33 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
             offenders.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan:
             offenders.append((name, "row-at-a-time Python UDF"))
+        if (
+            any(k in plan for k in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"))
+            and name not in allowed_pandas
+        ):
+            offenders.append((name, "pandas stage outside allowlist"))
     assert not offenders, offenders
+
+
+def test_persisting_operators_release_caches(spark):
+    """Operators that persist intermediates (LSH bands, inverted index,
+    embedding signatures) must register them with track_cache so sweep
+    loops can unpersist between queries — no cached RDDs may remain after
+    release_caches() (r1: persist() leaks accumulated storage memory
+    across a 79-query session)."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators import load_all, release_caches
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    reg = load_all()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    minhash_lsh_pairs(d, "doc_id", "text").count()
+    ngram_jaccard_pairs(d, "doc_id", "text").count()
+    reg["b55_embedding_neardup"].fn(spark, SF_DIR).count()
+    assert release_caches() >= 3
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
 def test_compact_recovery_after_crash(spark, tmp_path):

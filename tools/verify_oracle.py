@@ -18,6 +18,7 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from one_stop_cdc_ingestion_toolkit_spark.catalog import TABLES  # noqa: E402
+from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches  # noqa: E402
 from one_stop_cdc_ingestion_toolkit_spark.oracle import compare  # noqa: E402
 from one_stop_cdc_ingestion_toolkit_spark.session import get_session  # noqa: E402
 
@@ -47,6 +48,8 @@ def main() -> int:
             failed.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            release_caches()
         if name not in oracles:
             skipped += 1
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
