@@ -39,6 +39,9 @@ from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
     decode_json,
     flatten_changes,
 )
+from one_stop_cdc_ingestion_toolkit_spark.sources.schema_events import (
+    apply_schema_changes,
+)
 from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
 from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
     BucketedTableStore,
@@ -108,6 +111,10 @@ class Pipeline:
         self.schemas = SchemaStore(
             Path(spec.sink_dir) / "_schemas", spec.compatibility
         )
+        #: per-DDL-event outcomes (table, version|None, error|None) — the
+        #: engine's schema-history record (A6) alongside the store's
+        #: append-only version log.
+        self.schema_log: list[tuple[str | None, int | None, str | None]] = []
         self.query: StreamingQuery | None = None
 
     # -- batch core (also used directly by tests / backfills) -------------
@@ -121,8 +128,32 @@ class Pipeline:
         isEmpty + merge actions."""
         raw = raw.persist()
         try:
+            # A5: schema-change (DDL) events ride the same stream
+            # (``include.schema.changes=true``, the reference's
+            # bin/mskc-connector.sh:399). Debezium logs DDL BEFORE the data
+            # that uses the new schema, so register first — data later in
+            # this same batch then decodes with the evolved schema. DDL is
+            # rare; the collect is bounded by schema changes per batch,
+            # never data volume.
+            is_ddl = F.get_json_object(F.col("value"), "$.tableChanges").isNotNull()
+            ddl_events = [r[0] for r in raw.filter(is_ddl).select("value").collect()]
+            if ddl_events:
+                self.schema_log.extend(
+                    apply_schema_changes(self.schemas, ddl_events)
+                )
+            data = raw.filter(~is_ddl)
             for tspec in self.spec.tables:
-                decoded = decode_json(raw, tspec.row_schema)
+                # Effective row schema: when the declared schema is already
+                # a registered version, the stream may have evolved past it
+                # (DDL events above) — use the latest version. A declared
+                # schema NOT in the registry is a new user declaration
+                # (redeployed spec) and must itself pass the gate below.
+                versions = self.schemas.versions(tspec.name)
+                if versions and tspec.row_schema in versions:
+                    row_schema = versions[-1]
+                else:
+                    row_schema = tspec.row_schema
+                decoded = decode_json(data, row_schema)
                 if self.spec.database_include:
                     # database.include.list (A3): restrict captured schemas
                     decoded = decoded.filter(
@@ -133,8 +164,8 @@ class Pipeline:
                     if mine.isEmpty():
                         continue
                     # schema auto-registration + BACKWARD gate (A10/A11):
-                    # the envelope's after-image schema is the table's schema.
-                    self.schemas.register(tspec.name, tspec.row_schema)
+                    # no-op when row_schema is already the latest version.
+                    self.schemas.register(tspec.name, row_schema)
                     changes = flatten_changes(mine, tspec.key_cols)
                     if tspec.n_buckets:
                         self._apply_bucketed(tspec, changes)

@@ -70,6 +70,39 @@ GOLDEN_STATE = {
 }
 
 
+def schema_change_event(
+    columns: list[tuple[str, str, bool]],
+    db: str = DB,
+    table: str = TABLE,
+    ddl: str = "ALTER TABLE person ...",
+    change_type: str = "ALTER",
+) -> dict:
+    """One Debezium 2.x schema-change record (include.schema.changes=true):
+    ``columns`` is (name, mysql typeName, optional)."""
+    return {
+        "key": db,
+        "value": json.dumps(
+            {
+                "databaseName": db,
+                "ddl": ddl,
+                "tableChanges": [
+                    {
+                        "type": change_type,
+                        "id": f'"{db}"."{table}"',
+                        "table": {
+                            "primaryKeyColumnNames": ["firstName"],
+                            "columns": [
+                                {"name": n, "typeName": t, "optional": opt}
+                                for n, t, opt in columns
+                            ],
+                        },
+                    }
+                ],
+            }
+        ),
+    }
+
+
 def write_stream_files(path, events, files: int = 1) -> None:
     """Write events as JSON-lines files (the file-source change stream)."""
     import math
