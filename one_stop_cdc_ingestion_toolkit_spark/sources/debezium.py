@@ -128,6 +128,61 @@ def decode_avro(
     )
 
 
+def avro_to_json(
+    df: DataFrame,
+    schemas_by_id: dict[int, str],
+    value_col: str = "value",
+    confluent_wire_format: bool = True,
+) -> DataFrame:
+    """Executable no-jar Avro path: decode Confluent-wire-format Avro
+    values executor-side with the pure-Python codec (public Avro binary
+    spec — ``sources/avro_codec.py``) and re-emit the envelope as a JSON
+    string, re-entering the common :func:`decode_json` path.
+
+    ``schemas_by_id`` maps registry schema ids → writer schema JSON: the
+    engine's schema-id dispatch for the reference's Confluent SR setup
+    (``bin/mskc-connector.sh:449-459``). Unknown ids raise (a registry
+    miss is a pipeline config error, not skippable data).
+
+    Arrow-batched (mapInPandas); per-row work is bounded by envelope
+    size. Prefer :func:`decode_avro` (JVM, spark-avro) where the package
+    exists — gate with :func:`avro_available`.
+    """
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from one_stop_cdc_ingestion_toolkit_spark.sources import avro_codec
+
+    parsed = {sid: avro_codec.parse_schema(s) for sid, s in schemas_by_id.items()}
+    has_key = "key" in df.columns
+    out_schema = "key string, value string" if has_key else "value string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            values = []
+            for raw in pdf[value_col]:
+                body = bytes(raw)
+                if confluent_wire_format:
+                    if len(body) < 5 or body[0] != 0:
+                        raise ValueError("not Confluent wire format (magic != 0)")
+                    sid = int.from_bytes(body[1:5], "big")
+                    if sid not in parsed:
+                        raise KeyError(f"schema id {sid} not in registry map")
+                    schema, body = parsed[sid], body[5:]
+                else:
+                    schema = next(iter(parsed.values()))
+                values.append(_json.dumps(avro_codec.decode(schema, body)))
+            out = {"value": values}
+            if has_key:
+                out = {"key": pdf["key"].values, "value": values}
+            yield pd.DataFrame(out)
+
+    cols = (["key", value_col] if has_key else [value_col])
+    return df.select(*cols).mapInPandas(batches, out_schema)
+
+
 def flatten_changes(decoded: DataFrame, key_cols: list[str]) -> DataFrame:
     """Project an envelope stream to the merge-ready change shape:
 

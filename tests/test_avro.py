@@ -1,0 +1,158 @@
+"""Avro end-to-end without the spark-avro jar (VERDICT r1 gap #2):
+golden Confluent wire-format bytes → header strip → schema-id dispatch →
+pure-Python Avro decode → common JSON envelope path → CDC merge.
+
+The codec implements the public Avro binary spec
+(sources/avro_codec.py); the reference's serde contract is Debezium-Avro
+via a registry (/root/reference/bin/mskc-connector.sh:434-459).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from one_stop_cdc_ingestion_toolkit_spark.sources import avro_codec
+from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
+    avro_to_json,
+    decode_json,
+    flatten_changes,
+    strip_confluent_header,
+)
+from tests.cdc_fixtures import PERSON_SCHEMA
+
+#: Writer schema for the person envelope (Debezium 2.x shape, public).
+ROW_FIELDS = [
+    {"name": "firstName", "type": ["null", "string"]},
+    {"name": "lastName", "type": ["null", "string"]},
+    {"name": "age", "type": "int"},
+]
+ENVELOPE_SCHEMA_V1 = {
+    "type": "record",
+    "name": "Envelope",
+    "namespace": "cdc_test_db.person",
+    "fields": [
+        {"name": "before", "type": ["null", {"type": "record", "name": "Value", "fields": ROW_FIELDS}]},
+        {"name": "after", "type": ["null", "Value"]},
+        {"name": "op", "type": "string"},
+        {"name": "ts_ms", "type": "long"},
+        {
+            "name": "source",
+            "type": {
+                "type": "record",
+                "name": "Source",
+                "fields": [
+                    {"name": "db", "type": "string"},
+                    {"name": "table", "type": "string"},
+                    {"name": "pos", "type": "long"},
+                    {"name": "server_id", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+#: v2 adds a nullable email column (BACKWARD-compatible evolution).
+ENVELOPE_SCHEMA_V2 = json.loads(
+    json.dumps(ENVELOPE_SCHEMA_V1)
+    .replace("Envelope", "Envelope2")
+    .replace('"Value"', '"Value2"')
+    .replace(
+        '{"name": "age", "type": "int"}',
+        '{"name": "age", "type": "int"}, {"name": "email", "type": ["null", "string"], "default": null}',
+    )
+)
+
+
+def envelope_value(op, pos, before=None, after=None, email_field=False):
+    return {
+        "before": before,
+        "after": after,
+        "op": op,
+        "ts_ms": 1_700_000_000_000 + pos,
+        "source": {"db": "cdc_test_db", "table": "person", "pos": pos, "server_id": 1},
+    }
+
+
+def wire(schema_id: int, schema: dict, value: dict) -> bytes:
+    """Confluent wire format: magic 0x0 + int32 BE schema id + Avro body."""
+    return b"\x00" + schema_id.to_bytes(4, "big") + avro_codec.encode(schema, value)
+
+
+def test_codec_roundtrip_scalar_types():
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": {"type": "enum", "name": "E", "symbols": ["A", "B"]}},
+        ],
+    }
+    value = {
+        "b": True, "i": -42, "l": 2**40, "f": 0.5, "d": -1.25,
+        "s": "héllo", "by": b"\x00\x01\xff", "n": None,
+        "arr": [1, -2, 300], "m": {"k1": "v1", "k2": "v2"}, "e": "B",
+    }
+    assert avro_codec.decode(schema, avro_codec.encode(schema, value)) == value
+
+
+def test_varint_zigzag_golden_bytes():
+    """Spec-fixed encodings (Avro specification, 'Binary Encoding')."""
+    for n, expected in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                        (-64, b"\x7f"), (64, b"\x80\x01")]:
+        assert avro_codec.encode("long", n) == expected, n
+
+
+def test_confluent_header_strip_and_dispatch_golden(spark):
+    """Hand-crafted wire bytes: JVM strip agrees with the Python dispatch."""
+    value = envelope_value("c", 3, after={"firstName": "carol", "lastName": "white", "age": 25})
+    raw = wire(17, ENVELOPE_SCHEMA_V1, value)
+    df = spark.createDataFrame([(raw,)], "value binary")
+    sid, payload = strip_confluent_header(df["value"])
+    row = df.select(sid, payload).first()
+    assert row["schema_id"] == 17
+    assert avro_codec.decode(ENVELOPE_SCHEMA_V1, bytes(row["avro_payload"])) == value
+
+
+def test_avro_wire_to_merge_end_to_end(spark):
+    """Mixed schema ids in one batch (v1 + evolved v2) decode through the
+    registry map, re-enter the JSON path, and flatten for the merge."""
+    v1 = envelope_value("c", 1, after={"firstName": "alice", "lastName": "smith", "age": 30})
+    v2 = envelope_value(
+        "u", 2,
+        before={"firstName": "alice", "lastName": "smith", "age": 30, "email": None},
+        after={"firstName": "alice", "lastName": "smith", "age": 31, "email": "a@x.io"},
+    )
+    rows = [("alice", wire(1, ENVELOPE_SCHEMA_V1, v1)), ("alice", wire(2, ENVELOPE_SCHEMA_V2, v2))]
+    df = spark.createDataFrame(rows, "key string, value binary")
+    registry = {1: json.dumps(ENVELOPE_SCHEMA_V1), 2: json.dumps(ENVELOPE_SCHEMA_V2)}
+
+    as_json = avro_to_json(df, registry)
+    import pyspark.sql.types as T
+    evolved = T.StructType(
+        PERSON_SCHEMA.fields + [T.StructField("email", T.StringType(), True)]
+    )
+    decoded = decode_json(as_json, evolved)
+    changes = flatten_changes(decoded, ["firstName"]).orderBy("pos").collect()
+    assert [c["op"] for c in changes] == ["c", "u"]
+    assert changes[0]["row"]["email"] is None  # v1 writer: no email field
+    assert changes[1]["row"]["email"] == "a@x.io"
+    assert changes[1]["row"]["age"] == 31
+
+
+def test_unknown_schema_id_raises(spark):
+    df = spark.createDataFrame(
+        [(wire(99, ENVELOPE_SCHEMA_V1, envelope_value("c", 1, after={"firstName": "x", "lastName": None, "age": 1})),)],
+        "value binary",
+    )
+    with pytest.raises(Exception, match="schema id 99"):
+        avro_to_json(df, {1: json.dumps(ENVELOPE_SCHEMA_V1)}).collect()
