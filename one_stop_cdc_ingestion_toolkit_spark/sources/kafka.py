@@ -38,6 +38,23 @@ def normalize_client_options(client_options: dict[str, str] | None) -> dict[str,
     return out
 
 
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka data source is on the classpath.
+
+    Same availability-probe pattern as ``debezium.avro_available`` /
+    ``sinks.lakehouse_format_available``: callers branch to the file
+    source where the connector is absent instead of failing at start().
+    """
+    try:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def kafka_reader(
     spark: SparkSession,
     bootstrap_servers: str,
