@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         extras,
         multimodal,
+        pipeline_ops,
         relational,
         relational2,
         similarity,

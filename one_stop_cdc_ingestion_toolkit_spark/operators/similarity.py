@@ -245,11 +245,12 @@ def ivf_assign(
     centroids: DataFrame,
     v_id: str = "v_id",
     v_vec: str = "v_vec",
+    n_best: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its max-cosine
-    centroid (tie → lowest centroid id). Centroids broadcast; one window
-    on the vector id picks the argmax — the posting-list build is a
-    single scan + small shuffle at any corpus size."""
+    """IVF coarse quantization: assign each vector to its ``n_best``
+    max-cosine centroids (tie → lowest centroid id). Centroids broadcast;
+    one window on the vector id picks the argmax — the posting-list build
+    is a single scan + small shuffle at any corpus size."""
     # hoist the norms out of the cross join: cosine recomputed per pair
     # would fold each vector's self-dot-product N_CELLS times; the hoisted
     # form is the same IEEE arithmetic (identical fold, then one divide).
@@ -262,7 +263,7 @@ def ivf_assign(
     w = W.partitionBy(v_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n_best)
         .select(v_id, v_vec, "cent_id")
     )
 
@@ -272,11 +273,13 @@ def ivf_topk(
     corpus_df: DataFrame,
     centroids: DataFrame,
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search with nprobe=1: query and corpus vectors are quantized to
-    cells; each query scans only its own cell's posting list. Recall < 1
-    by design (like the LSH variant); raise nprobe by unioning the next
-    nearest cells."""
+    """IVF search: corpus vectors are quantized to their single nearest
+    cell; each query probes its ``nprobe`` nearest cells' posting lists.
+    Recall < 1 by design (like the LSH variant) and rises with nprobe.
+    Each (query, candidate) pair appears at most once because a corpus
+    vector lives in exactly one cell."""
     cells = ivf_assign(
         corpus_df.select(F.col("c_id").alias("v_id"), F.col("c_vec").alias("v_vec")),
         centroids,
@@ -284,6 +287,7 @@ def ivf_topk(
     q_cells = ivf_assign(
         queries_df.select(F.col("q_id").alias("v_id"), F.col("q_vec").alias("v_vec")),
         centroids,
+        n_best=nprobe,
     ).select(F.col("v_id").alias("q_id"), F.col("v_vec").alias("q_vec"), "cent_id")
     joined = cells.join(F.broadcast(q_cells), "cent_id").withColumn(
         "__cos", cosine(F.col("q_vec"), F.col("c_vec"))
@@ -337,6 +341,51 @@ def b69_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return ivf_topk(qs, cs, centroids, 5).orderBy("q_id", "rn")
+
+
+@register(
+    "c85_ivf_multiprobe",
+    f"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+                     FROM embeddings WHERE vec_id < {IVF_N_CELLS}),
+        assigned AS (
+          SELECT v.vec_id, v.embedding, c.cent_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_duck_cos('v.embedding', 'c.cent_vec')} DESC,
+                            c.cent_id) AS rn
+          FROM embeddings v CROSS JOIN cent c
+        ),
+        cells AS (SELECT vec_id, embedding, cent_id FROM assigned WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS q_vec, cent_id
+              FROM assigned WHERE rn <= 2 AND vec_id < 5),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS c_id,
+                 {_duck_cos('q.q_vec', 'c.embedding')} AS cos
+          FROM q JOIN cells c USING (cent_id)
+        ),
+        ranked AS (
+          SELECT q_id, c_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id) AS rn
+          FROM scored)
+        SELECT q_id, c_id, ROUND(cos, 6) AS sim, rn
+        FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""",
+)
+def c85_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: each query probes its two nearest cells,
+    roughly doubling candidate count (and recall) for the same posting
+    layout as b69. The extra probe is one more row per query in the
+    broadcast side of the cell join — corpus-side cost is unchanged, so
+    recall tuning at 100 TB is a pure query-side knob."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return ivf_topk(qs, cs, centroids, 5, nprobe=2).orderBy("q_id", "rn")
 
 
 @register(
