@@ -150,17 +150,21 @@ def ngram_jaccard_pairs(
         .select("id", F.explode("sh").alias("shingle"))
         .distinct()
     )
-    rare = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= df_cap)
-        .select("shingle")
+    # df-cap via a count window over the shingle, not groupBy+join: ONE
+    # evaluation of the (expensive) shingle pipeline and one shuffle on
+    # shingle — which also co-partitions the self-join below. A join
+    # formulation evaluates `exploded` twice and shuffles twice.
+    sh = (
+        exploded.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        )
+        .filter(F.col("__df") <= df_cap)
+        .drop("__df")
     )
     # persist: referenced three times (sizes + both join sides); without
     # it the shingle pipeline runs three times. Tracked for release
-    # between queries (operators.release_caches). The df-cap join
-    # co-partitions with the self-join shuffle key (shingle).
-    sh = track_cache(exploded.join(rare, "shingle"))
+    # between queries (operators.release_caches).
+    sh = track_cache(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

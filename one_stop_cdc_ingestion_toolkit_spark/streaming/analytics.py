@@ -87,6 +87,49 @@ def dedup_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     return watermarked(events, delay).dropDuplicates(["event_id"])
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    delay: str = "10 minutes",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream (or batch-batch — same code path) event-time interval
+    join: pair each left event with right events for the same ``key``
+    whose event time falls in ``[left_ts, left_ts + within]`` — the
+    click→conversion attribution shape.
+
+    Both sides are watermarked, and the join condition bounds event-time
+    distance in BOTH directions, so Structured Streaming can expire
+    buffered rows: state per side is ~(watermark delay + interval) of
+    input, independent of total stream length. The join itself shuffles
+    on the equi-key only; the interval predicate is evaluated post-match.
+    """
+    l = left.withColumn("ts_l", event_time()).select(
+        F.col(key).alias("lk"),
+        F.col("event_id").alias("l_id"),
+        "ts_l",
+    )
+    r = right.withColumn("ts_r", event_time()).select(
+        F.col(key).alias("rk"),
+        F.col("event_id").alias("r_id"),
+        "ts_r",
+    )
+    if delay:  # streaming state bound; harmless no-op semantics on batch
+        l = l.withWatermark("ts_l", delay)
+        r = r.withWatermark("ts_r", delay)
+    # the interval bound must live IN the join condition (not a post-join
+    # filter) for the streaming planner to derive a state watermark
+    cond = (
+        (F.col("lk") == F.col("rk"))
+        & (F.col("ts_r") >= F.col("ts_l"))
+        & (F.col("ts_r") <= F.col("ts_l") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).select(
+        F.col("lk").alias(key), "l_id", "r_id", "ts_l", "ts_r"
+    )
+
+
 def start_materialized_counts(
     spark,
     source_dir: str,
