@@ -220,10 +220,29 @@ def b68_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("b59_approx_distinct", None)  # sketch values are engine-specific
+@register(
+    "b59_approx_distinct",
+    """SELECT COUNT(DISTINCT l_partkey) AS exact, TRUE AS within_rsd
+       FROM lineitem""",
+)
 def b59_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch vs exact, as an oracle-checkable CONTRACT: the raw
+    approx value is engine-specific (Spark HLL++ vs DuckDB's sketch), so
+    the query emits the exact count plus a boolean asserting the sketch
+    landed within 3x its configured rsd (3 sigma ~ 99.7% of runs; the
+    sketch is deterministic for fixed input, so this is stable, not
+    flaky). The oracle emits literal TRUE — a hash match proves the
+    engine's estimate honored the tolerance."""
     li = tables(spark, sf_dir)["lineitem"]
-    return approx_distinct_stats(li, "l_partkey")
+    rsd = 0.05
+    stats = approx_distinct_stats(li, "l_partkey", rsd)
+    return stats.select(
+        "exact",
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= F.lit(3 * rsd) * F.col("exact")
+        ).alias("within_rsd"),
+    )
 
 
 @register(

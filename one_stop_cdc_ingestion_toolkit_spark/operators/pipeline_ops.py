@@ -166,6 +166,107 @@ def c83_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c86_gopher_filters",
+    r"""WITH s AS (
+         SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS words,
+                length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_sym,
+                GREATEST(length(text), 1) AS n_chars_g,
+                regexp_matches(lower(text), '\b(the|and|of|to|in|is)\b') AS has_stop
+         FROM documents
+       ),
+       m AS (
+         SELECT doc_id,
+                len(words) AS n_words,
+                CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+                  / GREATEST(len(words), 1) AS mwl,
+                CAST(n_sym AS DOUBLE) / n_chars_g AS sym_ratio,
+                has_stop
+         FROM s
+       )
+       SELECT doc_id, n_words, mwl,
+              (n_words BETWEEN 50 AND 100000)
+              AND (mwl >= 3 AND mwl <= 10)
+              AND (sym_ratio < 0.1)
+              AND has_stop AS passes
+       FROM m ORDER BY doc_id""",
+)
+def c86_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (word-count bounds, mean word
+    length 3-10, symbol ratio < 0.1, contains a common English stopword)
+    evaluated per doc in one codegen projection — the standard pretrain
+    cleanup gate. All ratios are exact-operand double divisions, so the
+    pass/fail booleans are bit-identical across engines."""
+    d = tables(spark, sf_dir)["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    char_sum = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    mwl = char_sum.cast("double") / F.greatest(n_words, F.lit(1))
+    n_sym = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    sym_ratio = n_sym.cast("double") / F.greatest(F.length("text"), F.lit(1))
+    has_stop = F.lower(F.col("text")).rlike(r"\b(the|and|of|to|in|is)\b")
+    passes = (
+        n_words.between(50, 100000)
+        & (mwl >= 3)
+        & (mwl <= 10)
+        & (sym_ratio < 0.1)
+        & has_stop
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        passes.alias("passes"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "c87_repetition_ratio",
+    f"""WITH w AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+          FROM documents
+        ),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(words) - 1),
+                        i -> array_to_string(words[i:i+1], ' '))) AS bigram
+          FROM w WHERE len(words) >= 2
+        ),
+        counts AS (
+          SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS rep_ratio
+        FROM counts GROUP BY doc_id ORDER BY doc_id""",
+)
+def c87_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal: most-frequent-bigram share of all bigrams —
+    boilerplate/spam detector (high ratio = templated text). Two partial
+    aggregations keyed by doc (map-side combine both times), never a
+    per-doc collect; the exact-operand division keeps the double
+    cross-engine stable."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
+
+    d = tables(spark, sf_dir)["documents"]
+    bg = d.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("text"), k=2)).alias("bigram"),
+    )
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "c84_length_histogram",
     """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
               COUNT(*) AS n_docs,
