@@ -74,14 +74,15 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via MinHash banding.
+def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_idx, band_sig) LSH band rows — the minhash signature
+    exploded into its bands. Shared by the batch pair-finder below and
+    the incremental ``streaming.dedup_index.DedupIndex``.
 
     Plan shape: explode shingles → md5 (whole-stage codegen, not an
     interpreted array lambda) → groupBy(doc) with 8 min() aggregates —
     map-side partial agg means the shuffle carries just 8 longs per doc
-    per partition — → explode 4 band rows → shuffle on (band_idx,
-    band_sig) → self-join inside buckets.
+    per partition — → explode 4 band rows.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -96,23 +97,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
-    bands = (
-        sig.select(
-            "id",
-            F.array(
-                *[
-                    F.concat_ws("|", f"mh{a}", f"mh{b}").alias(f"band{i}")
-                    for i, (a, b) in enumerate(MINHASH_BANDS)
-                ]
-            ).alias("bands"),
-        )
-        .select("id", F.posexplode("bands").alias("band_idx", "band_sig"))
-    )
-    # persist: the self-join would otherwise recompute the whole
-    # shingle+signature pipeline for BOTH sides; bands is tiny
-    # (4 short rows per doc) at any corpus size. Tracked so sweep loops
-    # can release it between queries (operators.release_caches).
-    bands = track_cache(bands)
+    return sig.select(
+        "id",
+        F.array(
+            *[
+                F.concat_ws("|", f"mh{a}", f"mh{b}").alias(f"band{i}")
+                for i, (a, b) in enumerate(MINHASH_BANDS)
+            ]
+        ).alias("bands"),
+    ).select("id", F.posexplode("bands").alias("band_idx", "band_sig"))
+
+
+def band_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from band rows: shuffle on
+    (band_idx, band_sig) → self-join inside buckets only."""
     left = bands.select("band_idx", "band_sig", F.col("id").alias("id_a"))
     right = bands.select("band_idx", "band_sig", F.col("id").alias("id_b"))
     return (
@@ -121,6 +119,17 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via MinHash banding
+    (see minhash_band_rows for the plan shape)."""
+    # persist: the self-join would otherwise recompute the whole
+    # shingle+signature pipeline for BOTH sides; bands is tiny
+    # (4 short rows per doc) at any corpus size. Tracked so sweep loops
+    # can release it between queries (operators.release_caches).
+    bands = track_cache(minhash_band_rows(df, id_col, text_col))
+    return band_pairs(bands)
 
 
 #: Shingles appearing in more documents than this are dropped from the

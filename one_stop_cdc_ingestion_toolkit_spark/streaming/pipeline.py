@@ -42,6 +42,7 @@ from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
 from one_stop_cdc_ingestion_toolkit_spark.sources.schema_events import (
     apply_schema_changes,
 )
+from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import DedupIndex
 from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
 from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
     BucketedTableStore,
@@ -55,12 +56,18 @@ class TableSpec:
     ``n_buckets`` switches the table to key-bucketed state
     (BucketedTableStore): each micro-batch rewrites only the hash buckets
     its keys touch — the 100 TB merge path. None = whole-snapshot swap.
+
+    ``index_text_col`` names a text column to maintain an incremental
+    near-duplicate index over (``streaming.dedup_index.DedupIndex``):
+    each batch fingerprints only the rows it touched. Requires a single
+    key column (the document id).
     """
 
     name: str
     key_cols: list[str]
     row_schema: T.StructType
     n_buckets: int | None = None
+    index_text_col: str | None = None
 
 
 @dataclass
@@ -88,6 +95,17 @@ class PipelineSpec:
             missing = [k for k in t.key_cols if k not in t.row_schema.fieldNames()]
             if missing:
                 raise ValueError(f"{self.name}.{t.name}: key cols {missing} not in schema")
+            if t.index_text_col is not None:
+                if len(t.key_cols) != 1:
+                    raise ValueError(
+                        f"{self.name}.{t.name}: dedup index requires a single "
+                        f"key column, got {t.key_cols}"
+                    )
+                if t.index_text_col not in t.row_schema.fieldNames():
+                    raise ValueError(
+                        f"{self.name}.{t.name}: index_text_col "
+                        f"{t.index_text_col!r} not in schema"
+                    )
 
 
 #: raw schema of the change-stream files: one JSON envelope per line with
@@ -115,6 +133,11 @@ class Pipeline:
         #: engine's schema-history record (A6) alongside the store's
         #: append-only version log.
         self.schema_log: list[tuple[str | None, int | None, str | None]] = []
+        self.indexes: dict[str, DedupIndex] = {
+            t.name: DedupIndex(self.store, t.name, t.key_cols[0], t.index_text_col)
+            for t in spec.tables
+            if t.index_text_col
+        }
         self.query: StreamingQuery | None = None
 
     # -- batch core (also used directly by tests / backfills) -------------
@@ -173,10 +196,29 @@ class Pipeline:
                         current = self.store.read(self.spark, tspec.name)
                         merged = apply_changes(current, changes, tspec.key_cols)
                         self.store.write(merged, tspec.name)
+                    self._update_index(tspec, changes)
                 finally:
                     mine.unpersist()
         finally:
             raw.unpersist()
+
+    def _update_index(self, tspec: TableSpec, changes: DataFrame) -> None:
+        """Fold this batch into the table's dedup index, if configured.
+
+        Driven by the POST-MERGE state of the touched keys (read back
+        from the just-written store generation, so nothing is
+        recomputed): the raw batch's per-key winner can lose to already-
+        applied state under cross-batch out-of-order delivery, but the
+        merged state is authoritative. At scale the touched-key read is
+        bucket-pruned (the keys lie in the buckets the merge just
+        rewrote)."""
+        index = self.indexes.get(tspec.name)
+        if index is None:
+            return
+        keys = changes.select(*tspec.key_cols).distinct()
+        state = self.store.read(self.spark, tspec.name)
+        touched = state.join(keys, tspec.key_cols)
+        index.update(self.spark, touched)
 
     def _apply_bucketed(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Partition-scoped merge: only the key-buckets present in this
@@ -277,3 +319,5 @@ class Pipeline:
             if drop_data:
                 for t in self.spec.tables:
                     self.store.drop(t.name)
+                for index in self.indexes.values():
+                    self.store.drop(index.index_table)
