@@ -266,6 +266,54 @@ def c87_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_K = 5  # overlap n-gram width (13 in practice; 5 fits the fixture)
+
+
+@register(
+    "c88_decontaminate",
+    f"""WITH w AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+          FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(words) - {DECONTAM_K - 1}),
+                        i -> array_to_string(words[i:i+{DECONTAM_K - 1}], ' '))) AS g
+          FROM w WHERE len(words) >= {DECONTAM_K}
+        ),
+        eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+        hits AS (
+          SELECT c.doc_id, COUNT(*) AS n_overlap
+          FROM grams c JOIN eval_grams e USING (g)
+          WHERE c.doc_id >= 5
+          GROUP BY c.doc_id
+        )
+        SELECT doc_id, n_overlap FROM hits ORDER BY doc_id""",
+)
+def c88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: flag corpus documents sharing any
+    ``DECONTAM_K``-gram with the eval set (docs 0-4 stand in for a
+    benchmark suite). The eval side is tiny by construction → broadcast;
+    the corpus side is one shingle scan, so at 100 TB this is a
+    map-side semi-join with no corpus shuffle before the per-doc count."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
+
+    d = tables(spark, sf_dir)["documents"]
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=DECONTAM_K)).alias("g")
+    ).distinct()
+    eval_grams = F.broadcast(
+        grams.filter(F.col("doc_id") < 5).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 5)
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "c84_length_histogram",
     """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,

@@ -97,6 +97,30 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
     assert not offenders, offenders
 
 
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """c88: the eval-set gram side must broadcast — at 100 TB the corpus
+    scan joins map-side against the (tiny) benchmark grams, shuffling
+    only the per-doc overlap aggregation."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.pipeline_ops import (
+        c88_decontaminate,
+    )
+
+    assert uses_broadcast_join(c88_decontaminate(spark, SF_DIR))
+
+
+def test_new_aggregating_ops_have_partial_phase(spark):
+    """c80/c84/c87: their aggregations must plan map-side partials."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.pipeline_ops import (
+        c80_stratified_sample,
+        c84_length_histogram,
+        c87_repetition_ratio,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    for fn in (c80_stratified_sample, c84_length_histogram, c87_repetition_ratio):
+        assert "partial_" in physical_plan(fn(spark, SF_DIR)), fn.__name__
+
+
 def test_persisting_operators_release_caches(spark):
     """Operators that persist intermediates (LSH bands, inverted index,
     embedding signatures) must register them with track_cache so sweep
