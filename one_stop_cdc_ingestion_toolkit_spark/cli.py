@@ -11,6 +11,7 @@ to engine verbs; composite verbs mirror `bin/global.sh:6-25`.
     list-tables      — materialized tables               (A19)
     show-table       — peek at a table                   (A20 console consumer)
     sql              — arbitrary SQL over the lake       (A30 exec escape hatch)
+    duplicates       — query a table's incremental dedup index
 """
 
 from __future__ import annotations
@@ -76,6 +77,17 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sql", help="run SQL over materialized tables")
     p.add_argument("sink_dir")
     p.add_argument("query")
+
+    p = sub.add_parser(
+        "duplicates",
+        help="query a table's incremental dedup index (TableSpec.index_text_col)",
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("table")
+    p.add_argument(
+        "--near", action="store_true", help="near-dup candidate pairs (LSH bands)"
+    )
+    p.add_argument("-n", type=int, default=20)
 
     args = ap.parse_args(argv)
     reg = PipelineRegistry(args.registry)
@@ -146,6 +158,24 @@ def main(argv: list[str] | None = None) -> int:
         if not args.raw:
             df = snapshot(df)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.verb == "duplicates":
+        from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import (
+            DedupIndex,
+        )
+
+        spark = get_session("osci-spark")
+        index = DedupIndex(BucketedTableStore(args.sink_dir), args.table)
+        if index.read(spark) is None:
+            print(f"no dedup index for table: {args.table}", file=sys.stderr)
+            return 1
+        if args.near:
+            index.near_duplicate_pairs(spark).orderBy("id_a", "id_b").show(
+                args.n, truncate=False
+            )
+        else:
+            index.exact_duplicates(spark).orderBy("fp").show(args.n, truncate=False)
         return 0
 
     if args.verb == "sql":

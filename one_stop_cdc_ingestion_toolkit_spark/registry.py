@@ -30,6 +30,7 @@ def spec_to_json(spec: PipelineSpec) -> dict:
                 "key_cols": t.key_cols,
                 "row_schema": t.row_schema.jsonValue(),
                 "n_buckets": t.n_buckets,
+                "index_text_col": t.index_text_col,
             }
             for t in spec.tables
         ],
@@ -52,6 +53,7 @@ def spec_from_json(doc: dict) -> PipelineSpec:
                 key_cols=t["key_cols"],
                 row_schema=T.StructType.fromJson(t["row_schema"]),
                 n_buckets=t.get("n_buckets"),
+                index_text_col=t.get("index_text_col"),
             )
             for t in doc["tables"]
         ],

@@ -39,7 +39,16 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.text import fingerprint
 class DedupIndex:
     """Dedup index for one document table, materialized in ``store``."""
 
-    def __init__(self, store, table: str, id_col: str, text_col: str):
+    def __init__(
+        self,
+        store,
+        table: str,
+        id_col: str | None = None,
+        text_col: str | None = None,
+    ):
+        """``id_col``/``text_col`` are required for maintenance
+        (:meth:`update`); lookups over an existing index need only the
+        store and table."""
         self.store = store
         self.table = table
         self.index_table = f"{table}__dedup_idx"

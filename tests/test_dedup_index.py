@@ -131,6 +131,38 @@ def test_incremental_index_equals_batch_recompute(spark, tmp_path):
     assert [(r.n, r.keeper) for r in exact] == [(2, 1)]
 
 
+def test_cli_duplicates_verb(spark, tmp_path, capsys):
+    """quickstart a doc pipeline from a spec file (registry round-trips
+    index_text_col), then query the index through the CLI."""
+    from one_stop_cdc_ingestion_toolkit_spark.cli import main
+    from one_stop_cdc_ingestion_toolkit_spark.registry import spec_to_json
+
+    spec = _spec(tmp_path)
+    write_stream_files(
+        spec.source_dir,
+        [
+            doc_envelope("r", 1, 1, BASE),
+            doc_envelope("r", 2, 2, BASE),
+            doc_envelope("c", 3, 3, NEAR),
+        ],
+        files=1,
+    )
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec_to_json(spec)))
+    registry = str(tmp_path / "pipelines.json")
+    assert main(["--registry", registry, "quickstart", str(spec_file)]) == 0
+    assert main(["--registry", registry, "duplicates", spec.sink_dir, "docs"]) == 0
+    out = capsys.readouterr().out
+    assert "keeper" in out  # exact-dup group for docs 1,2
+    assert main(
+        ["--registry", registry, "duplicates", spec.sink_dir, "docs", "--near"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "id_a" in out
+    # unknown table → error exit
+    assert main(["--registry", registry, "duplicates", spec.sink_dir, "nope"]) == 1
+
+
 def test_index_requires_single_key(tmp_path):
     spec = PipelineSpec(
         name="bad",
