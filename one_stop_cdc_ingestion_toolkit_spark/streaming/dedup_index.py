@@ -45,15 +45,24 @@ class DedupIndex:
         table: str,
         id_col: str | None = None,
         text_col: str | None = None,
+        n_buckets: int | None = None,
     ):
         """``id_col``/``text_col`` are required for maintenance
         (:meth:`update`); lookups over an existing index need only the
-        store and table."""
+        store and table. ``n_buckets`` switches the index to the
+        key-bucketed layout: an update rewrites only the id-hash buckets
+        the batch touched, making the whole maintenance path — fingerprint
+        AND write — O(batch), not O(index). Use the same bucketing as the
+        data table so batch locality carries over."""
         self.store = store
         self.table = table
         self.index_table = f"{table}__dedup_idx"
         self.id_col = id_col
         self.text_col = text_col
+        self.n_buckets = n_buckets
+
+    def _bucket_of(self, col: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
     # -- maintenance -------------------------------------------------------
 
@@ -82,11 +91,27 @@ class DedupIndex:
                 F.col("id").alias(self.id_col), self.text_col
             )
         )
+        gone = touched.select("id")
+        if self.n_buckets:
+            # bucketed path: read/rewrite ONLY the id-hash buckets this
+            # batch touches (collect bounded by n_buckets, never rows).
+            gone = gone.withColumn("__bucket", self._bucket_of(F.col("id")))
+            affected = sorted(
+                r[0] for r in gone.select("__bucket").distinct().collect()
+            )
+            current = self.store.read_buckets(spark, self.index_table, affected)
+            new = fresh
+            if current is not None:
+                new = current.drop("__bucket").join(
+                    gone.select("id"), "id", "left_anti"
+                ).unionByName(fresh)
+            new = new.withColumn("__bucket", self._bucket_of(F.col("id")))
+            self.store.write_buckets(new, self.index_table, affected)
+            return
         current = self.store.read(spark, self.index_table)
         if current is None:
             new = fresh
         else:
-            gone = touched.select("id")
             new = current.join(gone, "id", "left_anti").unionByName(fresh)
         self.store.write(new, self.index_table)
 

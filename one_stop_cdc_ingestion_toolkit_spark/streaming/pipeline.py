@@ -134,7 +134,13 @@ class Pipeline:
         #: append-only version log.
         self.schema_log: list[tuple[str | None, int | None, str | None]] = []
         self.indexes: dict[str, DedupIndex] = {
-            t.name: DedupIndex(self.store, t.name, t.key_cols[0], t.index_text_col)
+            t.name: DedupIndex(
+                self.store,
+                t.name,
+                t.key_cols[0],
+                t.index_text_col,
+                n_buckets=t.n_buckets,
+            )
             for t in spec.tables
             if t.index_text_col
         }

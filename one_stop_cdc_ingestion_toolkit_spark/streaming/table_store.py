@@ -174,8 +174,17 @@ class BucketedTableStore(TableStore):
         gens = [int(p.name.split("-")[1]) for p in tdir.glob("gen-*")] or [-1]
         gen = f"gen-{max(gens) + 1:06d}"
         df.write.mode("overwrite").partitionBy("__bucket").parquet(str(tdir / gen))
+        # a bucket whose rows all vanished in this batch (e.g. every index
+        # entry deleted) produces no partition dir — it must leave the map,
+        # not point at a path that doesn't exist.
+        written = {
+            int(p.name.split("=")[1]) for p in (tdir / gen).glob("__bucket=*")
+        }
         for b in buckets:
-            bmap[b] = gen
+            if b in written:
+                bmap[b] = gen
+            else:
+                bmap.pop(b, None)
         tmp = tdir / "_BUCKETS.tmp"
         tmp.write_text(json.dumps({str(b): g for b, g in sorted(bmap.items())}))
         tmp.replace(self._bucket_pointer(table))

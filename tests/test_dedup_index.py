@@ -49,12 +49,18 @@ def doc_envelope(op, pos, doc_id, text=None):
     }
 
 
-def _spec(tmp_path):
+def _spec(tmp_path, n_buckets=None):
     return PipelineSpec(
         name="docs_pipe",
         source_dir=str(tmp_path / "stream"),
         tables=[
-            TableSpec("docs", ["doc_id"], DOCS_SCHEMA, index_text_col="text")
+            TableSpec(
+                "docs",
+                ["doc_id"],
+                DOCS_SCHEMA,
+                n_buckets=n_buckets,
+                index_text_col="text",
+            )
         ],
         sink_dir=str(tmp_path / "lake"),
         checkpoint_dir=str(tmp_path / "ckpt"),
@@ -88,8 +94,12 @@ def _assert_index_equals_recompute(spark, pipe):
     release_caches()
 
 
-def test_incremental_index_equals_batch_recompute(spark, tmp_path):
-    spec = _spec(tmp_path)
+import pytest
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4], ids=["snapshot", "bucketed"])
+def test_incremental_index_equals_batch_recompute(spark, tmp_path, n_buckets):
+    spec = _spec(tmp_path, n_buckets=n_buckets)
     pipe = Pipeline(spark, spec)
 
     # batch 1: three docs — exact dup (1,2), near dup (3 vs 1), distinct 4
