@@ -315,6 +315,32 @@ def c88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c89_vocabulary",
+    r"""WITH words AS (
+         SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+         FROM documents
+       )
+       SELECT w, COUNT(*) AS n
+       FROM words WHERE w != ''
+       GROUP BY w ORDER BY n DESC, w LIMIT 100""",
+)
+def c89_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 words by frequency (count-desc, word-asc
+    tie-break for determinism) — the frequency table a tokenizer build
+    starts from. Plan: explode → partial-agg shuffle on the word →
+    TakeOrderedAndProject; the full vocabulary never sorts globally."""
+    d = tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(100)
+    )
+
+
+@register(
     "c84_length_histogram",
     """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket,
               COUNT(*) AS n_docs,

@@ -156,3 +156,55 @@ def test_unknown_schema_id_raises(spark):
     )
     with pytest.raises(Exception, match="schema id 99"):
         avro_to_json(df, {1: json.dumps(ENVELOPE_SCHEMA_V1)}).collect()
+
+
+# ---------------------------------------------------------------------------
+# Property-based round-trip (hypothesis): decode(encode(x)) == x for
+# arbitrary values of a representative record schema — the wire format is
+# exercised across varint boundaries, negative zigzags, empty/large
+# collections and unicode, not just hand-picked golden values.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PROP_SCHEMA = {
+    "type": "record",
+    "name": "P",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+_values = st.fixed_dictionaries(
+    {
+        "l": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "i": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        "b": st.booleans(),
+        # NaN compares unequal to itself; allow_nan=False keeps == valid
+        "d": st.floats(allow_nan=False),
+        "s": st.text(max_size=50),
+        "by": st.binary(max_size=50),
+        "n": st.none() | st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        "arr": st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=10
+        ),
+        "m": st.dictionaries(st.text(max_size=10),
+                             st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                             max_size=5),
+    }
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_values)
+def test_codec_roundtrip_property(value):
+    assert avro_codec.decode(_PROP_SCHEMA, avro_codec.encode(_PROP_SCHEMA, value)) == value
