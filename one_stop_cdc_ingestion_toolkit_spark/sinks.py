@@ -32,6 +32,46 @@ def write_table(
     w.parquet(path)
 
 
+def export_corpus(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+) -> dict:
+    """Export a (cleaned, deduped) corpus as deterministic training shards.
+
+    Shard membership is ``xxhash64(id) mod n_shards`` — stable across
+    runs, task retries and cluster sizes, so an interrupted export can be
+    re-run and downstream consumers can address shards reproducibly
+    (contrast ``repartition(n)`` round-robin, which is neither). One
+    shuffle on the shard key; each shard lands as one parquet directory
+    ``shard=i``. Returns a manifest {shard: row_count} (written alongside
+    as ``_MANIFEST.json``) for consumer-side accounting.
+    """
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    counts = {
+        int(r["shard"]): r["n"]
+        for r in sharded.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    manifest = {str(s): counts.get(s, 0) for s in range(n_shards)}
+    import json
+
+    Path(path, "_MANIFEST.json").write_text(json.dumps(manifest, sort_keys=True))
+    return manifest
+
+
 def dir_stats(path: str) -> tuple[int, int]:
     """(n_data_files, total_bytes) under a parquet directory."""
     files = [p for p in Path(path).rglob("*.parquet") if p.is_file()]

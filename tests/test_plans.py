@@ -142,6 +142,35 @@ def test_persisting_operators_release_caches(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
+def test_export_corpus_deterministic_shards(spark, tmp_path):
+    """Shard membership must be content-addressed (hash of id): two
+    exports of the same data produce identical manifests, and every row
+    lands in exactly the shard its id hashes to."""
+    from pyspark.sql import functions as F
+
+    from one_stop_cdc_ingestion_toolkit_spark.sinks import export_corpus
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    m1 = export_corpus(df, out1, "doc_id", 4)
+    m2 = export_corpus(df, out2, "doc_id", 4)
+    assert m1 == m2
+    assert sum(m1.values()) == df.count()
+    back = spark.read.parquet(out1)
+    assert back.count() == df.count()
+    # membership: shard column equals the hash rule for every row
+    mism = back.filter(
+        F.col("shard") != F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int")
+    ).count()
+    assert mism == 0
+    import json
+    import pathlib
+
+    assert json.loads(pathlib.Path(out1, "_MANIFEST.json").read_text()) == {
+        str(k): v for k, v in m1.items()
+    }
+
+
 def test_compact_recovery_after_crash(spark, tmp_path):
     """A crash between the two swap renames leaves <path>._old; the next
     compact() must restore it before proceeding."""
