@@ -12,6 +12,7 @@ to engine verbs; composite verbs mirror `bin/global.sh:6-25`.
     show-table       — peek at a table                   (A20 console consumer)
     sql              — arbitrary SQL over the lake       (A30 exec escape hatch)
     duplicates       — query a table's incremental dedup index
+    gc-tombstones    — expire tombstones past the redelivery horizon
 """
 
 from __future__ import annotations
@@ -79,6 +80,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("query")
 
     p = sub.add_parser(
+        "gc-tombstones",
+        help="expire tombstones older than the redelivery horizon",
+    )
+    p.add_argument("name")
+    p.add_argument("--min-pos", type=int, required=True)
+
+    p = sub.add_parser(
         "duplicates",
         help="query a table's incremental dedup index (TableSpec.index_text_col)",
     )
@@ -121,6 +129,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.verb == "remove-tables":
         for t in BucketedTableStore(args.sink_dir).drop_tables(args.pattern):
             print(f"dropped {t}")
+        return 0
+
+    if args.verb == "gc-tombstones":
+        spec = reg.get(args.name)
+        if spec is None:
+            print(f"unknown pipeline: {args.name}", file=sys.stderr)
+            return 1
+        pipe = Pipeline(get_session("osci-spark"), spec)
+        removed = pipe.gc_tombstones(args.min_pos)
+        print(json.dumps(removed))
         return 0
 
     if args.verb in ("start-pipeline", "pipeline-status", "remove-pipeline"):

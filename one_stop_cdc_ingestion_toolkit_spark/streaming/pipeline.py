@@ -33,6 +33,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import (
     apply_changes,
+    expire_tombstones,
     snapshot,
 )
 from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
@@ -261,6 +262,38 @@ class Pipeline:
                 merged.unpersist()
         finally:
             changes.unpersist()
+
+    def gc_tombstones(self, min_pos: int) -> dict[str, int]:
+        """Maintenance: drop tombstones whose sequence is older than the
+        redelivery horizon (``cdc.expire_tombstones``) — run with min_pos
+        = the checkpointed min source offset, so a redelivered old insert
+        can no longer resurrect the key. Returns per-table removed counts.
+        Respects the table's layout: bucketed tables rewrite per bucket."""
+        removed: dict[str, int] = {}
+        for tspec in self.spec.tables:
+            state = self.store.read(self.spark, tspec.name)
+            if state is None:
+                continue
+            expired = state.filter(
+                F.col("__deleted") & (F.col("__pos") < min_pos)
+            ).count()
+            if expired == 0:
+                removed[tspec.name] = 0
+                continue
+            new = expire_tombstones(state, min_pos)
+            if self.store.layout(tspec.name) == "bucketed":
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
+                    F.lit(tspec.n_buckets),
+                ).cast("int")
+                affected = sorted(self.store.bucket_map(tspec.name))
+                self.store.write_buckets(
+                    new.withColumn("__bucket", bucket), tspec.name, affected
+                )
+            else:
+                self.store.write(new, tspec.name)
+            removed[tspec.name] = expired
+        return removed
 
     def read_table(self, name: str) -> DataFrame | None:
         """Live rows of a materialized table (tombstones/metadata hidden)."""

@@ -106,3 +106,16 @@ def test_cli_setup_start_drain_and_remove_tables(spark, tmp_path, capsys):
     assert "dropped person" in capsys.readouterr().out
     assert main(["--registry", registry, "list-tables", spec.sink_dir]) == 0
     assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_gc_tombstones(spark, tmp_path, capsys):
+    spec, spec_file, registry = _setup(tmp_path)
+    assert main(["--registry", registry, "quickstart", spec_file]) == 0
+    capsys.readouterr()
+    assert main(
+        ["--registry", registry, "gc-tombstones", "p1", "--min-pos", "7"]
+    ) == 0
+    assert json.loads(capsys.readouterr().out) == {"person": 1}
+    assert main(
+        ["--registry", registry, "gc-tombstones", "nope", "--min-pos", "7"]
+    ) == 1

@@ -276,3 +276,30 @@ def test_drop_tables_by_pattern(spark, tmp_path):
     assert store.drop_tables("nomatch.*") == []
     assert store.drop_tables("per.*") == ["person"]
     assert store.list_tables() == []
+
+
+def test_gc_tombstones_both_layouts(spark, tmp_path):
+    """gc_tombstones drops only horizon-old tombstones, preserves live
+    rows, and respects the table layout (snapshot + bucketed)."""
+    for n_buckets, sub in ((None, "snap"), (4, "buck")):
+        base = tmp_path / sub
+        spec = PipelineSpec(
+            name=f"p_{sub}",
+            source_dir=str(base / "stream"),
+            tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA, n_buckets=n_buckets)],
+            sink_dir=str(base / "lake"),
+            checkpoint_dir=str(base / "ckpt"),
+        )
+        write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=1)
+        pipe = Pipeline(spark, spec)
+        pipe.process_available()
+        pipe.stop()
+        state = pipe.store.read(spark, "person")
+        assert state.filter("__deleted").count() == 1  # bob, pos=6
+        # horizon below the tombstone: nothing removed
+        assert pipe.gc_tombstones(min_pos=6) == {"person": 0}
+        # horizon past it: tombstone gone, live state intact
+        assert pipe.gc_tombstones(min_pos=7) == {"person": 1}
+        state = pipe.store.read(spark, "person")
+        assert state.filter("__deleted").count() == 0
+        assert _state(pipe.read_table("person")) == GOLDEN_STATE

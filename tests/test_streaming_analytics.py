@@ -173,3 +173,76 @@ def test_interval_join_stream_equals_batch(spark, events_schema, events_dir):
         assert len(streamed.collect()) > 0  # the join genuinely matched
     finally:
         q.stop()
+
+
+def test_late_event_dropped_by_watermark(spark, events_schema, tmp_path):
+    """An event older than the advanced watermark must NOT enter the
+    windowed aggregate (append mode): batch 1 advances event time, batch 2
+    delivers a too-late row."""
+    import shutil
+    from pyspark.sql import Row
+
+    src = tmp_path / "late_stream"
+    src.mkdir()
+    ev = spark.read.parquet(EVENTS)
+    first = ev.orderBy("ts").limit(1).collect()[0]
+    t0 = first["ts"]  # ns long
+    hour = 3_600_000_000_000
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema=events_schema).coalesce(1).write.parquet(
+            str(tmp_path / name)
+        )
+        for i, f in enumerate((tmp_path / name).glob("*.parquet")):
+            shutil.copy(f, src / f"{name}-{i}.parquet")
+
+    def row(eid, ts):
+        return Row(
+            event_id=eid, ts=ts, user_id=1, event_type="click", value=1.0,
+            props="{}",
+        )
+
+    # batch 1: two on-time events far apart -> watermark advances to
+    # (t0+5h) - 10min
+    write_batch("b1", [row(900001, t0), row(900002, t0 + 5 * hour)])
+    stream = (
+        spark.readStream.schema(events_schema)
+        .parquet(str(src))
+        .where("event_id >= 900000")
+    )
+    agg = (
+        watermarked(stream, "10 minutes")
+        .groupBy(F.window("ts_ev", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a late event in the t0 window (already closed)
+        write_batch("b2", [row(900003, t0 + 1_000)])
+        q.processAllAvailable()
+        # one more on-time event to flush closed windows
+        write_batch("b3", [row(900004, t0 + 6 * hour)])
+        q.processAllAvailable()
+        got = {
+            (r["w_start"], r["n"])
+            for r in spark.sql("SELECT * FROM late_out").collect()
+        }
+        batch_equiv = tumbling_counts(
+            spark.read.parquet(str(src)).where("event_id >= 900000")
+        ).collect()
+        # batch (no watermark) counts 2 in the t0 window; the stream must
+        # have dropped the late 900003, closing every window with n=1
+        stream_counts = sorted(n for _, n in got)
+        batch_counts = sorted(r["n"] for r in batch_equiv)
+        assert batch_counts.count(2) == 1  # t0 window has 2 in batch
+        assert 2 not in stream_counts  # but the stream dropped the late row
+    finally:
+        q.stop()
