@@ -137,6 +137,45 @@ def frame_sample(df: DataFrame, id_col: str, payload_col: str, every_n: int = 10
     )
 
 
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    target_w: int,
+    target_h: int,
+) -> DataFrame:
+    """Resize plumbing: (id, width, height, payload) → target dims.
+
+    The pixel work sits behind the stubbed decoder (a real codec would
+    decode → resample → re-encode inside the same Arrow batch); what is
+    real: the batch contract (binary in, binary out, bounded batch rows),
+    aspect-ratio bookkeeping, and that output payload bytes are a
+    deterministic function of (input payload, target dims) — so a retry
+    or a re-run produces identical shards downstream.
+    """
+    out_schema = (
+        f"{id_col} long, width int, height int, payload binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for b in pdf[payload_col]:
+                # stub resample: tag + digest keeps bytes deterministic
+                tag = f"resized:{target_w}x{target_h}:".encode()
+                payloads.append(tag + hashlib.md5(bytes(b)).digest())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
 @register(
     "b52_blob_metadata",
     """SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS digest

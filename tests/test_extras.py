@@ -59,3 +59,19 @@ def test_frame_sample_shape(spark):
     # every doc appears with at least frame 0
     meta = extract_blob_metadata(blobs, "doc_id", "payload").collect()
     assert {r["doc_id"] for r in rows} == {r["doc_id"] for r in meta}
+
+
+def test_resize_images_deterministic_contract(spark):
+    """Resize plumbing: target dims on every row, and output payload a
+    pure function of (input payload, target) — identical across runs."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import resize_images
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    a = resize_images(blobs, "doc_id", "payload", 224, 224).collect()
+    b = resize_images(blobs, "doc_id", "payload", 224, 224).collect()
+    assert sorted((r.doc_id, bytes(r.payload)) for r in a) == sorted(
+        (r.doc_id, bytes(r.payload)) for r in b
+    )
+    assert all(r.width == 224 and r.height == 224 for r in a)
+    assert all(bytes(r.payload).startswith(b"resized:224x224:") for r in a)
