@@ -55,8 +55,28 @@ def check_backward(old: T.StructType, new: T.StructType) -> list[str]:
     return problems
 
 
+def check_forward(old: T.StructType, new: T.StructType) -> list[str]:
+    """Problems making ``new`` forward-incompatible with ``old``.
+
+    FORWARD = a reader using ``old`` must read data written with ``new``
+    — the exact dual of BACKWARD (writer and reader swap roles), so the
+    check is ``check_backward`` with the arguments reversed: a column
+    DROPPED by ``new`` leaves the old reader without values, which is
+    only legal if the old reader's column was nullable (or defaulted);
+    additions are always fine (the old reader ignores them)."""
+    return check_backward(new, old)
+
+
+def check_full(old: T.StructType, new: T.StructType) -> list[str]:
+    """FULL = BACKWARD and FORWARD simultaneously (additions and drops
+    both restricted to nullable/defaulted columns; no type changes)."""
+    return check_backward(old, new) + check_forward(old, new)
+
+
 COMPAT_CHECKS = {
     "BACKWARD": check_backward,
+    "FORWARD": check_forward,
+    "FULL": check_full,
     "NONE": lambda old, new: [],
 }
 

@@ -104,3 +104,52 @@ def test_store_never_admits_incompatible(tmp_path_factory, steps):
     versions = store.versions("s")
     for a, b in zip(versions, versions[1:]):
         assert check_backward(a, b) == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(old=FIELDS, new=FIELDS)
+def test_forward_is_dual_of_backward(old, new):
+    """FORWARD(old, new) must equal BACKWARD(new, old) — writer and
+    reader swap roles — and FULL is exactly the union of both."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        check_backward,
+        check_forward,
+        check_full,
+    )
+
+    so, sn = _schema(old), _schema(new)
+    assert check_forward(so, sn) == check_backward(sn, so)
+    assert set(check_full(so, sn)) == set(check_backward(so, sn)) | set(
+        check_forward(so, sn)
+    )
+
+
+def test_forward_mode_truth_table(tmp_path):
+    """FORWARD: adding any column is fine (old reader ignores it);
+    dropping a NOT NULL column is rejected (old reader has no values)."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        IncompatibleSchemaError,
+        SchemaStore,
+    )
+
+    store = SchemaStore(tmp_path / "reg", compatibility="FORWARD")
+    v1 = T.StructType(
+        [
+            T.StructField("id", T.StringType(), False),
+            T.StructField("opt", T.StringType(), True),
+        ]
+    )
+    store.register("t", v1)
+    # add a NOT NULL column: fine under FORWARD (rejected under BACKWARD)
+    v2 = T.StructType(v1.fields + [T.StructField("extra", T.StringType(), False)])
+    store.register("t", v2)
+    # drop the NOT NULL id: old reader loses required values -> rejected
+    v3 = T.StructType([f for f in v2.fields if f.name != "id"])
+    import pytest
+
+    with pytest.raises(IncompatibleSchemaError):
+        store.register("t", v3)
+    # dropping the nullable column is fine
+    v4 = T.StructType([f for f in v2.fields if f.name != "opt"])
+    store.register("t", v4)
+    assert len(store.versions("t")) == 3
