@@ -321,3 +321,36 @@ def b79_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@register(
+    "c90_interval_join",
+    """WITH c AS (SELECT user_id, event_id AS l_id, ts AS ts_l
+                 FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id AS r_id, ts AS ts_r
+                 FROM events WHERE event_type = 'purchase')
+       SELECT c.user_id, l_id, r_id
+       FROM c JOIN p ON c.user_id = p.user_id
+         AND p.ts_r >= c.ts_l
+         AND p.ts_r <= c.ts_l + INTERVAL 30 MINUTE
+       ORDER BY l_id, r_id""",
+)
+def c90_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (click→purchase attribution within 30
+    min) — the BATCH twin of streaming.analytics.interval_join, same
+    code path, oracle-checked. The equi-key (user_id) carries the
+    shuffle; the range predicate filters inside the joined key group, so
+    there is no Cartesian blow-up at scale. Timestamps stay internal
+    (event ids are the output), sidestepping ns-vs-µs representation."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.analytics import (
+        interval_join,
+    )
+
+    ev = tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return (
+        interval_join(clicks, purchases, delay=None)
+        .select("user_id", "l_id", "r_id")
+        .orderBy("l_id", "r_id")
+    )
