@@ -141,6 +141,43 @@ def test_incremental_index_equals_batch_recompute(spark, tmp_path, n_buckets):
     assert [(r.n, r.keeper) for r in exact] == [(2, 1)]
 
 
+def test_index_survives_checkpoint_restart(spark, tmp_path):
+    """A fresh Pipeline on the same checkpoint must not corrupt the index
+    (no double-apply of old batches) and must fold new batches in — the
+    incremental == recompute invariant holds across restarts."""
+    import pathlib
+
+    spec = _spec(tmp_path)
+    write_stream_files(
+        spec.source_dir,
+        [
+            doc_envelope("r", 1, 1, BASE),
+            doc_envelope("r", 2, 2, BASE),
+            doc_envelope("c", 3, 3, NEAR),
+        ],
+        files=1,
+    )
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    _assert_index_equals_recompute(spark, pipe)
+
+    # new batch after restart: update 3 to an exact dup of 1, add 4
+    more = [
+        doc_envelope("u", 4, 3, BASE),
+        doc_envelope("c", 5, 4, OTHER),
+    ]
+    with open(pathlib.Path(spec.source_dir) / "batch-late.json", "w") as f:
+        for e in more:
+            f.write(json.dumps(e) + "\n")
+    pipe2 = Pipeline(spark, spec)  # fresh instance, same checkpoint
+    pipe2.process_available()
+    pipe2.stop()
+    _assert_index_equals_recompute(spark, pipe2)
+    exact = pipe2.indexes["docs"].exact_duplicates(spark).collect()
+    assert [(r.n, r.keeper) for r in exact] == [(3, 1)]  # 1,2,3 identical
+
+
 def test_cli_duplicates_verb(spark, tmp_path, capsys):
     """quickstart a doc pipeline from a spec file (registry round-trips
     index_text_col), then query the index through the CLI."""
