@@ -50,6 +50,12 @@ for name, fn in sorted(queries.items()):
                 return "int"
             if any(k in t for k in ("float","double","real","decimal")):
                 return "float" if "decimal" not in t else "dec"
+            if any(k in t for k in ("string","varchar","text","char")):
+                return "str"
+            if "bool" in t:
+                return "bool"
+            if "timestamp" in t:
+                return "ts"
             return t
         for c in stypes:
             if c in dtypes and klass(stypes[c]) != klass(dtypes[c]):
