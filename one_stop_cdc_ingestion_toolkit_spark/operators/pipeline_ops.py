@@ -314,6 +314,50 @@ def c88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_quality: float = 0.2,
+    near_dup: bool = True,
+) -> DataFrame:
+    """The composed training-data cleanup pipeline, end to end:
+
+    1. quality gate  — drop docs below ``min_quality`` (text.quality_score)
+    2. exact dedup   — keep the lowest id per normalization fingerprint
+    3. near-dup pass — MinHash-LSH candidate pairs; greedily keep the
+       lower id of every pair (after this, no candidate pair has both
+       members surviving — re-running the pair generator on the output
+       yields pairs only among already-kept docs, which is empty by
+       construction of the drop set)
+
+    Each stage is one of the engine's tested primitives; the composition
+    adds no new shuffle beyond theirs. Deterministic: ids, not random
+    choices, decide survivors — a re-run (or task retry) keeps exactly
+    the same documents.
+    """
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.text import (
+        fingerprint,
+        quality_score,
+    )
+
+    good = df.filter(quality_score(F.col(text_col)) >= min_quality)
+    w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
+    uniq = (
+        good.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not near_dup:
+        return uniq
+    pairs = minhash_lsh_pairs(uniq, id_col, text_col)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return uniq.join(losers, id_col, "left_anti")
+
+
 @register(
     "c89_vocabulary",
     r"""WITH words AS (

@@ -62,3 +62,44 @@ def test_stratified_rate_bounds(spark):
     assert none == 0
     all_ = df.filter(keep_stratified(F.col("id"), F.lit("g"))).count()
     assert all_ == 2000  # every hex digit < 'g'
+
+
+def test_clean_corpus_invariants(spark):
+    """The composed cleanup pipeline: output ⊆ input, no surviving exact
+    dups, no candidate near-dup pair with both members surviving, quality
+    floor respected, and fully deterministic across runs."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.pipeline_ops import (
+        clean_corpus,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.text import (
+        fingerprint,
+        quality_score,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = clean_corpus(docs, "doc_id", "text", min_quality=0.2)
+    out_rows = out.collect()
+    release_caches()
+    in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    out_ids = {r.doc_id for r in out_rows}
+    assert out_ids <= in_ids and out_ids
+    # quality floor
+    q = docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    qmap = {r.doc_id: r.q for r in q}
+    assert all(qmap[i] >= 0.2 for i in out_ids)
+    # no exact dups survive
+    fps = out.select(fingerprint(F.col("text")).alias("fp")).collect()
+    assert len(fps) == len({r.fp for r in fps})
+    # no candidate pair has both members surviving
+    surviving_pairs = minhash_lsh_pairs(out, "doc_id", "text").collect()
+    release_caches()
+    assert surviving_pairs == []
+    # deterministic
+    again = {r.doc_id for r in clean_corpus(docs, "doc_id", "text", 0.2).collect()}
+    release_caches()
+    assert again == out_ids
