@@ -358,6 +358,87 @@ def clean_corpus(
     return uniq.join(losers, id_col, "left_anti")
 
 
+def _clean_corpus_oracle() -> str:
+    """DuckDB twin of clean_corpus(min_quality=0.2) + per-lang stats:
+    quality gate → fingerprint keep-first → LSH candidate pairs (q43's
+    oracle construction) → drop every id_b → aggregate."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_P,
+        SHINGLE_K,
+    )
+
+    mins = ", ".join(
+        f"MIN((h*{a}+{b})%{MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, mh{a} || '|' || mh{b} AS band_sig FROM sig"
+        for i, (a, b) in enumerate(MINHASH_BANDS)
+    )
+    return rf"""WITH scored AS (
+          SELECT *, ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+                          / 100.0, 1.0)
+                    * (1.0 - CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                                  AS DOUBLE)
+                            / GREATEST(length(text), 1)), 4) AS q
+          FROM documents
+        ),
+        good AS (SELECT * FROM scored WHERE q >= 0.2),
+        uniq AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+              ORDER BY doc_id) AS rn
+            FROM good) WHERE rn = 1
+        ),
+        w AS (
+          SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS words
+          FROM uniq
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(words) - {SHINGLE_K - 1}),
+                        i -> array_to_string(words[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+          FROM w WHERE len(words) >= {SHINGLE_K}
+        ),
+        base AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+          FROM sh
+        ),
+        sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+        bands AS ({bands}),
+        losers AS (
+          SELECT DISTINCT b.doc_id
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        )
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM uniq ANTI JOIN losers USING (doc_id)
+        GROUP BY lang ORDER BY lang"""
+
+
+@register("c91_clean_corpus_stats", _clean_corpus_oracle())
+def c91_clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked evidence for the COMPOSED cleanup pipeline: per-lang
+    doc count and id-sum checksum of clean_corpus output, hash-matched
+    against a full SQL re-derivation (quality gate → fingerprint dedup →
+    LSH pair removal) in DuckDB."""
+    d = tables(spark, sf_dir)["documents"]
+    cleaned = clean_corpus(d, "doc_id", "text", min_quality=0.2)
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 @register(
     "c89_vocabulary",
     r"""WITH words AS (
