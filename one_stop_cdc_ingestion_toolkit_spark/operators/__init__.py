@@ -42,8 +42,42 @@ def track_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+#: DataFrames lineage-truncated via localCheckpoint by iterative
+#: operators (connected components). Their backing RDDs are persistent
+#: and invisible to DataFrame.unpersist — release goes through the
+#: LogicalRDD handle below.
+_LIVE_CHECKPOINTS: list[DataFrame] = []
+
+
+def track_local_checkpoint(df: DataFrame) -> DataFrame:
+    """``df.localCheckpoint(eager=True)`` with session-scoped bookkeeping.
+
+    Iterative operators MUST truncate lineage each round — a loop that
+    rebuilds a DataFrame on top of its previous generation grows the
+    logical plan exponentially (each round references the prior labels
+    several times) until plan construction itself overflows. Checkpointing
+    cuts the plan back to a single LogicalRDD scan per round.
+    """
+    out = df.localCheckpoint(eager=True)
+    _LIVE_CHECKPOINTS.append(out)
+    return out
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free one checkpointed DataFrame's backing RDD immediately (loop
+    generations that are superseded mid-iteration). After this the
+    DataFrame is NOT recomputable — only call on dead generations."""
+    plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+    plan.rdd().unpersist(False)
+    try:
+        _LIVE_CHECKPOINTS.remove(df)
+    except ValueError:
+        pass
+
+
 def release_caches() -> int:
-    """Unpersist every tracked cache; returns how many were released.
+    """Unpersist every tracked cache and checkpoint; returns how many
+    were released.
 
     Call between queries in sweep/bench loops. Blocking=False: eviction
     proceeds asynchronously, the next query does not wait on it.
@@ -51,6 +85,10 @@ def release_caches() -> int:
     n = 0
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist(blocking=False)
+        n += 1
+    while _LIVE_CHECKPOINTS:
+        df = _LIVE_CHECKPOINTS.pop()
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
         n += 1
     return n
 
@@ -70,6 +108,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so REGISTRY is fully populated."""
     from one_stop_cdc_ingestion_toolkit_spark.operators import (  # noqa: F401
+        advanced,
         dedup,
         extras,
         multimodal,
