@@ -579,3 +579,118 @@ def d97_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# e98 — semantic duplicate clusters (embedding-space connected components)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_THRESHOLD = 0.3  # matches b55 (calibrated to the random fixture)
+
+
+def _semantic_clusters_oracle() -> str:
+    """Recursive-CTE oracle over b55's embedding-LSH pair construction."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+        _duck_cos,
+        _duck_signature,
+    )
+
+    return rf"""WITH RECURSIVE sig AS (
+          SELECT vec_id, embedding, {_duck_signature()} AS s FROM embeddings
+        ),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+          WHERE {_duck_cos('a.embedding', 'b.embedding')} >= {SEMANTIC_THRESHOLD}
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        )
+        SELECT node AS vec_id, MIN(r) AS cluster_id
+        FROM reach GROUP BY node ORDER BY vec_id"""
+
+
+@register("e98_semantic_clusters", _semantic_clusters_oracle())
+def e98_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup clusters: connected components over the
+    embedding-cosine near-dup graph (b55's LSH-bucketed pair space, so
+    candidate generation is per-bucket, never all-pairs). Composes two
+    already-proven primitives — lsh-bucketed pair finding and pointer-
+    jumping label propagation — into the semantic-dedup step a training
+    pipeline runs after exact/minhash dedup."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+        cosine,
+        lsh_signature,
+    )
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    sig = track_cache(
+        emb.select("vec_id", "embedding", lsh_signature(F.col("embedding")).alias("s"))
+    )
+    a = sig.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "s")
+    b = sig.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= SEMANTIC_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e99 — join-key skew audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e99_skew_audit",
+    """WITH k AS (
+         SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+       ),
+       g AS (
+         SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys FROM k
+       )
+       SELECT key, n,
+              ROUND(CAST(n AS DOUBLE) / (SELECT total FROM g), 6) AS share,
+              ROUND(CAST(n AS DOUBLE) * (SELECT n_keys FROM g)
+                    / (SELECT total FROM g), 4) AS skew_factor
+       FROM k ORDER BY n DESC, key LIMIT 5""",
+)
+def e99_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: the top-5 heaviest keys with their share of
+    rows and skew factor (key count / mean key count) — the measurement
+    that decides operators/skew.py's salt factor before a big join. One
+    partial-agg shuffle on the key + a 1-row broadcast of the totals;
+    top-5 via TakeOrderedAndProject. skew_factor > ~4 on a head key is
+    the standard trigger for salting (or AQE skew-join at runtime)."""
+    li = tables(spark, sf_dir)["lineitem"]
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    g = k.agg(
+        F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        k.crossJoin(F.broadcast(g))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n").cast("double") * F.col("n_keys") / F.col("total"), 4
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(5)
+    )

@@ -191,6 +191,37 @@ def test_tfidf_topk_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in physical_plan(d93_tfidf_topterms(spark, SF_DIR))
 
 
+def test_semantic_clusters_consistent_with_pairs(spark):
+    """Every b55 near-dup pair must land in one cluster, and each cluster
+    id must equal the min vec_id of its members."""
+    from collections import defaultdict
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators import (
+        load_all,
+        release_caches,
+    )
+
+    reg = load_all()
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in reg["b55_embedding_neardup"].fn(spark, SF_DIR).collect()
+    ]
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in reg["e98_semantic_clusters"].fn(spark, SF_DIR).collect()
+    }
+    release_caches()
+    assert pairs, "fixture must produce at least one near-dup pair"
+    members = defaultdict(set)
+    for v, c in clusters.items():
+        members[c].add(v)
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], (a, b)
+    for c, vs in members.items():
+        assert c == min(vs)
+    assert set(clusters) == {v for p in pairs for v in p}
+
+
 def test_pmi_uses_take_ordered(spark):
     from one_stop_cdc_ingestion_toolkit_spark.operators.advanced import (
         d97_pmi_collocations,
