@@ -49,6 +49,9 @@ from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
     BucketedTableStore,
 )
 
+#: Reserved lake table holding quarantined (malformed) source records.
+DLQ_TABLE = "_dlq"
+
 
 @dataclass
 class TableSpec:
@@ -172,6 +175,23 @@ class Pipeline:
                     apply_schema_changes(self.schemas, ddl_events)
                 )
             data = raw.filter(~is_ddl)
+            # Dead-letter quarantine: records that are not parseable
+            # envelopes (broken JSON, missing op/source.table) must not
+            # vanish silently — the reference's only diagnosis is grepping
+            # connector logs for 'error|failed' (A27,
+            # bin/mskc-connector.sh:491-499); the engine materializes the
+            # offending records themselves. Valid envelopes for
+            # undeclared tables are NOT dead letters (include-list
+            # semantics, A3) and are dropped as before.
+            val = F.col("value").cast("string")
+            malformed = (
+                F.get_json_object(val, "$.op").isNull()
+                | F.get_json_object(val, "$.source.table").isNull()
+            )
+            bad = data.filter(malformed)
+            if not bad.isEmpty():
+                self._quarantine(bad)
+            data = data.filter(~malformed)
             for tspec in self.spec.tables:
                 # Effective row schema: when the declared schema is already
                 # a registered version, the stream may have evolved past it
@@ -208,6 +228,31 @@ class Pipeline:
                     mine.unpersist()
         finally:
             raw.unpersist()
+
+    def _quarantine(self, bad: DataFrame) -> None:
+        """Append malformed records to the reserved ``_dlq`` table.
+
+        Replay-idempotent under at-least-once delivery: the union is
+        deduplicated on the raw value, so re-processing a batch after a
+        crash does not double-count dead letters. DLQ volume is bounded
+        by the malformed-record rate, not data volume."""
+        val = F.col("value").cast("string")
+        reason = F.when(
+            F.get_json_object(val, "$.op").isNull(), F.lit("not_an_envelope")
+        ).otherwise(F.lit("missing_source_table"))
+        key = (
+            F.col("key").cast("string")
+            if "key" in bad.columns
+            else F.lit(None).cast("string")
+        )
+        rows = bad.select(key.alias("key"), val.alias("value"), reason.alias("reason"))
+        current = self.store.read(self.spark, DLQ_TABLE)
+        merged = rows if current is None else current.unionByName(rows)
+        self.store.write(merged.dropDuplicates(["value"]), DLQ_TABLE)
+
+    def read_dlq(self) -> DataFrame | None:
+        """Quarantined records (key, value, reason), or None if clean."""
+        return self.store.read(self.spark, DLQ_TABLE)
 
     def _update_index(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Fold this batch into the table's dedup index, if configured.
@@ -356,6 +401,7 @@ class Pipeline:
 
             shutil.rmtree(self.spec.checkpoint_dir, ignore_errors=True)
             if drop_data:
+                self.store.drop(DLQ_TABLE)
                 for t in self.spec.tables:
                     self.store.drop(t.name)
                 for index in self.indexes.values():
