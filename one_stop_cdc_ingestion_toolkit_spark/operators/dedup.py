@@ -74,15 +74,13 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 
-def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, band_idx, band_sig) LSH band rows — the minhash signature
-    exploded into its bands. Shared by the batch pair-finder below and
-    the incremental ``streaming.dedup_index.DedupIndex``.
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, mh0..mh7) minhash signature per document.
 
     Plan shape: explode shingles → md5 (whole-stage codegen, not an
     interpreted array lambda) → groupBy(doc) with 8 min() aggregates —
     map-side partial agg means the shuffle carries just 8 longs per doc
-    per partition — → explode 4 band rows.
+    per partition.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -91,12 +89,16 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     h = sh.select(
         "id", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h")
     )
-    sig = h.groupBy("id").agg(
+    return h.groupBy("id").agg(
         *[
             F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
+
+
+def sig_band_rows(sig: DataFrame) -> DataFrame:
+    """(id, band_idx, band_sig) LSH band rows from a signature frame."""
     return sig.select(
         "id",
         F.array(
@@ -106,6 +108,13 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ]
         ).alias("bands"),
     ).select("id", F.posexplode("bands").alias("band_idx", "band_sig"))
+
+
+def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_idx, band_sig) LSH band rows — the minhash signature
+    exploded into its bands. Shared by the batch pair-finder below and
+    the incremental ``streaming.dedup_index.DedupIndex``."""
+    return sig_band_rows(minhash_signatures(df, id_col, text_col))
 
 
 def band_pairs(bands: DataFrame) -> DataFrame:
