@@ -70,11 +70,17 @@ def apply_changes(
         # Align old-schema state to the CURRENT row schema — this is
         # BACKWARD compatibility applied to live state: columns the new
         # schema dropped are not selected; columns it added (nullable by
-        # the SchemaStore gate) read as NULL from old rows.
+        # the SchemaStore gate) read as NULL from old rows. Existing
+        # columns are CAST to the current type: under the NONE/FORWARD
+        # modes a type can legally change (e.g. INT → VARCHAR), and
+        # without the explicit cast the union's implicit coercion picks
+        # its own winner (observed: string+int widened to BIGINT, which
+        # then throws on non-numeric new data instead of widening old
+        # ints to string).
         pseudo_row = F.struct(
             *[
                 (
-                    F.col(f.name)
+                    F.col(f.name).cast(f.dataType)
                     if f.name in state.columns
                     else F.lit(None).cast(f.dataType)
                 ).alias(f.name)

@@ -57,17 +57,22 @@ def decode_json(
     row_schema: T.StructType,
     value_col: str = "value",
     key_col: str | None = "key",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Decode a JSON-serialized envelope column into typed envelope columns.
 
     Input: raw records with a string ``value`` (and optional string key —
     the reference's key converter is StringConverter with schemas disabled).
-    Output columns: ``key?, before, after, op, ts_ms, source``.
+    Output columns: ``key?, before, after, op, ts_ms, source`` — plus the
+    raw value string as ``_raw`` when ``keep_raw`` (so callers can
+    quarantine records whose payload failed to decode).
     """
     env = F.from_json(F.col(value_col).cast("string"), envelope_schema(row_schema))
     cols = []
     if key_col is not None and key_col in df.columns:
         cols.append(F.col(key_col).cast("string").alias("key"))
+    if keep_raw:
+        cols.append(F.col(value_col).cast("string").alias("_raw"))
     cols += [
         env["before"].alias("before"),
         env["after"].alias("after"),

@@ -51,6 +51,10 @@ from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
 
 #: Reserved lake table holding quarantined (malformed) source records.
 DLQ_TABLE = "_dlq"
+#: Durable staging snapshot during ``replay_dlq`` — survives a crash
+#: mid-replay; a fresh replay resumes from it (replay is idempotent:
+#: CDC merge dedups per key by sequence, quarantine dedups by value).
+DLQ_REPLAY_TABLE = "_dlq_replay"
 
 
 @dataclass
@@ -190,7 +194,20 @@ class Pipeline:
             )
             bad = data.filter(malformed)
             if not bad.isEmpty():
-                self._quarantine(bad)
+                reason = F.when(
+                    F.get_json_object(val, "$.op").isNull(),
+                    F.lit("not_an_envelope"),
+                ).otherwise(F.lit("missing_source_table"))
+                key = (
+                    F.col("key").cast("string")
+                    if "key" in bad.columns
+                    else F.lit(None).cast("string")
+                )
+                self._quarantine(
+                    bad.select(
+                        key.alias("key"), val.alias("value"), reason.alias("reason")
+                    )
+                )
             data = data.filter(~malformed)
             for tspec in self.spec.tables:
                 # Effective row schema: when the declared schema is already
@@ -203,7 +220,7 @@ class Pipeline:
                     row_schema = versions[-1]
                 else:
                     row_schema = tspec.row_schema
-                decoded = decode_json(data, row_schema)
+                decoded = decode_json(data, row_schema, keep_raw=True)
                 if self.spec.database_include:
                     # database.include.list (A3): restrict captured schemas
                     decoded = decoded.filter(
@@ -213,10 +230,31 @@ class Pipeline:
                 try:
                     if mine.isEmpty():
                         continue
+                    # Decode-mismatch quarantine: a payload field that is
+                    # NULL after from_json but present in the raw JSON was
+                    # silently dropped by PERMISSIVE parsing (type drift —
+                    # e.g. upstream widened int→string ahead of the DDL
+                    # event). Without this the merge writes a null over
+                    # real data; with it the record waits in _dlq until
+                    # the schema evolves, then replay_dlq() re-decodes it.
+                    bad_decode = self._decode_mismatch(row_schema)
+                    ok = mine
+                    badd = mine.filter(bad_decode)
+                    if not badd.isEmpty():
+                        self._quarantine(
+                            badd.select(
+                                F.col("key"),
+                                F.col("_raw").alias("value"),
+                                F.lit("decode_mismatch").alias("reason"),
+                            )
+                        )
+                        ok = mine.filter(~bad_decode)
+                        if ok.isEmpty():
+                            continue
                     # schema auto-registration + BACKWARD gate (A10/A11):
                     # no-op when row_schema is already the latest version.
                     self.schemas.register(tspec.name, row_schema)
-                    changes = flatten_changes(mine, tspec.key_cols)
+                    changes = flatten_changes(ok, tspec.key_cols)
                     if tspec.n_buckets:
                         self._apply_bucketed(tspec, changes)
                     else:
@@ -229,23 +267,38 @@ class Pipeline:
         finally:
             raw.unpersist()
 
-    def _quarantine(self, bad: DataFrame) -> None:
-        """Append malformed records to the reserved ``_dlq`` table.
+    def _decode_mismatch(self, row_schema) -> F.Column:
+        """Predicate over decoded envelope rows (with ``_raw``): true when
+        the after/before payload lost data in PERMISSIVE parsing.
+
+        A side is bad when its raw JSON is present but either (a) it is
+        not an object (map parse fails), or (b) some schema field decoded
+        to NULL while the raw JSON carries a non-null value for it — the
+        signature of type drift. Missing fields are NOT flagged (nullable
+        columns are legitimate; adding them is what BACKWARD evolution
+        allows)."""
+
+        def side_bad(side: str) -> F.Column:
+            raw = F.get_json_object(F.col("_raw"), f"$.{side}")
+            m = F.from_json(raw, "map<string,string>")
+            dropped = [
+                F.col(side).getField(f).isNull() & m.getItem(f).isNotNull()
+                for f in row_schema.fieldNames()
+            ]
+            any_dropped = dropped[0]
+            for c in dropped[1:]:
+                any_dropped = any_dropped | c
+            return raw.isNotNull() & (m.isNull() | any_dropped)
+
+        return side_bad("after") | side_bad("before")
+
+    def _quarantine(self, rows: DataFrame) -> None:
+        """Append (key, value, reason) rows to the reserved ``_dlq`` table.
 
         Replay-idempotent under at-least-once delivery: the union is
         deduplicated on the raw value, so re-processing a batch after a
         crash does not double-count dead letters. DLQ volume is bounded
         by the malformed-record rate, not data volume."""
-        val = F.col("value").cast("string")
-        reason = F.when(
-            F.get_json_object(val, "$.op").isNull(), F.lit("not_an_envelope")
-        ).otherwise(F.lit("missing_source_table"))
-        key = (
-            F.col("key").cast("string")
-            if "key" in bad.columns
-            else F.lit(None).cast("string")
-        )
-        rows = bad.select(key.alias("key"), val.alias("value"), reason.alias("reason"))
         current = self.store.read(self.spark, DLQ_TABLE)
         merged = rows if current is None else current.unionByName(rows)
         self.store.write(merged.dropDuplicates(["value"]), DLQ_TABLE)
@@ -253,6 +306,32 @@ class Pipeline:
     def read_dlq(self) -> DataFrame | None:
         """Quarantined records (key, value, reason), or None if clean."""
         return self.store.read(self.spark, DLQ_TABLE)
+
+    def replay_dlq(self) -> int:
+        """Re-process quarantined records through the normal batch path;
+        returns how many left the DLQ (decoded + merged this time).
+
+        Use after the cause is fixed — e.g. a DDL event (A5) or redeployed
+        spec evolved the table schema past the type drift that quarantined
+        them. Crash-safe: the DLQ snapshot is staged to a durable table
+        before the live DLQ is cleared, and a later call resumes from the
+        stage (both merge and quarantine are idempotent, so a double
+        replay converges)."""
+        staged = self.store.read(self.spark, DLQ_REPLAY_TABLE)
+        if staged is None:
+            dlq = self.read_dlq()
+            if dlq is None or dlq.isEmpty():
+                return 0
+            self.store.write(dlq, DLQ_REPLAY_TABLE)
+            staged = self.store.read(self.spark, DLQ_REPLAY_TABLE)
+        n_staged = staged.count()
+        self.store.drop(DLQ_TABLE)
+        # still-bad records re-quarantine themselves inside apply_batch
+        self.apply_batch(staged.select("key", "value"))
+        still = self.store.read(self.spark, DLQ_TABLE)
+        n_still = 0 if still is None else still.count()
+        self.store.drop(DLQ_REPLAY_TABLE)
+        return n_staged - n_still
 
     def _update_index(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Fold this batch into the table's dedup index, if configured.
@@ -378,13 +457,17 @@ class Pipeline:
         self.query.processAllAvailable()
 
     def status(self) -> dict:
-        """Connector-state analogue (A16)."""
+        """Connector-state analogue (A16), plus the dead-letter depth —
+        the first number an operator checks when a table looks stale."""
+        dlq = self.read_dlq()
+        dlq_rows = 0 if dlq is None else dlq.count()
         if self.query is None:
-            return {"state": "STOPPED"}
+            return {"state": "STOPPED", "dlq_rows": dlq_rows}
         return {
             "state": "RUNNING" if self.query.isActive else "TERMINATED",
             "status": self.query.status,
             "exception": self.query.exception(),
+            "dlq_rows": dlq_rows,
         }
 
     def stop(self) -> None:
@@ -402,6 +485,7 @@ class Pipeline:
             shutil.rmtree(self.spec.checkpoint_dir, ignore_errors=True)
             if drop_data:
                 self.store.drop(DLQ_TABLE)
+                self.store.drop(DLQ_REPLAY_TABLE)
                 for t in self.spec.tables:
                     self.store.drop(t.name)
                 for index in self.indexes.values():

@@ -89,3 +89,87 @@ def test_clean_stream_has_no_dlq(spark, tmp_path):
     pipe.process_available()
     pipe.stop()
     assert pipe.read_dlq() is None
+
+# ---------------------------------------------------------------------------
+# decode-mismatch quarantine + replay
+# ---------------------------------------------------------------------------
+
+def _mismatch_record() -> dict:
+    """Valid envelope for person whose ``age`` is a string — type drift
+    ahead of the DDL event (upstream widened INT → VARCHAR)."""
+    return {
+        "key": "eve",
+        "value": json.dumps(
+            {
+                "before": None,
+                "after": {"firstName": "eve", "lastName": "lee", "age": "x35"},
+                "op": "c",
+                "ts_ms": 1_700_000_000_009,
+                "source": {"db": "cdc_test_db", "table": "person", "pos": 9,
+                           "server_id": 1},
+            }
+        ),
+    }
+
+
+def test_decode_mismatch_quarantined(spark, tmp_path):
+    """PERMISSIVE parsing would merge eve with age=NULL (silent data
+    loss); the pipeline must quarantine the record instead."""
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS + [_mismatch_record()])
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    assert _state(pipe.read_table("person")) == GOLDEN_STATE  # no eve
+    dlq = {r["key"]: r["reason"] for r in pipe.read_dlq().collect()}
+    assert dlq == {"eve": "decode_mismatch"}
+    assert pipe.status()["dlq_rows"] == 1
+
+
+def test_replay_after_schema_evolution(spark, tmp_path):
+    """The quarantined record becomes decodable once a DDL event widens
+    age to VARCHAR; replay_dlq() merges it and empties the DLQ."""
+    from tests.cdc_fixtures import schema_change_event
+
+    spec = _spec(tmp_path)
+    spec.compatibility = "NONE"  # type widening is not BACKWARD
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS + [_mismatch_record()])
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    assert pipe.status()["dlq_rows"] == 1
+    # DDL arrives on the stream (A5): age INT -> VARCHAR
+    with open(f"{spec.source_dir}/ddl.json", "w") as f:
+        f.write(
+            json.dumps(
+                schema_change_event(
+                    [("firstName", "VARCHAR", True), ("lastName", "VARCHAR", True),
+                     ("age", "VARCHAR", True)],
+                    ddl="ALTER TABLE person MODIFY age varchar(16)",
+                )
+            )
+            + "\n"
+        )
+    pipe.process_available()
+    n = pipe.replay_dlq()
+    pipe.stop()
+    assert n == 1
+    state = _state(pipe.read_table("person"))
+    assert state["eve"] == ("eve", "lee", "x35")
+    # pre-evolution rows survive with their values widened to string
+    assert state["alice"] == ("alice", "brown", "31")
+    dlq = pipe.read_dlq()
+    assert dlq is None or dlq.count() == 0
+    assert pipe.status()["dlq_rows"] == 0
+
+
+def test_replay_still_bad_records_stay(spark, tmp_path):
+    """Replaying without fixing anything re-quarantines every record and
+    reports zero repaired."""
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS + BROKEN)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    assert pipe.replay_dlq() == 0
+    pipe.stop()
+    assert pipe.read_dlq().count() == len(BROKEN)
+    assert _state(pipe.read_table("person")) == GOLDEN_STATE
