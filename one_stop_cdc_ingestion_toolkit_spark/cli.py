@@ -13,6 +13,8 @@ to engine verbs; composite verbs mirror `bin/global.sh:6-25`.
     sql              — arbitrary SQL over the lake       (A30 exec escape hatch)
     duplicates       — query a table's incremental dedup index
     gc-tombstones    — expire tombstones past the redelivery horizon
+    show-dlq         — quarantined (malformed / type-drifted) records
+    replay-dlq       — re-process the DLQ after the cause is fixed
 """
 
 from __future__ import annotations
@@ -87,6 +89,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-pos", type=int, required=True)
 
     p = sub.add_parser(
+        "show-dlq", help="quarantined (malformed / type-drifted) records"
+    )
+    p.add_argument("name")
+    p.add_argument("-n", type=int, default=20)
+
+    p = sub.add_parser(
+        "replay-dlq",
+        help="re-process the DLQ after the cause is fixed (e.g. schema evolved)",
+    )
+    p.add_argument("name")
+
+    p = sub.add_parser(
         "duplicates",
         help="query a table's incremental dedup index (TableSpec.index_text_col)",
     )
@@ -139,6 +153,22 @@ def main(argv: list[str] | None = None) -> int:
         pipe = Pipeline(get_session("osci-spark"), spec)
         removed = pipe.gc_tombstones(args.min_pos)
         print(json.dumps(removed))
+        return 0
+
+    if args.verb in ("show-dlq", "replay-dlq"):
+        spec = reg.get(args.name)
+        if spec is None:
+            print(f"unknown pipeline: {args.name}", file=sys.stderr)
+            return 1
+        pipe = Pipeline(get_session("osci-spark"), spec)
+        if args.verb == "show-dlq":
+            dlq = pipe.read_dlq()
+            if dlq is None or dlq.isEmpty():
+                print("DLQ empty")
+            else:
+                dlq.show(args.n, truncate=False)
+        else:
+            print(json.dumps({"replayed": pipe.replay_dlq()}))
         return 0
 
     if args.verb in ("start-pipeline", "pipeline-status", "remove-pipeline"):

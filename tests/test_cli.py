@@ -119,3 +119,30 @@ def test_cli_gc_tombstones(spark, tmp_path, capsys):
     assert main(
         ["--registry", registry, "gc-tombstones", "nope", "--min-pos", "7"]
     ) == 1
+
+
+def test_cli_dlq_verbs(spark, tmp_path, capsys):
+    """show-dlq surfaces quarantined records; replay-dlq reports how many
+    were repaired (0 here — the records are truly malformed)."""
+    spec = PipelineSpec(
+        name="pdlq",
+        source_dir=str(tmp_path / "stream"),
+        tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    broken = [{"key": "x1", "value": "{not json"}]
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS + broken, files=1)
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec_to_json(spec)))
+    registry = str(tmp_path / "pipelines.json")
+
+    assert main(["--registry", registry, "quickstart", str(spec_file)]) == 0
+    capsys.readouterr()
+    assert main(["--registry", registry, "show-dlq", "pdlq"]) == 0
+    out = capsys.readouterr().out
+    assert "not_an_envelope" in out
+    assert main(["--registry", registry, "replay-dlq", "pdlq"]) == 0
+    assert json.loads(capsys.readouterr().out)["replayed"] == 0
+    assert main(["--registry", registry, "show-dlq", "pdlq"]) == 0
+    assert "not_an_envelope" in capsys.readouterr().out
