@@ -116,6 +116,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_ops,
         relational,
         relational2,
+        retrieval,
         similarity,
         text,
     )
