@@ -225,3 +225,52 @@ def f107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# f108 — mergeable sketch rollup
+# ---------------------------------------------------------------------------
+
+#: Relative tolerance for the sketch contract: Datasketches HLL at the
+#: default lgConfigK=12 has ~1.6% relative standard error; 5% is >3 sigma.
+SKETCH_TOL = 0.05
+
+
+@register(
+    "f108_sketch_rollup",
+    """SELECT event_type AS grp,
+              COUNT(DISTINCT user_id) AS exact, TRUE AS within_tol
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
+       ORDER BY grp""",
+)
+def f108_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-user rollup proving sketch MERGEABILITY: the
+    global estimate is computed by union-merging the per-event-type HLL
+    sketches — never by rescanning the events — which is exactly how a
+    100 TB deployment serves "distinct users, any slice" (store partial
+    sketches per partition/day, merge at query time; cost is sketch
+    count, not data size).
+
+    Oracle contract (the b59 pattern): raw sketch estimates are
+    engine-specific, so each row emits the exact count plus a boolean
+    asserting the estimate landed within SKETCH_TOL of it; the oracle
+    emits literal TRUE. Deterministic for fixed input — not flaky."""
+    ev = tables(spark, sf_dir)["events"]
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    within = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))
+        <= F.lit(SKETCH_TOL) * F.col("exact")
+    ).alias("within_tol")
+    per_rows = per.select(F.col("event_type").alias("grp"), "exact", within)
+    # global: merged partial sketches only; the exact rescan exists to
+    # CHECK the estimate, it is not the production read path
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).crossJoin(
+        F.broadcast(ev.agg(F.count_distinct("user_id").alias("exact")))
+    )
+    gl = merged.select(F.lit("ALL").alias("grp"), "exact", within)
+    return per_rows.unionByName(gl).orderBy("grp")
