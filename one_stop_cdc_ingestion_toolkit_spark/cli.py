@@ -15,6 +15,7 @@ to engine verbs; composite verbs mirror `bin/global.sh:6-25`.
     gc-tombstones    — expire tombstones past the redelivery horizon
     show-dlq         — quarantined (malformed / type-drifted) records
     replay-dlq       — re-process the DLQ after the cause is fixed
+    search           — BM25 search over a table's incremental search index
 """
 
 from __future__ import annotations
@@ -87,6 +88,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("name")
     p.add_argument("--min-pos", type=int, required=True)
+
+    p = sub.add_parser(
+        "search",
+        help="BM25 keyword search over a table's incremental search index",
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("table")
+    p.add_argument("terms", nargs="+")
+    p.add_argument("-k", type=int, default=10)
 
     p = sub.add_parser(
         "show-dlq", help="quarantined (malformed / type-drifted) records"
@@ -206,6 +216,19 @@ def main(argv: list[str] | None = None) -> int:
         if not args.raw:
             df = snapshot(df)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.verb == "search":
+        from one_stop_cdc_ingestion_toolkit_spark.streaming.search_index import (
+            SearchIndex,
+        )
+
+        spark = get_session("osci-spark")
+        sindex = SearchIndex(BucketedTableStore(args.sink_dir), args.table)
+        if sindex.read(spark) is None:
+            print(f"no search index for table: {args.table}", file=sys.stderr)
+            return 1
+        sindex.bm25(spark, args.terms, args.k).show(args.k, truncate=False)
         return 0
 
     if args.verb == "duplicates":

@@ -86,9 +86,29 @@ def _bm25_sql() -> str:
         )"""
 
 
+def bm25_partial(
+    tf: Column, dl: Column, df: Column, n: Column, avgdl: Column
+) -> Column:
+    """One term's BM25 contribution: idf(n, df) x saturation(tf, dl).
+    Shared by the batch operator below and the incremental
+    ``streaming.search_index.SearchIndex`` so both paths score
+    identically."""
+    idf = F.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    weight = (tf * (BM25_K1 + 1)) / (
+        tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl)
+    )
+    return idf * weight
+
+
+def tokenize(text: Column) -> Column:
+    """The engine's lexical tokenization (shared with the oracle twin
+    _WORDS_SQL): whitespace split of lower(trim(text))."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
 def _bm25_scores(d: DataFrame) -> DataFrame:
     """(doc_id, score) — engine twin of _bm25_sql over a documents frame."""
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = tokenize(F.col("text"))
     proj = d.select(
         "doc_id",
         F.size(words).alias("dl"),
@@ -109,16 +129,12 @@ def _bm25_scores(d: DataFrame) -> DataFrame:
             for i in range(len(QUERY_TERMS))
         ],
     )
-    terms = []
-    for i in range(len(QUERY_TERMS)):
-        idf = F.log(
-            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+    terms = [
+        bm25_partial(
+            F.col(f"tf{i}"), F.col("dl"), F.col(f"df{i}"), F.col("n"), F.col("avgdl")
         )
-        weight = (F.col(f"tf{i}") * (BM25_K1 + 1)) / (
-            F.col(f"tf{i}")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        )
-        terms.append(idf * weight)
+        for i in range(len(QUERY_TERMS))
+    ]
     score = terms[0]
     for t in terms[1:]:
         score = score + t

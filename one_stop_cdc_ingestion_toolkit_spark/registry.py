@@ -31,6 +31,7 @@ def spec_to_json(spec: PipelineSpec) -> dict:
                 "row_schema": t.row_schema.jsonValue(),
                 "n_buckets": t.n_buckets,
                 "index_text_col": t.index_text_col,
+                "search_text_col": t.search_text_col,
             }
             for t in spec.tables
         ],
@@ -54,6 +55,7 @@ def spec_from_json(doc: dict) -> PipelineSpec:
                 row_schema=T.StructType.fromJson(t["row_schema"]),
                 n_buckets=t.get("n_buckets"),
                 index_text_col=t.get("index_text_col"),
+                search_text_col=t.get("search_text_col"),
             )
             for t in doc["tables"]
         ],

@@ -44,6 +44,7 @@ from one_stop_cdc_ingestion_toolkit_spark.sources.schema_events import (
     apply_schema_changes,
 )
 from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import DedupIndex
+from one_stop_cdc_ingestion_toolkit_spark.streaming.search_index import SearchIndex
 from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
 from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
     BucketedTableStore,
@@ -69,6 +70,11 @@ class TableSpec:
     near-duplicate index over (``streaming.dedup_index.DedupIndex``):
     each batch fingerprints only the rows it touched. Requires a single
     key column (the document id).
+
+    ``search_text_col`` likewise maintains an incremental BM25 search
+    index (``streaming.search_index.SearchIndex``) over a text column —
+    same O(batch) touched-keys maintenance, queryable without a corpus
+    rescan.
     """
 
     name: str
@@ -76,6 +82,7 @@ class TableSpec:
     row_schema: T.StructType
     n_buckets: int | None = None
     index_text_col: str | None = None
+    search_text_col: str | None = None
 
 
 @dataclass
@@ -103,16 +110,18 @@ class PipelineSpec:
             missing = [k for k in t.key_cols if k not in t.row_schema.fieldNames()]
             if missing:
                 raise ValueError(f"{self.name}.{t.name}: key cols {missing} not in schema")
-            if t.index_text_col is not None:
+            for attr in ("index_text_col", "search_text_col"):
+                col = getattr(t, attr)
+                if col is None:
+                    continue
                 if len(t.key_cols) != 1:
                     raise ValueError(
-                        f"{self.name}.{t.name}: dedup index requires a single "
+                        f"{self.name}.{t.name}: {attr} requires a single "
                         f"key column, got {t.key_cols}"
                     )
-                if t.index_text_col not in t.row_schema.fieldNames():
+                if col not in t.row_schema.fieldNames():
                     raise ValueError(
-                        f"{self.name}.{t.name}: index_text_col "
-                        f"{t.index_text_col!r} not in schema"
+                        f"{self.name}.{t.name}: {attr} {col!r} not in schema"
                     )
 
 
@@ -151,6 +160,17 @@ class Pipeline:
             )
             for t in spec.tables
             if t.index_text_col
+        }
+        self.search_indexes: dict[str, SearchIndex] = {
+            t.name: SearchIndex(
+                self.store,
+                t.name,
+                t.key_cols[0],
+                t.search_text_col,
+                n_buckets=t.n_buckets,
+            )
+            for t in spec.tables
+            if t.search_text_col
         }
         self.query: StreamingQuery | None = None
 
@@ -344,12 +364,22 @@ class Pipeline:
         bucket-pruned (the keys lie in the buckets the merge just
         rewrote)."""
         index = self.indexes.get(tspec.name)
-        if index is None:
+        sindex = self.search_indexes.get(tspec.name)
+        if index is None and sindex is None:
             return
         keys = changes.select(*tspec.key_cols).distinct()
         state = self.store.read(self.spark, tspec.name)
         touched = state.join(keys, tspec.key_cols)
-        index.update(self.spark, touched)
+        if index is not None and sindex is not None:
+            touched = touched.persist()
+        try:
+            if index is not None:
+                index.update(self.spark, touched)
+            if sindex is not None:
+                sindex.update(self.spark, touched)
+        finally:
+            if index is not None and sindex is not None:
+                touched.unpersist()
 
     def _apply_bucketed(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Partition-scoped merge: only the key-buckets present in this
@@ -490,3 +520,5 @@ class Pipeline:
                     self.store.drop(t.name)
                 for index in self.indexes.values():
                     self.store.drop(index.index_table)
+                for sindex in self.search_indexes.values():
+                    self.store.drop(sindex.index_table)
