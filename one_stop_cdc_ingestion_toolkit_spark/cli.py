@@ -16,6 +16,7 @@ to engine verbs; composite verbs mirror `bin/global.sh:6-25`.
     show-dlq         — quarantined (malformed / type-drifted) records
     replay-dlq       — re-process the DLQ after the cause is fixed
     search           — BM25 search over a table's incremental search index
+    rebuild-index    — recompute dedup/search indexes from the snapshot
 """
 
 from __future__ import annotations
@@ -88,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("name")
     p.add_argument("--min-pos", type=int, required=True)
+
+    p = sub.add_parser(
+        "rebuild-index",
+        help="recompute a table's dedup/search indexes from its snapshot",
+    )
+    p.add_argument("name")
+    p.add_argument("table")
 
     p = sub.add_parser(
         "search",
@@ -163,6 +171,28 @@ def main(argv: list[str] | None = None) -> int:
         pipe = Pipeline(get_session("osci-spark"), spec)
         removed = pipe.gc_tombstones(args.min_pos)
         print(json.dumps(removed))
+        return 0
+
+    if args.verb == "rebuild-index":
+        spec = reg.get(args.name)
+        if spec is None:
+            print(f"unknown pipeline: {args.name}", file=sys.stderr)
+            return 1
+        pipe = Pipeline(get_session("osci-spark"), spec)
+        snap = pipe.read_table(args.table)
+        if snap is None:
+            print(f"no such table: {args.table}", file=sys.stderr)
+            return 1
+        rebuilt = []
+        for kind, idxmap in (
+            ("dedup", pipe.indexes),
+            ("search", pipe.search_indexes),
+        ):
+            idx = idxmap.get(args.table)
+            if idx is not None:
+                idx.rebuild(pipe.spark, snap)
+                rebuilt.append(kind)
+        print(json.dumps({"rebuilt": rebuilt}))
         return 0
 
     if args.verb in ("show-dlq", "replay-dlq"):

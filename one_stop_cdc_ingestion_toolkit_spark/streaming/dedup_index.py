@@ -134,3 +134,15 @@ class DedupIndex:
         """Candidate near-dup pairs (id_a < id_b) from the banded index."""
         idx = self.read(spark)
         return band_pairs(idx.select("id", "band_idx", "band_sig"))
+
+    def rebuild(self, spark: SparkSession, snapshot: DataFrame) -> None:
+        """Recompute the whole index from a table snapshot and swap it in
+        (repair for index drift — see SearchIndex.rebuild)."""
+        rows = self._index_rows(snapshot)
+        if self.n_buckets:
+            rows = rows.withColumn("__bucket", self._bucket_of(F.col("id")))
+            self.store.write_buckets(
+                rows, self.index_table, list(range(self.n_buckets))
+            )
+            return
+        self.store.write(rows, self.index_table)

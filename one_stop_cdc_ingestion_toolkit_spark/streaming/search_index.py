@@ -151,3 +151,18 @@ class SearchIndex:
             .orderBy(F.desc("score"), "id")
             .limit(k)
         )
+
+    def rebuild(self, spark: SparkSession, snapshot: DataFrame) -> None:
+        """Recompute the whole index from a table snapshot and swap it in
+        — the repair verb for index drift (e.g. a crash landed between
+        the data write and the index write, leaving the index one batch
+        behind; the atomic generation swap makes the repair itself safe
+        to re-run)."""
+        rows = self._index_rows(snapshot)
+        if self.n_buckets:
+            rows = rows.withColumn("__bucket", self._bucket_of(F.col("id")))
+            self.store.write_buckets(
+                rows, self.index_table, list(range(self.n_buckets))
+            )
+            return
+        self.store.write(rows, self.index_table)

@@ -132,3 +132,20 @@ def test_search_empty_query_terms_absent(spark, tmp_path):
     pipe.process_available()
     pipe.stop()
     assert _index_scores(spark, pipe, ["missingterm"]) == {}
+
+
+def test_rebuild_repairs_drift(spark, tmp_path):
+    """Wipe the index (simulated drift), rebuild from the snapshot, and
+    the queries come back identical."""
+    spec = _spec(tmp_path)
+    batch1 = [doc_envelope("c", i, d, t) for i, (d, t) in enumerate(DOCS, 1)]
+    write_stream_files(spec.source_dir, batch1, files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    before = _index_scores(spark, pipe, ["table", "merge"])
+    sindex = pipe.search_indexes["docs"]
+    pipe.store.drop(sindex.index_table)
+    assert sindex.read(spark) is None
+    sindex.rebuild(spark, pipe.read_table("docs"))
+    assert _index_scores(spark, pipe, ["table", "merge"]) == before
