@@ -36,17 +36,29 @@ class Catalog:
         self.spark = spark
         self.data_dir = data_dir.rstrip("/")
         self._cache: dict[str, DataFrame] = {}
+        # Event-time windows compute on epoch instants; pin UTC so their
+        # NTZ rendering is wall-clock-identical to the oracle even under a
+        # driver-built session that didn't go through get_session().
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
             if name == "events":
-                # events.ts is parquet TIMESTAMP(NANOS); Spark can only read
-                # it as ns-since-epoch longs. Set lazily so sessions built
-                # outside get_session() (e.g. the driver's) work too.
+                # Legacy fixtures store events.ts as parquet TIMESTAMP(NANOS),
+                # which Spark can only read as ns-since-epoch longs. Set lazily
+                # so sessions built outside get_session() (driver's) work too.
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            self._cache[name] = self.spark.read.parquet(
-                f"{self.data_dir}/{name}.parquet"
-            )
+            df = self.spark.read.parquet(f"{self.data_dir}/{name}.parquet")
+            if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+                # Normalize ns-long ts to the canonical µs TIMESTAMP the
+                # current fixtures ship (and DuckDB reads) — every query
+                # downstream is written against timestamp semantics.
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                )
+            self._cache[name] = df
         return self._cache[name]
 
     def __getitem__(self, name: str) -> DataFrame:

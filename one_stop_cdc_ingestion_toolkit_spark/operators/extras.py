@@ -178,7 +178,7 @@ def b67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     users per day-offset. Two keyed shuffles (first-seen agg + the
     distinct); the join broadcasts the cohort dim when small."""
     ev = tables(spark, sf_dir)["events"]
-    day = F.timestamp_micros(F.expr("ts div 1000")).cast("date")
+    day = F.col("ts").cast("date")
     ev_d = ev.select("user_id", day.alias("day"))
     firsts = ev_d.groupBy("user_id").agg(F.min("day").alias("cohort"))
     activity = (

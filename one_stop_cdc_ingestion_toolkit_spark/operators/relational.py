@@ -254,12 +254,10 @@ def q12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-row-per-key — the CDC latest-wins apply idiom (SURVEY §2.1 A15).
     Window shuffles once on user_id; filter-before-window prunes input.
 
-    ts arrives as ns-since-epoch longs (nanosAsLong); order on the
-    µs-truncated value so tie-breaks match the DuckDB oracle, which reads
-    the same parquet at µs precision."""
+    ts is a µs TIMESTAMP (catalog normalizes legacy ns-long fixtures), so
+    both engines order on the identical µs instant; event_id breaks ties."""
     ev = tables(spark, sf_dir)["events"]
-    ts_us = F.expr("ts div 1000")
-    w = W.partitionBy("user_id").orderBy(ts_us.desc(), F.col("event_id").desc())
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         ev.filter(F.col("event_type") == "purchase")
         .withColumn("rn", F.row_number().over(w))
@@ -485,7 +483,7 @@ def q22_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q23_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy(F.expr("ts div 1000"), F.col("event_id"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     return (
         ev.select("event_id", "user_id", "ts")
         .withColumn("prev_id", F.lag("event_id").over(w))
@@ -827,17 +825,16 @@ def q40_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap sessionization in batch — the batch twin of the streaming
     session_window operator (SURVEY §2.3).
 
-    Gap arithmetic runs on µs-since-epoch longs (ts arrives as ns longs;
-    DuckDB reads the same parquet µs-truncated), so both engines compare
-    the identical integer difference against 30 min = 1.8e9 µs."""
+    Gap arithmetic is timestamp-interval comparison on the µs instants both
+    engines read from the same parquet — identical semantics either side."""
     ev = tables(spark, sf_dir)["events"]
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        ev.select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
-        .withColumn("prev_ts", F.lag("ts_us").over(w))
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_ts", F.lag("ts").over(w))
         .filter(
             F.col("prev_ts").isNull()
-            | (F.col("ts_us") - F.col("prev_ts") > F.lit(1_800_000_000))
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES"))
         )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"))

@@ -2,10 +2,10 @@
 session windows, stateful dedup — each with an exact batch twin
 (SURVEY §2.3: streaming ops are verified by batch equivalence).
 
-The fixtures' ``events.ts`` arrives as ns-since-epoch longs (see
-``catalog.py``); :func:`event_time` converts to a µs TimestampType column
-for Spark's native window operators — matching DuckDB's µs truncation of
-the same parquet.
+The fixtures' ``events.ts`` is a µs TIMESTAMP (legacy fixtures shipped
+ns-since-epoch longs; ``catalog.py`` normalizes those). :func:`event_time`
+adapts to either representation so ad-hoc DataFrames and file-source
+streams work regardless of how ``ts`` arrives.
 
 Scale posture: watermark + windowed aggregation is incremental state in
 the state store (keyed by window × group), so a 100 TB/day stream holds
@@ -19,16 +19,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def event_time(ts_ns: str = "ts") -> Column:
-    """ns-long event time → µs TimestampType (named ``ts_ev``)."""
-    return F.timestamp_micros(F.expr(f"{ts_ns} div 1000")).alias("ts_ev")
+def event_time(df: DataFrame, col: str = "ts") -> Column:
+    """Event-time column of ``df`` as µs TIMESTAMP (named ``ts_ev``).
+
+    Adaptive: a long ``ts`` is treated as ns-since-epoch (legacy fixture
+    encoding) and truncated to µs; a TIMESTAMP_NTZ ``ts`` (current
+    fixtures) is cast to TIMESTAMP — watermarks and window operators
+    require the zoned type, and the session pins UTC so the cast is an
+    exact wall-clock identity. Outputs cast back to NTZ (see
+    :func:`wall_clock`) so batch results keep the oracle's wall-clock type.
+    """
+    dt = dict(df.dtypes).get(col)
+    if dt in ("bigint", "long"):
+        return F.timestamp_micros(F.expr(f"{col} div 1000")).alias("ts_ev")
+    if dt == "timestamp_ntz":
+        return F.col(col).cast("timestamp").alias("ts_ev")
+    return F.col(col).alias("ts_ev")
+
+
+def wall_clock(c: Column | str) -> Column:
+    """Zoned µs timestamp → wall-clock (NTZ) output type. Exact under the
+    session's pinned UTC; keeps engine output types oracle-invariant."""
+    return (c if isinstance(c, Column) else F.col(c)).cast("timestamp_ntz")
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Per-(window, event_type) counts + value sums; works identically on a
     batch DataFrame and a watermarked stream (append mode after close)."""
     return (
-        events.withColumn("ts_ev", event_time())
+        events.withColumn("ts_ev", event_time(events))
         .groupBy(F.window("ts_ev", width).alias("w"), "event_type")
         # DECIMAL sum: order-independent exact arithmetic, so batch, stream
         # and the DuckDB oracle agree bit-for-bit regardless of merge order.
@@ -37,7 +56,7 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
         )
         .select(
-            F.col("w.start").alias("w_start"),
+            wall_clock("w.start").alias("w_start"),
             "event_type",
             "n",
             "v",
@@ -49,10 +68,10 @@ def sliding_counts(
     events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
 ) -> DataFrame:
     return (
-        events.withColumn("ts_ev", event_time())
+        events.withColumn("ts_ev", event_time(events))
         .groupBy(F.window("ts_ev", width, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+        .select(wall_clock("w.start").alias("w_start"), "event_type", "n")
     )
 
 
@@ -60,12 +79,12 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Gap-based session windows per user (native session_window operator —
     the streaming twin of the Q40 batch sessionization)."""
     return (
-        events.withColumn("ts_ev", event_time())
+        events.withColumn("ts_ev", event_time(events))
         .groupBy(F.session_window("ts_ev", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("w.start").alias("s_start"),
-            F.col("w.end").alias("s_end"),
+            wall_clock("w.start").alias("s_start"),
+            wall_clock("w.end").alias("s_end"),
             "user_id",
             "n_events",
         )
@@ -78,7 +97,7 @@ def stream_of(spark, parquet_path: str, schema) -> DataFrame:
 
 
 def watermarked(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
-    return df.withColumn("ts_ev", event_time()).withWatermark("ts_ev", delay)
+    return df.withColumn("ts_ev", event_time(df)).withWatermark("ts_ev", delay)
 
 
 def dedup_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
@@ -105,12 +124,12 @@ def interval_join(
     input, independent of total stream length. The join itself shuffles
     on the equi-key only; the interval predicate is evaluated post-match.
     """
-    l = left.withColumn("ts_l", event_time()).select(
+    l = left.withColumn("ts_l", event_time(left)).select(
         F.col(key).alias("lk"),
         F.col("event_id").alias("l_id"),
         "ts_l",
     )
-    r = right.withColumn("ts_r", event_time()).select(
+    r = right.withColumn("ts_r", event_time(right)).select(
         F.col(key).alias("rk"),
         F.col("event_id").alias("r_id"),
         "ts_r",
@@ -126,7 +145,11 @@ def interval_join(
         & (F.col("ts_r") <= F.col("ts_l") + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond).select(
-        F.col("lk").alias(key), "l_id", "r_id", "ts_l", "ts_r"
+        F.col("lk").alias(key),
+        "l_id",
+        "r_id",
+        wall_clock("ts_l").alias("ts_l"),
+        wall_clock("ts_r").alias("ts_r"),
     )
 
 
@@ -150,7 +173,8 @@ def start_materialized_counts(
     stored view only ever rewrites the windows a batch touched — the
     same partition-scoped discipline as the CDC merge.
     """
-    ev = stream_of(spark, source_dir, schema).withColumn("ts_ev", event_time())
+    ev = stream_of(spark, source_dir, schema)
+    ev = ev.withColumn("ts_ev", event_time(ev))
     agg = (
         ev.withWatermark("ts_ev", delay)
         .groupBy(F.window("ts_ev", width).alias("w"), "event_type")
@@ -158,7 +182,7 @@ def start_materialized_counts(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
         )
-        .select(F.col("w.start").alias("w_start"), "event_type", "n", "v")
+        .select(wall_clock("w.start").alias("w_start"), "event_type", "n", "v")
     )
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:

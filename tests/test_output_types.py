@@ -31,6 +31,10 @@ def _klass(t: str) -> str:
         return "forbidden"
     if "interval" in t:
         return "interval"
+    if "timestamp" in t:
+        # Spark timestamp_ntz ≡ DuckDB TIMESTAMP: both wall-clock µs,
+        # identical pandas rendering.
+        return "timestamp"
     if any(k in t for k in ("tinyint", "smallint", "bigint", "int", "long", "short", "byte")):
         return "int"
     if any(k in t for k in ("float", "double", "real")):

@@ -186,8 +186,11 @@ def test_late_event_dropped_by_watermark(spark, events_schema, tmp_path):
     src.mkdir()
     ev = spark.read.parquet(EVENTS)
     first = ev.orderBy("ts").limit(1).collect()[0]
-    t0 = first["ts"]  # ns long
-    hour = 3_600_000_000_000
+    t0 = first["ts"]  # naive datetime (µs TIMESTAMP fixture)
+    from datetime import timedelta
+
+    hour = timedelta(hours=1)
+    tick = timedelta(milliseconds=1)
 
     def write_batch(name, rows):
         spark.createDataFrame(rows, schema=events_schema).coalesce(1).write.parquet(
@@ -226,7 +229,7 @@ def test_late_event_dropped_by_watermark(spark, events_schema, tmp_path):
     try:
         q.processAllAvailable()
         # batch 2: a late event in the t0 window (already closed)
-        write_batch("b2", [row(900003, t0 + 1_000)])
+        write_batch("b2", [row(900003, t0 + tick)])
         q.processAllAvailable()
         # one more on-time event to flush closed windows
         write_batch("b3", [row(900004, t0 + 6 * hour)])
