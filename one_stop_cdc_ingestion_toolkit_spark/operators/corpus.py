@@ -107,7 +107,7 @@ def _bands_sql() -> str:
 
 
 @register(
-    "f100_token_budget",
+    "a100_token_budget",
     rf"""WITH t AS (
           SELECT source, doc_id, {_TOK_SQL} AS n_tok FROM documents
         ),
@@ -123,7 +123,7 @@ def _bands_sql() -> str:
         FROM c WHERE cum - n_tok < {TOKEN_BUDGET}
         GROUP BY source ORDER BY source""",
 )
-def f100_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a100_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy per-source token-budget selection: walk each source in
     doc_id order and keep documents until the budget is reached (a doc is
     kept iff it STARTS under budget, so the kept total overshoots by at
@@ -156,7 +156,7 @@ def f100_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f101_doc_chunks",
+    "a101_doc_chunks",
     rf"""WITH w AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
           FROM documents
@@ -172,7 +172,7 @@ def f100_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(LEAST({CHUNK_SIZE}, len(words) - start + 1) AS BIGINT) AS n_words
         FROM s ORDER BY doc_id, chunk_idx""",
 )
-def f101_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a101_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split every document into {CHUNK_SIZE}-word chunks advancing by
     {CHUNK_STRIDE} words (8-word overlap keeps context across chunk
     boundaries — the standard trainer-side windowing).
@@ -208,7 +208,7 @@ def f101_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f102_lsh_decontaminate",
+    "a102_lsh_decontaminate",
     rf"""WITH {_sig_sql()},
         bands AS ({_bands_sql()}),
         flag AS (
@@ -224,7 +224,7 @@ def f101_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.source != '{EVAL_SOURCE}'
         GROUP BY d.lang ORDER BY d.lang""",
 )
-def f102_lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a102_lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate decontamination against a held-out eval set via
     MinHash banding — the fuzzy complement of c88's exact n-gram
     semi-join (catches lightly-edited eval contamination that exact
@@ -266,7 +266,7 @@ def f102_lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f103_prefix_dups",
+    "a103_prefix_dups",
     rf"""WITH p AS (
           SELECT array_to_string(
                    (string_split_regex(lower(trim(text)), '\s+'))[1:{PREFIX_WORDS}],
@@ -277,7 +277,7 @@ def f102_lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p GROUP BY prefix HAVING COUNT(*) >= 2
         ORDER BY n_docs DESC, prefix LIMIT 20""",
 )
-def f103_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a103_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared document prefixes ({PREFIX_WORDS} words): repeated openings
     are the signature of scraped boilerplate (cookie banners, license
     headers) that survives exact dedup because the tails differ.
@@ -304,7 +304,7 @@ def f103_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f104_curriculum_buckets",
+    "a104_curriculum_buckets",
     rf"""WITH q AS (
           SELECT lang, doc_id,
                  ROUND(LEAST(CAST({_TOK_SQL} AS DOUBLE) / 100.0, 1.0)
@@ -324,7 +324,7 @@ def f103_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(quality) AS min_quality, MAX(quality) AS max_quality
         FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
 )
-def f104_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a104_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: per-language quality quartiles (bucket 1 =
     lowest quality, trained first/least — the mix designer's knob), with
     exact min/max per bucket (no cross-row double summation, so the
@@ -355,7 +355,7 @@ def f104_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f105_est_jaccard_pairs",
+    "a105_est_jaccard_pairs",
     rf"""WITH {_sig_sql()},
         bands AS ({_bands_sql()}),
         pairs AS (
@@ -374,7 +374,7 @@ def f104_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS DOUBLE) / {len(MINHASH_A)} >= {EST_JACCARD_MIN}
         ORDER BY id_a, id_b""",
 )
-def f105_est_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a105_est_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate VERIFICATION: banding over-generates (one colliding
     band admits a pair), so estimate Jaccard as the agreeing fraction of
     the full 8-component minhash signature and reject pairs under

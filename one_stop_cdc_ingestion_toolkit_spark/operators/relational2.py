@@ -324,7 +324,7 @@ def b79_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c90_interval_join",
+    "a90_interval_join",
     """WITH c AS (SELECT user_id, event_id AS l_id, ts AS ts_l
                  FROM events WHERE event_type = 'click'),
         p AS (SELECT user_id, event_id AS r_id, ts AS ts_r
@@ -335,7 +335,7 @@ def b79_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND p.ts_r <= c.ts_l + INTERVAL 30 MINUTE
        ORDER BY l_id, r_id""",
 )
-def c90_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a90_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time interval join (click→purchase attribution within 30
     min) — the BATCH twin of streaming.analytics.interval_join, same
     code path, oracle-checked. The equi-key (user_id) carries the

@@ -149,7 +149,7 @@ def _bm25_scores(d: DataFrame) -> DataFrame:
 
 
 @register(
-    "f106_bm25_search",
+    "a106_bm25_search",
     rf"""WITH {_bm25_sql()}
         SELECT doc_id, score,
                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
@@ -157,7 +157,7 @@ def _bm25_scores(d: DataFrame) -> DataFrame:
         FROM scored
         ORDER BY score DESC, doc_id LIMIT {TOP_K}""",
 )
-def f106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_K} documents by BM25(k1={BM25_K1}, b={BM25_B}) for the
     fixed query QUERY_TERMS. See module docstring for the plan shape;
     the global ranking window is bounded to matching docs only and
@@ -174,7 +174,7 @@ def f106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "f107_hybrid_rrf",
+    "a107_hybrid_rrf",
     rf"""WITH {_bm25_sql()},
         kw AS (
           SELECT doc_id,
@@ -198,7 +198,7 @@ def f106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM kw FULL OUTER JOIN vs ON kw.doc_id = vs.doc_id
         ORDER BY rrf_score DESC, doc_id LIMIT {TOP_K}""",
 )
-def f107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: fuse the BM25 top-{LIST_K} and the dense-cosine
     top-{LIST_K} (query = embedding of vec_id {QUERY_VEC_ID}) by
     reciprocal-rank fusion, score = Σ 1/({RRF_K} + rank). RRF needs no
@@ -253,7 +253,7 @@ SKETCH_TOL = 0.05
 
 
 @register(
-    "f108_sketch_rollup",
+    "a108_sketch_rollup",
     """SELECT event_type AS grp,
               COUNT(DISTINCT user_id) AS exact, TRUE AS within_tol
        FROM events GROUP BY event_type
@@ -261,7 +261,7 @@ SKETCH_TOL = 0.05
        SELECT 'ALL', COUNT(DISTINCT user_id), TRUE FROM events
        ORDER BY grp""",
 )
-def f108_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a108_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup proving sketch MERGEABILITY: the
     global estimate is computed by union-merging the per-event-type HLL
     sketches — never by rescanning the events — which is exactly how a

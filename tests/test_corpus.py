@@ -10,9 +10,9 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.corpus import (
     CHUNK_SIZE,
     CHUNK_STRIDE,
     TOKEN_BUDGET,
-    f100_token_budget,
-    f101_doc_chunks,
-    f105_est_jaccard_pairs,
+    a100_token_budget,
+    a101_doc_chunks,
+    a105_est_jaccard_pairs,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
     band_pairs,
@@ -27,7 +27,7 @@ def test_token_budget_overshoot_bound(spark):
     """Greedy contract: each source's kept total is >= budget only by the
     last document's tokens (overshoot < max doc length), and dropping the
     last kept doc would put it under budget."""
-    rows = f100_token_budget(spark, SF_DIR).collect()
+    rows = a100_token_budget(spark, SF_DIR).collect()
     assert rows, "budget selection returned nothing"
     docs = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -56,7 +56,7 @@ def test_chunks_reconstruct_document(spark):
     """Stride-concatenation of chunks reproduces the document: chunk i
     contributes its first CHUNK_STRIDE words (all words for the last
     chunk) — no word lost or duplicated beyond the declared overlap."""
-    chunks = f101_doc_chunks(spark, SF_DIR).collect()
+    chunks = a101_doc_chunks(spark, SF_DIR).collect()
     texts = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
@@ -122,7 +122,7 @@ def test_est_jaccard_identical_docs_score_one(spark):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
     out = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
-        for r in f105_est_jaccard_pairs(spark, SF_DIR).collect()
+        for r in a105_est_jaccard_pairs(spark, SF_DIR).collect()
     }
     for (a, b), est in out.items():
         assert 0.5 <= est <= 1.0 and est * 8 == int(est * 8), (a, b, est)

@@ -13,7 +13,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.retrieval import (
     RRF_K,
     TOP_K,
     _bm25_scores,
-    f107_hybrid_rrf,
+    a107_hybrid_rrf,
 )
 from tests.conftest import SF_DIR
 
@@ -55,7 +55,7 @@ def test_bm25_matches_hand_computation(spark):
 
 
 def test_rrf_fusion_invariants(spark):
-    rows = f107_hybrid_rrf(spark, SF_DIR).collect()
+    rows = a107_hybrid_rrf(spark, SF_DIR).collect()
     assert len(rows) == TOP_K
     seen = set()
     prev = None
