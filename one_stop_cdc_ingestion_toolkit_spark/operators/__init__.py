@@ -112,6 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus,
         dedup,
         extras,
+        mlprep,
         multimodal,
         pipeline_ops,
         relational,

@@ -1,0 +1,340 @@
+"""ML-data-prep operators (round-3 batch, ``a1xx`` names): bigram
+language-model scoring, CCNet-style perplexity bucketing, nearest-centroid
+embedding classification, word-entropy statistics, and leakage-safe
+group-level train/val/test splitting.
+
+These close the remaining "choose and audit the training mix" gaps on top
+of the cleaning (c-batch), clustering (d/a9x-batch) and corpus-assembly
+(a10x-batch) surfaces: a perplexity-style quality signal computed FROM the
+corpus itself (no external model), the head/middle/tail bucketing used to
+stratify web data by that signal, a label-space sanity check over the
+embedding table, token-distribution health metrics, and the split
+assignment that keeps all of one user's data on one side of the
+train/eval boundary.
+
+Scale notes (the shapes that survive 100 TB):
+
+- The bigram pipeline shuffles SHORT keys only (word pairs), never
+  document bodies; counts are map-side partial aggregated. The count
+  join back to the exploded stream is skewed on stopword bigrams — AQE
+  skew-split handles the join; pair GENERATION stays linear in corpus
+  size (unlike all-pairs similarity, there is nothing quadratic here).
+- Centroids are ``n_labels x dim`` — broadcast; classification is a
+  map-side broadcast nested-loop + one partial-aggregated ``max_by``.
+  No row ever shuffles with its embedding attached.
+- The split assignment is a pure map-side hash — retry-safe and
+  reproducible (no ``rand()``), the same discipline as
+  ``c80_stratified_sample``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import EMB_DIM, cosine
+
+#: Salt for the group-split hash (a112) — versioned so a re-split is an
+#: explicit, auditable change, never an accident of code motion.
+SPLIT_SALT = "gs:"
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (a109) + perplexity buckets (a113)
+# ---------------------------------------------------------------------------
+
+#: Shared oracle CTE: per-doc mean bigram log-probability under the
+#: corpus-wide MLE bigram model  p(w2|w1) = c(w1,w2) / c(w1,·).
+_BIGRAM_DOC_SQL = r"""
+w AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents),
+bx AS (SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       FROM w),
+bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2 FROM bx),
+cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bg GROUP BY 1, 2),
+cu AS (SELECT w1, COUNT(*) AS nu FROM bg GROUP BY 1),
+doc AS (SELECT doc_id, any_value(lang) AS lang,
+               AVG(LN(CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE))) AS lp
+        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) GROUP BY doc_id)
+"""
+
+
+def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, lp): mean ln p(w2|w1) per doc under the corpus MLE
+    bigram model — a perplexity proxy that needs no external LM (the
+    CCNet trick, computed in-corpus).
+
+    One explode (linear in token count), two partial-aggregated counts,
+    two equi-joins on short word keys. Docs with <2 words have no
+    bigrams and drop out — mirrored by the oracle's generate_series
+    upper bound.
+    """
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
+    )
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, greatest(size(ws) - 1, 0)),"
+                " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.avg(
+                F.log(F.col("nb").cast("double") / F.col("nu").cast("double"))
+            ).alias("lp"),
+        )
+    )
+
+
+@register(
+    "a109_bigram_logprob",
+    f"""WITH {_BIGRAM_DOC_SQL}
+       SELECT lang, ROUND(AVG(lp), 4) AS lm_score, COUNT(*) AS n_docs
+       FROM doc GROUP BY lang ORDER BY lang""",
+)
+def a109_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mean bigram log-probability — the fluency/quality
+    signal perplexity filtering ranks on. Identical-text duplicates get
+    bit-identical lp either side, so downstream ordering is stable."""
+    docs = tables(spark, sf_dir)["documents"]
+    return (
+        doc_bigram_logprob(docs)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("lp"), 4).alias("lm_score"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "a113_perplexity_buckets",
+    f"""WITH {_BIGRAM_DOC_SQL},
+       b AS (SELECT lang,
+                    NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY lp DESC, doc_id) AS bucket,
+                    lp
+             FROM doc)
+       SELECT lang, bucket, COUNT(*) AS n_docs, ROUND(AVG(lp), 4) AS avg_lp
+       FROM b GROUP BY 1, 2 ORDER BY lang, bucket""",
+)
+def a113_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles per language on the bigram
+    LM score: bucket 1 = most fluent third. NTILE orders by (lp DESC,
+    doc_id) so exact-duplicate docs (identical lp by construction) break
+    ties deterministically on both engines.
+
+    At 100 TB the per-lang NTILE is ONE window shuffle over (doc_id, lp)
+    pairs — tens of bytes per doc, not the documents themselves; if one
+    language dominates, switch to approx-percentile cutpoints (the
+    d95_exact_quantiles docstring's trade-off, in reverse)."""
+    docs = tables(spark, sf_dir)["documents"]
+    from pyspark.sql.window import Window as W
+
+    lp = doc_bigram_logprob(docs)
+    w = W.partitionBy("lang").orderBy(F.col("lp").desc(), F.col("doc_id"))
+    return (
+        lp.withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("lp"), 4).alias("avg_lp"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification over embeddings (a110)
+# ---------------------------------------------------------------------------
+
+
+def _duck_dot(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(0, {dim - 1}), "
+        f"i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    )
+
+
+def _duck_cos_vs(a: str, b: str) -> str:
+    return (
+        f"({_duck_dot(a, b)}) / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)}))"
+    )
+
+
+def label_centroids(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(label, cent_vec): per-label mean embedding, each dimension rounded
+    to 6 places so the centroid is bit-identical across engines (the
+    rounding absorbs summation-order ulp drift in AVG)."""
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cd = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("cv")
+    )
+    return cd.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("cent_vec")
+    )
+
+
+@register(
+    "a110_centroid_classify",
+    f"""WITH cx AS (SELECT label, embedding,
+                          unnest(generate_series(1, {EMB_DIM})) AS i
+                   FROM embeddings),
+       cd AS (SELECT label, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+              FROM cx GROUP BY 1, 2),
+       cent AS (SELECT label AS c_label, list(cv ORDER BY i) AS cent_vec
+                FROM cd GROUP BY label),
+       scored AS (SELECT e.vec_id, e.label, c.c_label,
+                         {_duck_cos_vs('e.embedding', 'c.cent_vec')} AS cos
+                  FROM embeddings e CROSS JOIN cent c),
+       ranked AS (SELECT vec_id, label, c_label,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY cos DESC, c_label) AS rn
+                  FROM scored)
+       SELECT label, c_label AS pred, COUNT(*) AS n
+       FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, pred""",
+)
+def a110_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-space audit: classify every embedding to its nearest label
+    centroid (cosine) and emit the confusion matrix — the quick check
+    that a labeled embedding table actually separates before spending a
+    training run on it.
+
+    Centroids (n_labels x dim) broadcast; the argmax is a
+    partial-aggregated ``max_by`` per vector, NOT a window — no shuffle
+    ever carries an embedding, so the plan is scan + broadcast-join +
+    two keyed aggregations regardless of corpus size."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cent = label_centroids(emb).select(
+        F.col("label").alias("c_label"), "cent_vec"
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("embedding"), F.col("cent_vec"))
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.max_by(
+            "c_label", F.struct(F.col("cos"), (-F.col("c_label")).alias("nl"))
+        ).alias("pred")
+    )
+    return (
+        pred.groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-entropy statistics (a111)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a111_word_entropy",
+    r"""WITH t AS (SELECT doc_id, source,
+                         unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+                  FROM documents),
+       wc AS (SELECT doc_id, source, w, COUNT(*) AS c FROM t GROUP BY 1, 2, 3),
+       pd AS (SELECT doc_id, source, SUM(c) AS n, COUNT(*) AS nd,
+                     SUM(c * LN(c)) AS s
+              FROM wc GROUP BY 1, 2)
+       SELECT source, ROUND(AVG(LN(n) - s / n), 4) AS avg_entropy,
+              ROUND(AVG(CAST(nd AS DOUBLE) / n), 4) AS ttr, COUNT(*) AS n_docs
+       FROM pd GROUP BY source ORDER BY source""",
+)
+def a111_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution health per source: mean Shannon word entropy
+    (H = ln N - (sum c*ln c)/N — the algebraic form that needs only two
+    partial-aggregatable sums, no per-term p=c/N division) and mean
+    type-token ratio. Low entropy or TTR flags template/boilerplate
+    sources before they flood a training mix.
+
+    Both aggregations are hash aggs on (doc_id, word) then (doc_id) —
+    short keys, map-side combine; nothing quadratic, no window."""
+    d = tables(spark, sf_dir)["documents"]
+    words = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "source", "w").agg(F.count(F.lit(1)).alias("c"))
+    pd_ = wc.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.col("c") * F.log("c")).alias("s"),
+    )
+    return (
+        pd_.groupBy("source")
+        .agg(
+            F.round(F.avg(F.log("n") - F.col("s") / F.col("n")), 4).alias(
+                "avg_entropy"
+            ),
+            F.round(
+                F.avg(F.col("nd").cast("double") / F.col("n")), 4
+            ).alias("ttr"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe group split (a112)
+# ---------------------------------------------------------------------------
+
+
+def group_split(key: Column, salt: str = SPLIT_SALT) -> Column:
+    """'train'/'val'/'test' by first hex digit of md5(salt || key):
+    12/2/2 of 16 → 75/12.5/12.5 %. ALL rows of one key land in one
+    split — the group-level discipline that stops a user's events (or a
+    document's chunks) straddling the train/eval boundary."""
+    bucket = F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 1)
+    return (
+        F.when(bucket >= "e", F.lit("test"))
+        .when(bucket >= "c", F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+@register(
+    "a112_group_split",
+    f"""SELECT CASE WHEN substr(md5('{SPLIT_SALT}' || CAST(user_id AS VARCHAR)), 1, 1) >= 'e'
+                    THEN 'test'
+                    WHEN substr(md5('{SPLIT_SALT}' || CAST(user_id AS VARCHAR)), 1, 1) >= 'c'
+                    THEN 'val'
+                    ELSE 'train' END AS split,
+              event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+       FROM events GROUP BY 1, 2 ORDER BY split, event_type""",
+)
+def a112_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-assignment audit over events: per (split, event_type) row
+    and distinct-user counts. The hash split is a pure map-side
+    projection (deterministic, retry-safe, no rand()); at 100 TB the
+    only shuffle is the audit aggregation itself."""
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("split", group_split(F.col("user_id")))
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("split", "event_type")
+    )
