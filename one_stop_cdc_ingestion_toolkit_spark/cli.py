@@ -78,6 +78,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
     p.add_argument("-n", type=int, default=20)
     p.add_argument("--raw", action="store_true", help="include tombstones/merge metadata")
+    p.add_argument(
+        "--as-of",
+        type=int,
+        default=None,
+        metavar="SEQ",
+        help="time-travel: read the table at pointer state SEQ (see `history`)",
+    )
+
+    p = sub.add_parser(
+        "history", help="pointer-flip history of a materialized table"
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("table")
 
     p = sub.add_parser("sql", help="run SQL over materialized tables")
     p.add_argument("sink_dir")
@@ -239,13 +252,26 @@ def main(argv: list[str] | None = None) -> int:
         from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import snapshot
 
         spark = get_session("osci-spark")
-        df = BucketedTableStore(args.sink_dir).read(spark, args.table)
+        store = BucketedTableStore(args.sink_dir)
+        if args.as_of is not None:
+            df = store.read_as_of(spark, args.table, args.as_of)
+        else:
+            df = store.read(spark, args.table)
         if df is None:
             print(f"no such table: {args.table}", file=sys.stderr)
             return 1
         if not args.raw:
             df = snapshot(df)
         df.show(args.n, truncate=False)
+        return 0
+
+    if args.verb == "history":
+        recs = BucketedTableStore(args.sink_dir).history(args.table)
+        if not recs:
+            print(f"no history for table: {args.table}", file=sys.stderr)
+            return 1
+        for r in recs:
+            print(json.dumps(r))
         return 0
 
     if args.verb == "search":

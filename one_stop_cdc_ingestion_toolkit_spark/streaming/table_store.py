@@ -24,8 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class TableStore:
-    def __init__(self, root: str | Path):
+    def __init__(self, root: str | Path, retain: int = 0):
+        """``retain``: how many PRIOR pointer states keep their data on
+        disk (time travel depth). 0 = prune immediately (default; the
+        CDC state tables don't need history). Every pointer flip is
+        recorded in ``_HISTORY`` regardless, so lineage is auditable
+        even where the data itself is pruned."""
         self.root = Path(root)
+        self.retain = retain
         self.root.mkdir(parents=True, exist_ok=True)
 
     def _table_dir(self, table: str) -> Path:
@@ -33,6 +39,75 @@ class TableStore:
 
     def _pointer(self, table: str) -> Path:
         return self._table_dir(table) / "_CURRENT"
+
+    def _history_file(self, table: str) -> Path:
+        return self._table_dir(table) / "_HISTORY"
+
+    def _log_state(self, table: str, kind: str, state) -> None:
+        """Append one pointer state to the table's _HISTORY jsonl."""
+        import json
+
+        hf = self._history_file(table)
+        seq = sum(1 for _ in hf.open()) if hf.exists() else 0
+        with hf.open("a") as f:
+            f.write(json.dumps({"seq": seq, "kind": kind, "state": state}) + "\n")
+
+    def history(self, table: str) -> list[dict]:
+        """Pointer-flip history, oldest first: [{seq, kind, state, live}].
+        ``live`` = the referenced data still exists (within ``retain``)."""
+        import json
+
+        hf = self._history_file(table)
+        if not hf.exists():
+            return []
+        out = []
+        tdir = self._table_dir(table)
+        for line in hf.open():
+            rec = json.loads(line)
+            gens = (
+                [rec["state"]]
+                if rec["kind"] == "snapshot"
+                else sorted(set(rec["state"].values()))
+            )
+            rec["live"] = all((tdir / g).exists() for g in gens)
+            out.append(rec)
+        return out
+
+    def read_as_of(
+        self, spark: SparkSession, table: str, seq: int
+    ) -> DataFrame | None:
+        """Time-travel read: the table exactly as pointer state ``seq``
+        (from :meth:`history`) saw it. Raises if that state's data has
+        been pruned (older than ``retain``)."""
+        recs = {r["seq"]: r for r in self.history(table)}
+        if seq not in recs:
+            return None
+        rec = recs[seq]
+        if not rec["live"]:
+            raise ValueError(
+                f"generation data for {table}@{seq} was pruned "
+                f"(store retain={self.retain}); re-create the store with a "
+                "larger retain to keep time-travel depth"
+            )
+        tdir = self._table_dir(table)
+        if rec["kind"] == "snapshot":
+            return spark.read.parquet(str(tdir / rec["state"]))
+        paths = [
+            str(tdir / gen / f"__bucket={b}")
+            for b, gen in sorted((int(k), v) for k, v in rec["state"].items())
+        ]
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _live_states(self, table: str) -> list:
+        """The pointer states whose data must survive pruning: the last
+        ``retain + 1`` history entries (current + retained history)."""
+        import json
+
+        hf = self._history_file(table)
+        if not hf.exists():
+            return []
+        lines = hf.read_text().splitlines()
+        return [json.loads(x)["state"] for x in lines[-(self.retain + 1) :]]
 
     def current_path(self, table: str) -> Path | None:
         ptr = self._pointer(table)
@@ -64,8 +139,12 @@ class TableStore:
         tmp = tdir / "_CURRENT.tmp"
         tmp.write_text(gen)
         tmp.replace(ptr)  # atomic on POSIX
-        if prev and (tdir / prev).exists():
-            shutil.rmtree(tdir / prev, ignore_errors=True)
+        self._log_state(table, "snapshot", gen)
+        keep = {s for s in self._live_states(table) if isinstance(s, str)}
+        keep.add(gen)
+        for p in tdir.glob("gen-*"):
+            if p.name not in keep:
+                shutil.rmtree(p, ignore_errors=True)
         return out
 
     def drop(self, table: str) -> None:
@@ -185,11 +264,17 @@ class BucketedTableStore(TableStore):
                 bmap[b] = gen
             else:
                 bmap.pop(b, None)
+        state = {str(b): g for b, g in sorted(bmap.items())}
         tmp = tdir / "_BUCKETS.tmp"
-        tmp.write_text(json.dumps({str(b): g for b, g in sorted(bmap.items())}))
+        tmp.write_text(json.dumps(state))
         tmp.replace(self._bucket_pointer(table))
-        # prune generations no bucket references anymore
+        self._log_state(table, "bucketed", state)
+        # prune generations referenced by neither the current map nor the
+        # retained history depth
         live = set(bmap.values())
+        for s in self._live_states(table):
+            if isinstance(s, dict):
+                live |= set(s.values())
         for p in tdir.glob("gen-*"):
             if p.name not in live:
                 shutil.rmtree(p, ignore_errors=True)
