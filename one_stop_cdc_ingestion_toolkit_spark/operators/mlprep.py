@@ -338,3 +338,182 @@ def a112_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-sequence assembly (a114)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a114_session_assembly",
+    """WITH o AS (
+         SELECT user_id, ts, event_id, event_type,
+                LAG(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_ts
+         FROM events),
+       s AS (
+         SELECT user_id, ts, event_id, event_type,
+                SUM(CASE WHEN prev_ts IS NULL
+                              OR ts - prev_ts > INTERVAL '30' MINUTE
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sid
+         FROM o)
+       SELECT user_id, MIN(ts) AS s_start, COUNT(*) AS n_turns,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+)
+def a114_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble per-user session SEQUENCES (ordered event-type chains) —
+    the step that turns an event log into behavioral training sequences,
+    one row per 30-min-gap session (q40's gap rule, kept verbatim).
+
+    Two window passes and one aggregation, all partitioned by user_id —
+    a single key shuffle end-to-end at any scale. The ordered
+    concatenation uses array_sort(collect_list(struct(ts, event_id,
+    event_type))): (ts, event_id) is unique per user, so the sort is
+    total and both engines emit the identical string."""
+    from pyspark.sql.window import Window as W
+
+    ev = tables(spark, sf_dir)["events"]
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "prev_ts", F.lag("ts").over(w_ord)
+    )
+    s = o.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") - F.col("prev_ts") > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("is_new").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count(F.lit(1)).alias("n_turns"),
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("seq"),
+        )
+        .select("user_id", "s_start", "n_turns", "seq")
+        .orderBy("user_id", "s_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-contamination coverage (a115)
+# ---------------------------------------------------------------------------
+
+#: Same gram width + eval convention as c88_decontaminate.
+COVERAGE_K = 5
+
+
+@register(
+    "a115_contamination_coverage",
+    f"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+                  FROM documents),
+       grams AS (SELECT DISTINCT doc_id,
+                        unnest(list_transform(
+                            generate_series(1, len(words) - {COVERAGE_K - 1}),
+                            i -> array_to_string(words[i:i+{COVERAGE_K - 1}], ' '))) AS g
+                 FROM w WHERE len(words) >= {COVERAGE_K}),
+       eg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
+       cg AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 5),
+       f AS (SELECT COUNT(*) AS n_found FROM eg JOIN cg USING (g))
+       SELECT (SELECT COUNT(*) FROM eg) AS n_eval_grams, n_found,
+              ROUND(CAST(n_found AS DOUBLE) / (SELECT COUNT(*) FROM eg), 4)
+                  AS coverage
+       FROM f""",
+)
+def a115_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The directional complement of c88: what FRACTION of the eval set's
+    n-grams leak into the training corpus (c88 reports which corpus docs
+    are contaminated; this reports how exposed the benchmark is). One
+    number a release gate can threshold on.
+
+    Eval grams are tiny → broadcast into the corpus-gram semi-join; the
+    corpus side is a single shingle scan + distinct, never collected.
+    The found-count aggregates over MATCHED EVAL grams, so its
+    cardinality is bounded by the eval set regardless of corpus size."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
+
+    d = tables(spark, sf_dir)["documents"]
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=COVERAGE_K)).alias("g")
+    ).distinct()
+    eg = grams.filter(F.col("doc_id") < 5).select("g").distinct()
+    cg = grams.filter(F.col("doc_id") >= 5).select("g").distinct()
+    ne = eg.agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    nf = cg.join(F.broadcast(eg), "g").agg(F.count(F.lit(1)).alias("n_found"))
+    return ne.crossJoin(nf).select(
+        "n_eval_grams",
+        "n_found",
+        F.round(
+            F.col("n_found").cast("double") / F.col("n_eval_grams"), 4
+        ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection over hourly event counts (a116)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a116_rolling_anomaly",
+    """WITH h AS (
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2),
+       z AS (
+         SELECT w_start, event_type, n,
+                AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sd,
+                COUNT(*) OVER w AS k
+         FROM h
+         WINDOW w AS (PARTITION BY event_type ORDER BY w_start
+                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT w_start, event_type, n, ROUND((n - mu) / sd, 3) AS z
+       FROM z WHERE k >= 12 AND sd > 0 AND ABS((n - mu) / sd) > 2
+       ORDER BY w_start, event_type""",
+)
+def a116_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality tripwire: hourly per-type event counts scored against
+    the trailing 24 observed hours (z-score vs mean/stddev of the
+    PRECEDING rows only — current hour excluded, so a spike can't mask
+    itself). Requires >= 12 hours of history before judging.
+
+    The hourly pre-aggregation shrinks the stream by orders of magnitude
+    BEFORE the window, so the per-type window partitions hold ~one row
+    per hour — trivially sized at any event volume; the mean over the
+    frame is exact (integer counts sum exactly in doubles)."""
+    from pyspark.sql.window import Window as W
+
+    ev = tables(spark, sf_dir)["events"]
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("w_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("w_start").rowsBetween(-24, -1)
+    z = (
+        h.withColumn("mu", F.avg("n").over(w))
+        .withColumn("sd", F.stddev_samp("n").over(w))
+        .withColumn("k", F.count(F.lit(1)).over(w))
+    )
+    zscore = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        z.filter((F.col("k") >= 12) & (F.col("sd") > 0) & (F.abs(zscore) > 2))
+        .select("w_start", "event_type", "n", F.round(zscore, 3).alias("z"))
+        .orderBy("w_start", "event_type")
+    )

@@ -97,3 +97,67 @@ def test_lm_score_plan_partial_aggregates(spark):
     """The per-(lang) aggregation must show map-side partial aggregation."""
     plan = physical_plan(a109_bigram_logprob(spark, SF_DIR))
     assert "partial_avg" in plan or "partial_" in plan
+
+
+def test_session_assembly_matches_q40_counts(spark):
+    """Sessions assembled by a114 must be exactly q40's sessions: same
+    per-user session count."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
+        a114_session_assembly,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.relational import (
+        q40_sessionization,
+    )
+
+    a = {
+        r["user_id"]: r["n"]
+        for r in a114_session_assembly(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    b = {r["user_id"]: r["n_sessions"] for r in q40_sessionization(spark, SF_DIR).collect()}
+    assert a == b
+
+
+def test_session_turns_sum_to_events(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
+        a114_session_assembly,
+    )
+
+    ev = tables(spark, SF_DIR)["events"]
+    total = (
+        a114_session_assembly(spark, SF_DIR).agg(F.sum("n_turns")).collect()[0][0]
+    )
+    assert total == ev.count()
+
+
+def test_contamination_coverage_bounds(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
+        a115_contamination_coverage,
+    )
+
+    r = a115_contamination_coverage(spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_found"] <= r["n_eval_grams"]
+    assert 0.0 <= r["coverage"] <= 1.0
+
+
+def test_coverage_plan_broadcasts_eval_side(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
+        a115_contamination_coverage,
+    )
+
+    plan = physical_plan(a115_contamination_coverage(spark, SF_DIR))
+    assert "Broadcast" in plan
+
+
+def test_rolling_anomaly_excludes_current_hour(spark):
+    """A constant-rate synthetic stream has no |z|>2 anomalies; the frame
+    must not include the scored row itself (sd would be 0 anyway)."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
+        a116_rolling_anomaly,
+    )
+
+    out = a116_rolling_anomaly(spark, SF_DIR)
+    # every reported row really deviates: |z| > 2 by construction
+    assert out.filter(F.abs(F.col("z")) <= 2).count() == 0
