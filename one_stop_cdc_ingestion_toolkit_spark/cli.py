@@ -95,6 +95,17 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sql", help="run SQL over materialized tables")
     p.add_argument("sink_dir")
     p.add_argument("query")
+    p.add_argument(
+        "--epoch",
+        type=int,
+        default=None,
+        help="query the cross-table-consistent view of this epoch (see `epochs`)",
+    )
+
+    p = sub.add_parser(
+        "epochs", help="cross-table consistency points logged per micro-batch"
+    )
+    p.add_argument("sink_dir")
 
     p = sub.add_parser(
         "gc-tombstones",
@@ -310,9 +321,26 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_session("osci-spark")
         store = BucketedTableStore(args.sink_dir)
-        for t in store.list_tables():
-            snapshot(store.read(spark, t)).createOrReplaceTempView(t)
+        if args.epoch is not None:
+            views = store.read_epoch(spark, args.epoch)
+            if views is None:
+                print(f"no such epoch: {args.epoch}", file=sys.stderr)
+                return 1
+            for t, df in views.items():
+                snapshot(df).createOrReplaceTempView(t)
+        else:
+            for t in store.list_tables():
+                snapshot(store.read(spark, t)).createOrReplaceTempView(t)
         spark.sql(args.query).show(100, truncate=False)
+        return 0
+
+    if args.verb == "epochs":
+        recs = BucketedTableStore(args.sink_dir).epochs()
+        if not recs:
+            print("no epochs logged", file=sys.stderr)
+            return 1
+        for r in recs:
+            print(json.dumps(r))
         return 0
 
     return 1

@@ -99,6 +99,9 @@ class PipelineSpec:
     compatibility: str = "BACKWARD"
     max_files_per_trigger: int | None = None  # capacity knob (A14)
     database_include: list[str] | None = None  # database.include.list (A3)
+    #: time-travel depth: how many PRIOR pointer states per table keep
+    #: their data on disk (cross-table epoch reads need > 0 to look back)
+    snapshot_retain: int = 0
     options: dict = field(default_factory=dict)
 
     def validate(self) -> None:
@@ -142,7 +145,7 @@ class Pipeline:
         spec.validate()
         self.spark = spark
         self.spec = spec
-        self.store = BucketedTableStore(spec.sink_dir)
+        self.store = BucketedTableStore(spec.sink_dir, retain=spec.snapshot_retain)
         self.schemas = SchemaStore(
             Path(spec.sink_dir) / "_schemas", spec.compatibility
         )
@@ -284,6 +287,11 @@ class Pipeline:
                     self._update_index(tspec, changes)
                 finally:
                     mine.unpersist()
+            # Consistency point: every declared table has now absorbed
+            # this batch — record one epoch over their current pointer
+            # seqs so read_epoch() can serve a cross-table-consistent
+            # view (and, with snapshot_retain > 0, any past batch).
+            self.store.log_epoch([t.name for t in self.spec.tables])
         finally:
             raw.unpersist()
 

@@ -109,6 +109,52 @@ class TableStore:
         lines = hf.read_text().splitlines()
         return [json.loads(x)["state"] for x in lines[-(self.retain + 1) :]]
 
+    # -- cross-table consistent snapshots (epochs) ------------------------
+
+    def _epoch_file(self) -> Path:
+        return self.root / "_EPOCHS"
+
+    def log_epoch(self, tables: list[str]) -> int:
+        """Record a consistency point: the current pointer seq of every
+        given table, as one epoch. A CDC pipeline calls this after a
+        micro-batch has merged into ALL its tables, so an epoch is a
+        cross-table-consistent view (no torn reads of a half-applied
+        batch when reading via :meth:`read_epoch`)."""
+        import json
+
+        seqs = {}
+        for t in tables:
+            hist = self.history(t)
+            if hist:
+                seqs[t] = hist[-1]["seq"]
+        ef = self._epoch_file()
+        epoch = sum(1 for _ in ef.open()) if ef.exists() else 0
+        with ef.open("a") as f:
+            f.write(json.dumps({"epoch": epoch, "tables": seqs}) + "\n")
+        return epoch
+
+    def epochs(self) -> list[dict]:
+        import json
+
+        ef = self._epoch_file()
+        if not ef.exists():
+            return []
+        return [json.loads(x) for x in ef.read_text().splitlines()]
+
+    def read_epoch(
+        self, spark: SparkSession, epoch: int
+    ) -> dict[str, DataFrame] | None:
+        """All tables of one epoch, each exactly as that epoch saw it —
+        the cross-table time-travel read. Raises (via read_as_of) if the
+        epoch is older than the store's ``retain`` depth."""
+        recs = {e["epoch"]: e for e in self.epochs()}
+        if epoch not in recs:
+            return None
+        return {
+            t: self.read_as_of(spark, t, seq)
+            for t, seq in sorted(recs[epoch]["tables"].items())
+        }
+
     def current_path(self, table: str) -> Path | None:
         ptr = self._pointer(table)
         if not ptr.exists():
