@@ -205,3 +205,15 @@ def start_materialized_counts(
         .queryName(f"mv_{table}")
         .start()
     )
+
+
+def dedup_stream_within(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Exact dedup for duplicates that arrive WITHIN ``delay`` of each
+    other (``dropDuplicatesWithinWatermark``): state for a key is
+    dropped ``delay`` after it was FIRST seen, so total state is bounded
+    by the redelivery window alone — unlike :func:`dedup_stream`, whose
+    per-key state lives until the key's event time passes the watermark.
+    The right tool when duplicates come from at-least-once redelivery
+    (bounded lag) rather than event-time disorder; batch twin is the
+    same ``SELECT DISTINCT``."""
+    return watermarked(events, delay).dropDuplicatesWithinWatermark(["event_id"])

@@ -249,3 +249,28 @@ def test_late_event_dropped_by_watermark(spark, events_schema, tmp_path):
         assert 2 not in stream_counts  # but the stream dropped the late row
     finally:
         q.stop()
+
+
+def test_dedup_within_watermark_equivalence(spark, events_schema, events_dir):
+    """dropDuplicatesWithinWatermark == batch distinct when all
+    duplicates arrive inside the redelivery window (single batch here)."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.analytics import (
+        dedup_stream_within,
+    )
+
+    stream = stream_of(spark, events_dir, events_schema)
+    q = (
+        dedup_stream_within(stream)
+        .select("event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_within_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT event_id FROM dedup_within_out")
+        batch = spark.read.parquet(EVENTS).select("event_id").distinct()
+        assert _rows(streamed, "event_id") == _rows(batch, "event_id")
+    finally:
+        q.stop()
