@@ -425,17 +425,17 @@ COVERAGE_K = 5
     "a115_contamination_coverage",
     f"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
                   FROM documents),
-       grams AS (SELECT DISTINCT doc_id,
-                        unnest(list_transform(
-                            generate_series(1, len(words) - {COVERAGE_K - 1}),
-                            i -> array_to_string(words[i:i+{COVERAGE_K - 1}], ' '))) AS g
-                 FROM w WHERE len(words) >= {COVERAGE_K}),
-       eg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5),
-       cg AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 5),
-       f AS (SELECT COUNT(*) AS n_found FROM eg JOIN cg USING (g))
-       SELECT (SELECT COUNT(*) FROM eg) AS n_eval_grams, n_found,
-              ROUND(CAST(n_found AS DOUBLE) / (SELECT COUNT(*) FROM eg), 4)
-                  AS coverage
+       gx AS (SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(words) - {COVERAGE_K - 1}),
+                         i -> array_to_string(words[i:i+{COVERAGE_K - 1}], ' '))) AS g
+              FROM w WHERE len(words) >= {COVERAGE_K}),
+       f AS (SELECT g, bool_or(doc_id < 5) AS ie, bool_or(doc_id >= 5) AS ic
+             FROM gx GROUP BY g)
+       SELECT COUNT(*) FILTER (ie) AS n_eval_grams,
+              COUNT(*) FILTER (ie AND ic) AS n_found,
+              ROUND(CAST(COUNT(*) FILTER (ie AND ic) AS DOUBLE)
+                    / COUNT(*) FILTER (ie), 4) AS coverage
        FROM f""",
 )
 def a115_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -444,26 +444,26 @@ def a115_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     are contaminated; this reports how exposed the benchmark is). One
     number a release gate can threshold on.
 
-    Eval grams are tiny → broadcast into the corpus-gram semi-join; the
-    corpus side is a single shingle scan + distinct, never collected.
-    The found-count aggregates over MATCHED EVAL grams, so its
-    cardinality is bounded by the eval set regardless of corpus size."""
+    Single corpus scan, single partial-aggregated shuffle on the gram:
+    per-gram eval/corpus presence flags fold map-side (bool OR), so no
+    join, no second scan, no broadcast — the per-gram row is two
+    booleans regardless of document frequency."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
     d = tables(spark, sf_dir)["documents"]
-    grams = d.select(
+    gx = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), k=COVERAGE_K)).alias("g")
-    ).distinct()
-    eg = grams.filter(F.col("doc_id") < 5).select("g").distinct()
-    cg = grams.filter(F.col("doc_id") >= 5).select("g").distinct()
-    ne = eg.agg(F.count(F.lit(1)).alias("n_eval_grams"))
-    nf = cg.join(F.broadcast(eg), "g").agg(F.count(F.lit(1)).alias("n_found"))
-    return ne.crossJoin(nf).select(
-        "n_eval_grams",
-        "n_found",
-        F.round(
-            F.col("n_found").cast("double") / F.col("n_eval_grams"), 4
-        ).alias("coverage"),
+    )
+    flags = gx.groupBy("g").agg(
+        F.max(F.col("doc_id") < 5).alias("ie"),
+        F.max(F.col("doc_id") >= 5).alias("ic"),
+    )
+    n_found = F.count_if(F.col("ie") & F.col("ic"))
+    n_eval = F.count_if(F.col("ie"))
+    return flags.agg(
+        n_eval.alias("n_eval_grams"),
+        n_found.alias("n_found"),
+        F.round(n_found.cast("double") / n_eval, 4).alias("coverage"),
     )
 
 

@@ -142,13 +142,15 @@ def test_contamination_coverage_bounds(spark):
     assert 0.0 <= r["coverage"] <= 1.0
 
 
-def test_coverage_plan_broadcasts_eval_side(spark):
+def test_coverage_plan_is_single_pass(spark):
+    """One scan, one gram shuffle, no join: presence flags fold map-side."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
         a115_contamination_coverage,
     )
 
     plan = physical_plan(a115_contamination_coverage(spark, SF_DIR))
-    assert "Broadcast" in plan
+    assert "Join" not in plan
+    assert "partial_max" in plan
 
 
 def test_rolling_anomaly_excludes_current_hour(spark):
