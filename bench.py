@@ -41,7 +41,10 @@ def main() -> None:
     queries = entry_mod.queries()
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup.
-    next(iter(queries.values()))(spark, sf_dir).collect()
+    try:
+        next(iter(queries.values()))(spark, sf_dir).collect()
+    except Exception:
+        pass
 
     # Repeats separate plan cost from run-to-run variance (machine load,
     # JIT, GC): per-query time is the MIN across repeats — the standard
@@ -49,29 +52,36 @@ def main() -> None:
     # baseline purely from single-shot variance at sub-2s scale.
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
         best = float("inf")
-        for _ in range(repeats):
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-            # operators that persist() self-join intermediates would
-            # otherwise accumulate cached partitions across the whole run
+        # One failing query must NOT kill the whole bench (round 2 lost
+        # all numbers to a single AnalysisException): record the error,
+        # keep the JSON line coming.
+        try:
+            for _ in range(repeats):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+                # operators that persist() self-join intermediates would
+                # otherwise accumulate cached partitions across the whole run
+                release_caches()
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             release_caches()
-        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "declared_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -109,6 +109,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every operator module so REGISTRY is fully populated."""
     from one_stop_cdc_ingestion_toolkit_spark.operators import (  # noqa: F401
         advanced,
+        audit,
         corpus,
         dedup,
         extras,
@@ -120,6 +121,7 @@ def load_all() -> dict[str, QuerySpec]:
         retrieval,
         similarity,
         text,
+        textmine,
     )
 
     return REGISTRY

@@ -159,7 +159,7 @@ def b66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b67_cohort_retention",
+    "a67_cohort_retention",
     """WITH firsts AS (
          SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort
          FROM events GROUP BY user_id
@@ -173,7 +173,7 @@ def b66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM activity WHERE day_n <= 7
        GROUP BY cohort, day_n ORDER BY cohort, day_n""",
 )
-def b67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, distinct active
     users per day-offset. Two keyed shuffles (first-seen agg + the
     distinct); the join broadcasts the cohort dim when small."""

@@ -867,12 +867,12 @@ def q41_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "b53_tumbling_window",
+    "a53_tumbling_window",
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
               COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
 )
-def b53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a53_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming tumbling-window aggregation
     (streaming/analytics.tumbling_counts; equivalence tested in
     tests/test_streaming_analytics.py). DECIMAL sum keeps the aggregate
