@@ -588,3 +588,245 @@ def a126_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# a131: Gini coefficient of document length per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a131_gini_by_source",
+    """WITH r AS (SELECT source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS i
+                 FROM documents)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              ROUND((2.0 * CAST(SUM(i * n_chars) AS BIGINT)
+                     - (COUNT(*) + 1) * CAST(SUM(n_chars) AS BIGINT))
+                    / (COUNT(*) * CAST(SUM(n_chars) AS BIGINT)), 4) AS gini
+       FROM r GROUP BY source ORDER BY source""",
+)
+def a131_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document-length mass per source — the
+    inequality audit that complements a123's HHI: a source where 1% of
+    documents carry 90% of the bytes needs different sharding (d94) and
+    sampling (c80) treatment than a uniform one.
+
+    Computed from the rank formulation G = (2·Σ i·x_i − (n+1)·Σ x_i)
+    / (n·Σ x_i) over ascending-sorted lengths: all sums are exact
+    BIGINT arithmetic, one double division at the end. One window pass
+    per source key + one agg."""
+    d = tables(spark, sf_dir)["documents"]
+    i = F.row_number().over(
+        W.partitionBy("source").orderBy("n_chars", "doc_id")
+    )
+    r = d.select("source", "n_chars", i.alias("i"))
+    n = F.count(F.lit(1))
+    s_ix = F.sum(F.col("i") * F.col("n_chars")).cast("long")
+    s_x = F.sum("n_chars").cast("long")
+    return (
+        r.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                (F.lit(2.0) * s_ix - (n + 1) * s_x) / (n * s_x), 4
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a132: embedding norm hygiene audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a132_embedding_norms",
+    """WITH n AS (SELECT label,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                 FROM embeddings)
+       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              ROUND(MIN(nrm), 4) AS min_norm,
+              ROUND(AVG(nrm), 4) AS avg_norm,
+              ROUND(MAX(nrm), 4) AS max_norm,
+              CAST(COUNT(CASE WHEN nrm < 1e-9 THEN 1 END) AS BIGINT) AS n_zero
+       FROM n GROUP BY label ORDER BY label""",
+)
+def a132_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-hygiene audit before any ANN build (q46/b54/b69):
+    per-label L2-norm distribution plus zero-vector count — zero or
+    wildly-scaled vectors poison cosine top-k silently, so this is the
+    gate a pipeline runs when a new embedding batch lands from the CDC
+    stream.
+
+    The norm is a per-row higher-order-function fold (codegen, fixed
+    left-to-right order — bit-identical across engines); the audit is
+    one small agg on label. No shuffle carries the vectors themselves."""
+    e = tables(spark, sf_dir)["embeddings"]
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.count(F.when(F.col("nrm") < 1e-9, 1)).alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a133: top-variance embedding dimensions
+# ---------------------------------------------------------------------------
+
+#: Number of top-variance dimensions reported (a133).
+VAR_TOP = 10
+
+
+@register(
+    "a133_dim_variance_topk",
+    f"""WITH x AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+                  FROM embeddings,
+                       unnest(generate_series(1, len(embedding))) AS t(i))
+       SELECT dim, ROUND(var_samp(v), 6) AS variance, ROUND(AVG(v), 6) AS mean
+       FROM x GROUP BY dim
+       ORDER BY variance DESC, dim LIMIT {VAR_TOP}""",
+)
+def a133_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance ranking of the embedding space — the
+    dimensionality audit behind IVF/PCA decisions (a near-constant
+    dimension carries no retrieval signal; one dominating dimension
+    distorts unnormalized distances).
+
+    posexplode → groupBy(dim) with algebraic var_samp/avg (partials
+    merge map-side, so the shuffle carries 64 accumulators per
+    partition, not 64×rows values); top-k via TakeOrderedAndProject.
+    Rounding to 6 absorbs summation-order ulp drift (label_centroids
+    convention)."""
+    e = tables(spark, sf_dir)["embeddings"]
+    x = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.round(F.var_samp("v"), 6).alias("variance"),
+            F.round(F.avg("v"), 6).alias("mean"),
+        )
+        .orderBy(F.col("variance").desc(), "dim")
+        .limit(VAR_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a136: chi-square independence (event type x weekday)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a136_chisq_weekday",
+    """WITH obs AS (SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+                   FROM events GROUP BY event_type, isodow(ts)),
+       tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                      COUNT(DISTINCT event_type) AS r,
+                      COUNT(DISTINCT dow) AS c
+               FROM obs),
+       rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS row_n FROM obs GROUP BY event_type),
+       ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS col_n FROM obs GROUP BY dow)
+       SELECT ROUND(SUM(POW(obs.o - CAST(rt.row_n AS DOUBLE) * ct.col_n / tot.n, 2)
+                        / (CAST(rt.row_n AS DOUBLE) * ct.col_n / tot.n)), 4) AS chi2,
+              CAST(ANY_VALUE((tot.r - 1) * (tot.c - 1)) AS BIGINT) AS dof,
+              CAST(ANY_VALUE(tot.n) AS BIGINT) AS n
+       FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot""",
+)
+def a136_chisq_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type × ISO weekday — the
+    seasonality audit that decides whether a behavioral feature needs
+    day-of-week stratification before training. Contingency cells are
+    exact BIGINT counts; expected values and the statistic are the only
+    doubles (35 cells — rounding to 4 is far above ulp noise).
+
+    The contingency table is key-cardinality sized (types × 7), so
+    after the one counting shuffle everything joins broadcast."""
+    ev = tables(spark, sf_dir)["events"]
+    obs = ev.groupBy(
+        "event_type", (F.weekday(F.col("ts")) + 1).alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("row_n"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("col_n"))
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 4).alias("chi2"),
+            F.first((F.col("r") - 1) * (F.col("c") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.first("n").cast("long").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a137: hash-partition balance audit
+# ---------------------------------------------------------------------------
+
+#: Simulated shuffle width for the balance audit (a137).
+N_PARTS = 32
+
+
+@register(
+    "a137_partition_balance",
+    f"""WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) % {N_PARTS} AS part,
+                      COUNT(*) AS load
+                  FROM lineitem GROUP BY part)
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+              CAST(MIN(load) AS BIGINT) AS min_load,
+              CAST(MAX(load) AS BIGINT) AS max_load,
+              ROUND(AVG(CAST(load AS DOUBLE)), 4) AS avg_load,
+              ROUND(CAST(MAX(load) AS DOUBLE) / AVG(CAST(load AS DOUBLE)), 4)
+                  AS imbalance
+       FROM b""",
+)
+def a137_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-partition balance audit: simulate hash-partitioning the
+    join key across ``N_PARTS`` reducers and report the max/avg load
+    imbalance — the straggler predictor for a planned repartition or
+    bucketing layout (bucketing.py). a99 audits per-KEY skew; this
+    audits the PARTITIONER output, which also catches collision pileups
+    of medium keys that no single-key audit shows. Imbalance ≈ 1.0 means
+    the layout scales linearly; the md5 bucket is the engine-portable
+    stand-in for Spark's murmur3 HashPartitioner."""
+    li = tables(spark, sf_dir)["lineitem"]
+    b = li.groupBy(
+        hash_bucket(F.col("l_orderkey"), N_PARTS).alias("part")
+    ).agg(F.count(F.lit(1)).alias("load"))
+    return b.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("load").alias("min_load"),
+        F.max("load").alias("max_load"),
+        F.round(F.avg(F.col("load").cast("double")), 4).alias("avg_load"),
+        F.round(
+            F.max("load").cast("double") / F.avg(F.col("load").cast("double")), 4
+        ).alias("imbalance"),
+    )

@@ -216,3 +216,369 @@ def a130_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# a134: n-gram novelty curve (diminishing-returns audit)
+# ---------------------------------------------------------------------------
+
+#: Ingestion-order bucket count for the novelty curve (a134).
+NOVELTY_BUCKETS = 10
+#: Gram width for novelty — the a115/c88 contamination convention.
+NOVELTY_K = 5
+
+
+@register(
+    "a134_novelty_curve",
+    f"""WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+       mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+       g AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, len(words) - {NOVELTY_K - 1}),
+                        i -> array_to_string(words[i:i+{NOVELTY_K - 1}], ' '))) AS gram
+             FROM w WHERE len(words) >= {NOVELTY_K}),
+       gb AS (SELECT CAST(doc_id * {NOVELTY_BUCKETS} // (SELECT m FROM mx) AS INT)
+                         AS bucket,
+                     gram
+              FROM g),
+       seen AS (SELECT gram, MIN(bucket) AS first_bucket FROM gb GROUP BY gram),
+       per AS (SELECT bucket, COUNT(DISTINCT gram) AS n_grams FROM gb GROUP BY bucket),
+       novel AS (SELECT first_bucket AS bucket, COUNT(*) AS n_novel
+                 FROM seen GROUP BY first_bucket)
+       SELECT per.bucket, CAST(per.n_grams AS BIGINT) AS n_grams,
+              CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+              ROUND(CAST(COALESCE(novel.n_novel, 0) AS DOUBLE) / per.n_grams, 4)
+                  AS novelty
+       FROM per LEFT JOIN novel USING (bucket)
+       ORDER BY bucket""",
+)
+def a134_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diminishing-returns curve of corpus growth: per ingestion-order
+    bucket, the fraction of its distinct 5-grams never seen in any
+    earlier bucket. A flattening curve is the standard evidence that
+    additional data from a source adds volume but not novelty — the
+    signal that reweights c83's mixing or stops ingesting a source.
+
+    Two gram-keyed aggregations (first-seen bucket + per-bucket distinct
+    count) — the shuffle key is a 5-word gram, never the document; the
+    final join is bucket-cardinality sized."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
+
+    d = tables(spark, sf_dir)["documents"]
+    mx = d.agg((F.max("doc_id") + 1).alias("m"))
+    g = (
+        d.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), NOVELTY_K)).alias("gram"),
+        )
+        .distinct()
+    )
+    gb = g.crossJoin(F.broadcast(mx)).select(
+        (F.col("doc_id") * NOVELTY_BUCKETS / F.col("m"))
+        .cast("int")
+        .alias("bucket"),
+        "gram",
+    )
+    seen = gb.groupBy("gram").agg(F.min("bucket").alias("first_bucket"))
+    per = gb.groupBy("bucket").agg(F.countDistinct("gram").alias("n_grams"))
+    novel = seen.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        per.join(novel, "bucket", "left")
+        .select(
+            "bucket",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a135: corpus mix entropy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a135_mix_entropy",
+    f"""WITH t AS (SELECT source,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                          AS n_tok
+                  FROM documents GROUP BY source),
+       tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                      CAST(SUM(n_tok) AS BIGINT) AS tt,
+                      COUNT(*) AS ns
+               FROM t)
+       SELECT CAST(ANY_VALUE(tot.ns) AS BIGINT) AS n_sources,
+              ROUND(-SUM((CAST(n_docs AS DOUBLE)/tot.td)
+                         * LN(CAST(n_docs AS DOUBLE)/tot.td)), 4) AS h_docs,
+              ROUND(EXP(-SUM((CAST(n_docs AS DOUBLE)/tot.td)
+                             * LN(CAST(n_docs AS DOUBLE)/tot.td))), 4) AS eff_docs,
+              ROUND(-SUM((CAST(n_tok AS DOUBLE)/tot.tt)
+                         * LN(CAST(n_tok AS DOUBLE)/tot.tt)), 4) AS h_tokens,
+              ROUND(EXP(-SUM((CAST(n_tok AS DOUBLE)/tot.tt)
+                             * LN(CAST(n_tok AS DOUBLE)/tot.tt))), 4) AS eff_tokens
+       FROM t CROSS JOIN tot""",
+)
+def a135_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (and its exponential, the effective source count)
+    of the corpus mix by documents AND by tokens — the one-number audit
+    of c83's mixing: eff_tokens collapsing toward 1 means one source
+    dominates the training tokens regardless of how many sources exist.
+
+    Per-source counts are exact BIGINTs from one agg; the entropy fold
+    runs over source-cardinality rows."""
+    d = tables(spark, sf_dir)["documents"]
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(tok).alias("n_tok")
+    )
+    tot = t.agg(
+        F.sum("n_docs").alias("td"),
+        F.sum("n_tok").alias("tt"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    pd_ = F.col("n_docs").cast("double") / F.col("td")
+    pt = F.col("n_tok").cast("double") / F.col("tt")
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("ns").cast("long").alias("n_sources"),
+            F.round(-F.sum(pd_ * F.log(pd_)), 4).alias("h_docs"),
+            F.round(F.exp(-F.sum(pd_ * F.log(pd_))), 4).alias("eff_docs"),
+            F.round(-F.sum(pt * F.log(pt)), 4).alias("h_tokens"),
+            F.round(F.exp(-F.sum(pt * F.log(pt))), 4).alias("eff_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# a138: exact shared-span detection on LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+#: Minimum span length (in words) counted as a "long" shared span (a138).
+SPAN_MIN_WORDS = 8
+
+
+def _span_oracle() -> str:
+    """DuckDB twin of a138: minhash LSH candidate pairs (q43's CTEs) +
+    positioned shingles + island detection via the pa − row_number trick."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_P,
+        SHINGLE_K,
+    )
+
+    mins = ", ".join(
+        f"MIN((h*{a}+{b})%{MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, mh{a} || '|' || mh{b} AS band_sig FROM sig"
+        for i, (a, b) in enumerate(MINHASH_BANDS)
+    )
+    return rf"""WITH w AS (
+          SELECT doc_id, string_split_regex(lower(text), '\s+') AS words
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(words[i:i+{SHINGLE_K - 1}], ' ') AS gram
+          FROM w, unnest(generate_series(1, len(words) - {SHINGLE_K - 1})) AS t(i)
+          WHERE len(words) >= {SHINGLE_K}
+        ),
+        base AS (
+          SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS h
+          FROM sh
+        ),
+        sig AS (SELECT doc_id, {mins} FROM base GROUP BY doc_id),
+        bands AS ({bands}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        ),
+        m AS (
+          SELECT p.id_a, p.id_b, ga.pos AS pa, gb.pos AS pb,
+                 gb.pos - ga.pos AS off
+          FROM pairs p
+          JOIN sh ga ON ga.doc_id = p.id_a
+          JOIN sh gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+        ),
+        isl AS (
+          SELECT id_a, id_b, off,
+                 pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, off
+                                         ORDER BY pa) AS grp
+          FROM m
+        ),
+        spans AS (
+          SELECT id_a, id_b, COUNT(*) AS len_g
+          FROM isl GROUP BY id_a, id_b, off, grp
+        )
+        SELECT id_a, id_b,
+               CAST(SUM(len_g) AS BIGINT) AS n_match_pos,
+               CAST(MAX(len_g) + {SHINGLE_K - 1} AS BIGINT) AS max_span_words,
+               CAST(COUNT(CASE WHEN len_g + {SHINGLE_K - 1} >= {SPAN_MIN_WORDS}
+                          THEN 1 END) AS BIGINT) AS n_long_spans
+        FROM spans GROUP BY id_a, id_b
+        ORDER BY id_a, id_b"""
+
+
+@register("a138_span_dedup", _span_oracle())
+def a138_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-SPAN detection between near-duplicate candidates —
+    the approximate-substring-dedup step (à la "Deduplicating Training
+    Data Makes Language Models Better": long verbatim overlaps matter
+    even when whole-document similarity is low). Suffix arrays don't
+    distribute; this re-expression does: LSH proposes candidate pairs
+    (q43's banding), then matched shingle POSITIONS are grouped by
+    their offset (pb − pa) and consecutive runs become maximal shared
+    spans via the classic gaps-and-islands window (pa − row_number).
+
+    Per pair: total matched positions, longest shared span in words,
+    and the count of spans ≥ {SPAN_MIN_WORDS} words. Scale: the gram
+    join runs ONLY over candidate pairs (LSH bounds the pair space);
+    shuffle keys are (doc pair, offset) — never whole documents; every
+    stage is codegen + window, no Python."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        SHINGLE_K,
+        band_pairs,
+        minhash_band_rows,
+        word_shingles,
+    )
+    from pyspark.sql.window import Window as W
+
+    d = tables(spark, sf_dir)["documents"]
+    pairs = band_pairs(minhash_band_rows(d, "doc_id", "text"))
+    sh = d.select(
+        F.col("doc_id"),
+        F.posexplode(word_shingles(F.col("text"))).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    ga = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "gram"
+    )
+    gb = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "gram"
+    )
+    m = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .select("id_a", "id_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("off"))
+    )
+    w = W.partitionBy("id_a", "id_b", "off").orderBy("pa")
+    isl = m.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    spans = isl.groupBy("id_a", "id_b", "off", "grp").agg(
+        F.count(F.lit(1)).alias("len_g")
+    )
+    return (
+        spans.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("len_g").cast("long").alias("n_match_pos"),
+            (F.max("len_g") + (SHINGLE_K - 1)).cast("long").alias("max_span_words"),
+            F.count(
+                F.when(F.col("len_g") + (SHINGLE_K - 1) >= SPAN_MIN_WORDS, 1)
+            ).alias("n_long_spans"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a139: LSH operating-curve calibration
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    from one_stop_cdc_ingestion_toolkit_spark.operators.corpus import (
+        _bands_sql,
+        _sig_sql,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import MINHASH_BANDS
+
+    n_sig = 2 * len(MINHASH_BANDS)
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(n_sig)
+    )
+    return f"""WITH {_sig_sql()},
+        bands AS ({_bands_sql()}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+           AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT p.id_a, p.id_b,
+                 CAST(({agree}) AS DOUBLE) / {n_sig} AS s
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.id_a
+          JOIN sig sb ON sb.doc_id = p.id_b
+        )
+        SELECT s AS est_jaccard,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(1 - POW(1 - POW(s, 2), {len(MINHASH_BANDS)}), 4) AS p_detect
+        FROM est GROUP BY s ORDER BY s"""
+
+
+@register("a139_lsh_recall_curve", _recall_oracle())
+def a139_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-curve calibration: for each estimated-Jaccard level
+    among the candidate pairs the current banding (b bands × r rows)
+    surfaced, the analytic detection probability 1 − (1 − s^r)^b. The
+    table answers "is the banding tuned for the similarity range we
+    actually see?" — mass sitting where p_detect < 1 means the config
+    misses real duplicates and needs more bands (the knob the
+    DedupIndex shares). Signatures are computed once; the estimate
+    touches 8 longs per doc — never text."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        MINHASH_BANDS,
+        band_pairs,
+        minhash_signatures,
+        sig_band_rows,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators import track_cache
+
+    d = tables(spark, sf_dir)["documents"]
+    n_sig = 2 * len(MINHASH_BANDS)
+    sigs = track_cache(minhash_signatures(d, "doc_id", "text"))
+    pairs = band_pairs(sig_band_rows(sigs))
+    sa = sigs.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_sig)],
+    )
+    sb = sigs.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_sig)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_sig)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select((agree.cast("double") / n_sig).alias("s"))
+    )
+    b = len(MINHASH_BANDS)
+    return (
+        est.groupBy(F.col("s").alias("est_jaccard"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "est_jaccard",
+            "n_pairs",
+            F.round(
+                F.lit(1) - F.pow(F.lit(1) - F.pow(F.col("est_jaccard"), 2), b), 4
+            ).alias("p_detect"),
+        )
+        .orderBy("est_jaccard")
+    )
