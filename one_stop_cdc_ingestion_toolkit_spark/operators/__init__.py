@@ -119,6 +119,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         retrieval,
+        selection,
         similarity,
         text,
         textmine,

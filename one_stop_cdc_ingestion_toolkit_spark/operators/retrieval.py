@@ -160,15 +160,19 @@ def _bm25_scores(d: DataFrame) -> DataFrame:
 def a106_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_K} documents by BM25(k1={BM25_K1}, b={BM25_B}) for the
     fixed query QUERY_TERMS. See module docstring for the plan shape;
-    the global ranking window is bounded to matching docs only and
-    executes as TakeOrderedAndProject, not a full sort."""
+    the top-TOP_K set is taken FIRST by sort+limit — Catalyst plans that
+    as TakeOrderedAndProject (each partition forwards only its local
+    top-TOP_K) — and the global rank window runs over those TOP_K rows
+    alone. Spark's WindowGroupLimit rule does not apply to windows with
+    an empty partition spec, so ranking before limiting would sort every
+    matching doc in one partition at scale."""
     d = tables(spark, sf_dir)["documents"]
     scored = _bm25_scores(d)
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(TOP_K)
     w = W.orderBy(F.desc("score"), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(TOP_K)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
         .select("doc_id", "score", "rank")
     )
 
@@ -211,8 +215,9 @@ def a107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables(spark, sf_dir)["embeddings"]
     kw = (
         _bm25_scores(d)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(LIST_K)
         .withColumn("r", F.row_number().over(W.orderBy(F.desc("score"), "doc_id")))
-        .filter(F.col("r") <= LIST_K)
         .select("doc_id", "r")
     )
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -221,8 +226,9 @@ def a107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs = (
         emb.crossJoin(F.broadcast(qv))
         .withColumn("cos", cosine(F.col("embedding"), F.col("q_vec")))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(LIST_K)
         .withColumn("r", F.row_number().over(W.orderBy(F.desc("cos"), "vec_id")))
-        .filter(F.col("r") <= LIST_K)
         .select(F.col("vec_id").alias("doc_id"), "r")
     )
     fused = kw.withColumnRenamed("r", "kw_r").join(
