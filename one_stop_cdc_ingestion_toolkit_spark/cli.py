@@ -122,6 +122,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("table")
 
     p = sub.add_parser(
+        "backfill",
+        help="chunked snapshot backfill of a table (DBLog-style; safe to "
+        "interleave with the live stream, resumes after a crash)",
+    )
+    p.add_argument("name")
+    p.add_argument("table")
+    p.add_argument("snapshot_parquet", help="consistent source snapshot")
+    p.add_argument("--chunk-col", required=True)
+    p.add_argument("--chunk-size", type=int, default=1024)
+    p.add_argument("--snapshot-pos", type=int, default=0)
+    p.add_argument(
+        "--steps", type=int, default=None,
+        help="apply only N chunks this invocation (default: run to completion)",
+    )
+
+    p = sub.add_parser(
         "search",
         help="BM25 keyword search over a table's incremental search index",
     )
@@ -217,6 +233,34 @@ def main(argv: list[str] | None = None) -> int:
                 idx.rebuild(pipe.spark, snap)
                 rebuilt.append(kind)
         print(json.dumps({"rebuilt": rebuilt}))
+        return 0
+
+    if args.verb == "backfill":
+        from one_stop_cdc_ingestion_toolkit_spark.streaming.backfill import (
+            SnapshotBackfill,
+        )
+
+        spec = reg.get(args.name)
+        if spec is None:
+            print(f"unknown pipeline: {args.name}", file=sys.stderr)
+            return 1
+        spark = get_session("osci-spark")
+        pipe = Pipeline(spark, spec)
+        bf = SnapshotBackfill(
+            pipe,
+            args.table,
+            spark.read.parquet(args.snapshot_parquet),
+            args.chunk_col,
+            chunk_size=args.chunk_size,
+            snapshot_pos=args.snapshot_pos,
+        )
+        if args.steps is None:
+            bf.run()
+        else:
+            for _ in range(args.steps):
+                if bf.step() is None:
+                    break
+        print(json.dumps(bf.status()))
         return 0
 
     if args.verb in ("show-dlq", "replay-dlq"):
