@@ -113,6 +113,7 @@ def load_all() -> dict[str, QuerySpec]:
         corpus,
         dedup,
         extras,
+        history,
         mlprep,
         multimodal,
         pipeline_ops,

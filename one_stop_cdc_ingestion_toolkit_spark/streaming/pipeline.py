@@ -43,6 +43,7 @@ from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
 from one_stop_cdc_ingestion_toolkit_spark.sources.schema_events import (
     apply_schema_changes,
 )
+from one_stop_cdc_ingestion_toolkit_spark.streaming.agg_view import AggView, eager
 from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import DedupIndex
 from one_stop_cdc_ingestion_toolkit_spark.streaming.search_index import SearchIndex
 from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
@@ -83,6 +84,11 @@ class TableSpec:
     n_buckets: int | None = None
     index_text_col: str | None = None
     search_text_col: str | None = None
+    #: standing GROUP-BY aggregate view maintained incrementally from the
+    #: change stream (``streaming.agg_view.AggView``): per batch the view
+    #: absorbs an O(batch) state-difference delta instead of a recompute.
+    agg_group_cols: list[str] | None = None
+    agg_sum_cols: list[str] | None = None
 
 
 @dataclass
@@ -125,6 +131,15 @@ class PipelineSpec:
                 if col not in t.row_schema.fieldNames():
                     raise ValueError(
                         f"{self.name}.{t.name}: {attr} {col!r} not in schema"
+                    )
+            if t.agg_sum_cols and not t.agg_group_cols:
+                raise ValueError(
+                    f"{self.name}.{t.name}: agg_sum_cols requires agg_group_cols"
+                )
+            for c in (t.agg_group_cols or []) + (t.agg_sum_cols or []):
+                if c not in t.row_schema.fieldNames():
+                    raise ValueError(
+                        f"{self.name}.{t.name}: agg view column {c!r} not in schema"
                     )
 
 
@@ -174,6 +189,13 @@ class Pipeline:
             )
             for t in spec.tables
             if t.search_text_col
+        }
+        self.agg_views: dict[str, AggView] = {
+            t.name: AggView(
+                self.store, t.name, t.agg_group_cols, t.agg_sum_cols or []
+            )
+            for t in spec.tables
+            if t.agg_group_cols
         }
         self.query: StreamingQuery | None = None
 
@@ -279,11 +301,13 @@ class Pipeline:
                     self.schemas.register(tspec.name, row_schema)
                     changes = flatten_changes(ok, tspec.key_cols)
                     if tspec.n_buckets:
-                        self._apply_bucketed(tspec, changes)
+                        delta = self._apply_bucketed(tspec, changes)
                     else:
                         current = self.store.read(self.spark, tspec.name)
                         merged = apply_changes(current, changes, tspec.key_cols)
+                        delta = self._view_delta(tspec, current, merged, changes)
                         self.store.write(merged, tspec.name)
+                    self._apply_view(tspec, delta)
                     self._update_index(tspec, changes)
                 finally:
                     mine.unpersist()
@@ -361,6 +385,52 @@ class Pipeline:
         self.store.drop(DLQ_REPLAY_TABLE)
         return n_staged - n_still
 
+    #: sentinel: the view must be rebuilt from the post-merge snapshot
+    #: (fresh view, or an applied_upto gap after a crash between the base
+    #: write and the view write).
+    _VIEW_REBUILD = "__rebuild__"
+
+    def _view_delta(
+        self,
+        tspec: TableSpec,
+        current: DataFrame | None,
+        merged: DataFrame,
+        changes: DataFrame,
+    ):
+        """O(batch) agg-view delta, materialized BEFORE the base write
+        (the prior generation's files may be pruned by it). Returns None
+        (no view), the eager delta, or the rebuild sentinel."""
+        view = self.agg_views.get(tspec.name)
+        if view is None:
+            return None
+        if view.applied_upto() != len(self.store.history(tspec.name)):
+            return self._VIEW_REBUILD
+        keys = changes.select(*tspec.key_cols).distinct()
+        prior_t = (
+            current.join(keys, tspec.key_cols) if current is not None else None
+        )
+        post_t = merged.join(keys, tspec.key_cols)
+        return eager(view.delta(prior_t, post_t))
+
+    def _apply_view(self, tspec: TableSpec, delta) -> None:
+        """Fold the pre-computed delta into the view, or repair by full
+        rebuild when the consistency check flagged a gap."""
+        view = self.agg_views.get(tspec.name)
+        if view is None or delta is None:
+            return
+        applied = len(self.store.history(tspec.name))
+        if isinstance(delta, str):
+            view.rebuild(
+                self.spark, self.store.read(self.spark, tspec.name), applied
+            )
+        else:
+            view.apply(self.spark, delta, applied)
+
+    def read_agg_view(self, table: str) -> DataFrame | None:
+        """Query side of a declared aggregate view (n, sum_*, avg_*)."""
+        view = self.agg_views.get(table)
+        return view.read(self.spark) if view is not None else None
+
     def _update_index(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Fold this batch into the table's dedup index, if configured.
 
@@ -389,10 +459,12 @@ class Pipeline:
             if index is not None and sindex is not None:
                 touched.unpersist()
 
-    def _apply_bucketed(self, tspec: TableSpec, changes: DataFrame) -> None:
+    def _apply_bucketed(self, tspec: TableSpec, changes: DataFrame):
         """Partition-scoped merge: only the key-buckets present in this
         batch are read, merged and rewritten (cdc.affected_partitions
-        idea specialized to hash buckets)."""
+        idea specialized to hash buckets). Returns the agg-view delta
+        (computed against the touched buckets' prior state — already the
+        O(batch) slice) for apply_batch to fold in after the write."""
         def bucket_of(df: DataFrame) -> F.Column:
             return F.pmod(
                 F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
@@ -413,6 +485,7 @@ class Pipeline:
                 current = self.store.read_buckets(self.spark, tspec.name, affected)
             merged = apply_changes(current, changes, tspec.key_cols)
             merged = merged.withColumn("__bucket", bucket_of(merged))
+            delta = self._view_delta(tspec, current, merged, changes)
             if migrating:
                 merged = merged.persist()
                 affected = sorted(
@@ -422,6 +495,7 @@ class Pipeline:
             if migrating:
                 self.store.retire_snapshot(tspec.name)
                 merged.unpersist()
+            return delta
         finally:
             changes.unpersist()
 
