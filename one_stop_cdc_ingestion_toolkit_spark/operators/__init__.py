@@ -116,6 +116,7 @@ def load_all() -> dict[str, QuerySpec]:
         history,
         mlprep,
         multimodal,
+        neardup2,
         pipeline_ops,
         relational,
         relational2,
