@@ -169,6 +169,38 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("-n", type=int, default=20)
 
+    p = sub.add_parser(
+        "diff-table",
+        help="change feed (insert/update/delete) between two generations "
+        "of a materialized table (time-travel CDF)",
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("table")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--from-seq", type=int, required=True)
+    p.add_argument("--to-seq", type=int, required=True)
+    p.add_argument("-n", type=int, default=20)
+
+    p = sub.add_parser(
+        "optimize-table",
+        help="re-cluster a snapshot-layout table on sort columns so "
+        "file-level min/max stats prune range scans",
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("table")
+    p.add_argument("--sort-cols", help="comma-separated sort columns")
+    p.add_argument(
+        "--zorder", help="two comma-separated columns for Morton clustering"
+    )
+
+    p = sub.add_parser(
+        "agg-view",
+        help="show a table's incrementally-maintained aggregate view",
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("table")
+    p.add_argument("-n", type=int, default=20)
+
     args = ap.parse_args(argv)
     reg = PipelineRegistry(args.registry)
 
@@ -358,6 +390,78 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             index.exact_duplicates(spark).orderBy("fp").show(args.n, truncate=False)
+        return 0
+
+    if args.verb == "diff-table":
+        from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import (
+            META_COLS,
+            snapshot,
+        )
+        from one_stop_cdc_ingestion_toolkit_spark.operators.history import (
+            snapshot_diff,
+        )
+
+        spark = get_session("osci-spark")
+        store = BucketedTableStore(args.sink_dir)
+        keys = args.keys.split(",")
+        sides = []
+        for seq in (args.from_seq, args.to_seq):
+            df = store.read_as_of(spark, args.table, seq)
+            if df is None:
+                print(f"no such generation: {args.table}@{seq}", file=sys.stderr)
+                return 1
+            if "__deleted" in df.columns:
+                df = snapshot(df)
+            sides.append(df.drop("__bucket"))
+        compare = [
+            c for c in sides[1].columns
+            if c in sides[0].columns and c not in keys and c not in META_COLS
+        ]
+        diff = snapshot_diff(sides[0], sides[1], keys, compare)
+        diff.orderBy(*keys).show(args.n, truncate=False)
+        return 0
+
+    if args.verb == "optimize-table":
+        from one_stop_cdc_ingestion_toolkit_spark.sinks import optimize_layout
+
+        if not args.sort_cols and not args.zorder:
+            print("need --sort-cols or --zorder", file=sys.stderr)
+            return 1
+        spark = get_session("osci-spark")
+        store = BucketedTableStore(args.sink_dir)
+        if store.layout(args.table) == "bucketed":
+            print(
+                "optimize-table works on snapshot-layout tables (bucketed "
+                "tables are clustered by key hash already)",
+                file=sys.stderr,
+            )
+            return 1
+        path = store.current_path(args.table)
+        if path is None:
+            print(f"no such table: {args.table}", file=sys.stderr)
+            return 1
+        n = optimize_layout(
+            spark,
+            str(path),
+            args.sort_cols.split(",") if args.sort_cols else [],
+            zorder_pair=tuple(args.zorder.split(",")) if args.zorder else None,
+        )
+        print(json.dumps({"table": args.table, "files": n}))
+        return 0
+
+    if args.verb == "agg-view":
+        from pyspark.sql import functions as F
+
+        spark = get_session("osci-spark")
+        store = BucketedTableStore(args.sink_dir)
+        v = store.read(spark, f"{args.table}__aggview")
+        if v is None:
+            print(f"no aggregate view for table: {args.table}", file=sys.stderr)
+            return 1
+        for c in v.columns:
+            if c.startswith("sum_"):
+                v = v.withColumn("avg_" + c[4:], F.col(c) / F.col("n"))
+        v.orderBy(v.columns[0]).show(args.n, truncate=False)
         return 0
 
     if args.verb == "sql":

@@ -32,6 +32,8 @@ def spec_to_json(spec: PipelineSpec) -> dict:
                 "n_buckets": t.n_buckets,
                 "index_text_col": t.index_text_col,
                 "search_text_col": t.search_text_col,
+                "agg_group_cols": t.agg_group_cols,
+                "agg_sum_cols": t.agg_sum_cols,
             }
             for t in spec.tables
         ],
@@ -40,6 +42,7 @@ def spec_to_json(spec: PipelineSpec) -> dict:
         "compatibility": spec.compatibility,
         "max_files_per_trigger": spec.max_files_per_trigger,
         "database_include": spec.database_include,
+        "snapshot_retain": spec.snapshot_retain,
         "options": spec.options,
     }
 
@@ -56,6 +59,8 @@ def spec_from_json(doc: dict) -> PipelineSpec:
                 n_buckets=t.get("n_buckets"),
                 index_text_col=t.get("index_text_col"),
                 search_text_col=t.get("search_text_col"),
+                agg_group_cols=t.get("agg_group_cols"),
+                agg_sum_cols=t.get("agg_sum_cols"),
             )
             for t in doc["tables"]
         ],
@@ -64,6 +69,7 @@ def spec_from_json(doc: dict) -> PipelineSpec:
         compatibility=doc.get("compatibility", "BACKWARD"),
         max_files_per_trigger=doc.get("max_files_per_trigger"),
         database_include=doc.get("database_include"),
+        snapshot_retain=doc.get("snapshot_retain", 0),
         options=doc.get("options", {}),
     )
 

@@ -117,6 +117,105 @@ def compact(
     return dir_stats(path)[0]
 
 
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative ints, as a codegen
+    column expression: bit i of ``x`` lands at position 2i, bit i of ``y``
+    at 2i+1. Clusters 2-D locality into 1-D sort order so a range box on
+    EITHER column touches few files — the standard lakehouse multi-column
+    clustering trick, built purely from shifts/ands (whole-stage codegen,
+    no UDF)."""
+    from pyspark.sql import functions as F
+
+    xx = F.col(x) if isinstance(x, str) else x
+    yy = F.col(y) if isinstance(y, str) else y
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(xx.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(yy.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return out
+
+
+def optimize_layout(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    zorder_pair: tuple[str, str] | None = None,
+) -> int:
+    """Re-cluster a parquet dir so file-level min/max statistics prune
+    range scans: ``repartitionByRange`` on the sort key gives files
+    DISJOINT key ranges (parallel, sampled range boundaries — no single
+    sorter), ``sortWithinPartitions`` tightens row-group stats inside
+    each file. With ``zorder_pair=(x, y)`` the sort key is the Morton
+    code of the two columns (see :func:`zorder_key`), trading perfect
+    single-column clustering for good locality on both.
+
+    At 100 TB this is the difference between a timestamp-range query
+    reading every file and reading ~range/total of them: Spark's parquet
+    reader (and any downstream engine) skips whole files/row-groups whose
+    min/max cannot match the predicate. Same crash-safe staging swap as
+    :func:`compact`. Returns the new file count."""
+    import shutil
+
+    recover(path)
+    staging = Path(path.rstrip("/") + "._optimize")
+    shutil.rmtree(staging, ignore_errors=True)
+    _, total = dir_stats(path)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    if zorder_pair is not None:
+        from pyspark.sql import functions as F  # noqa: F401
+
+        df = df.withColumn("__z", zorder_key(*zorder_pair))
+        clustered = (
+            df.repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        clustered = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    clustered.write.mode("overwrite").parquet(str(staging))
+    backup = Path(path.rstrip("/") + "._old")
+    Path(path).rename(backup)
+    staging.rename(path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return dir_stats(path)[0]
+
+
+def layout_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max of ``cols`` — the audit of what file skipping can
+    prune. One scan grouped by ``input_file_name`` (file-count-sized
+    output)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.withColumn("__file", F.input_file_name())
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    )
+
+
+def files_touched(stats_rows: list, col: str, lo, hi) -> int:
+    """How many files a ``col BETWEEN lo AND hi`` scan must read, given
+    :func:`layout_stats` output rows (driver-side; row count = #files)."""
+    return sum(
+        1
+        for r in stats_rows
+        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
+    )
+
+
 def lakehouse_format_available(spark: SparkSession, fmt: str = "delta") -> bool:
     """True when a lakehouse table format (delta/iceberg/hudi) is on the
     classpath. None ship in this container — the CDC merge would become a

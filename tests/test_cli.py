@@ -146,3 +146,98 @@ def test_cli_dlq_verbs(spark, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out)["replayed"] == 0
     assert main(["--registry", registry, "show-dlq", "pdlq"]) == 0
     assert "not_an_envelope" in capsys.readouterr().out
+
+
+def test_cli_diff_table(spark, tmp_path, capsys):
+    """Time-travel CDF: diff two generations of the person table."""
+    spec = PipelineSpec(
+        name="pdiff",
+        source_dir=str(tmp_path / "stream"),
+        tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        snapshot_retain=5,
+    )
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=2)
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec_to_json(spec)))
+    registry = str(tmp_path / "pipelines.json")
+    # one file per trigger → one generation per file (two total)
+    spec.max_files_per_trigger = 1
+    spec_file.write_text(json.dumps(spec_to_json(spec)))
+    assert main(["--registry", registry, "quickstart", str(spec_file)]) == 0
+    capsys.readouterr()
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
+        BucketedTableStore,
+    )
+
+    seqs = [r["seq"] for r in BucketedTableStore(spec.sink_dir).history("person")]
+    assert len(seqs) >= 2
+    assert (
+        main(
+            [
+                "--registry", registry, "diff-table", spec.sink_dir, "person",
+                "--keys", "firstName",
+                "--from-seq", str(seqs[0]), "--to-seq", str(seqs[-1]),
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    # batch 2 of CANONICAL_EVENTS changes state between the generations
+    assert "insert" in out or "update" in out or "delete" in out
+
+    assert (
+        main(
+            [
+                "--registry", registry, "diff-table", spec.sink_dir, "person",
+                "--keys", "firstName", "--from-seq", "0", "--to-seq", "99",
+            ]
+        )
+        == 1
+    )
+
+
+def test_cli_optimize_table_and_agg_view(spark, tmp_path, capsys):
+    spec = PipelineSpec(
+        name="popt",
+        source_dir=str(tmp_path / "stream"),
+        tables=[
+            TableSpec(
+                "person",
+                ["firstName"],
+                PERSON_SCHEMA,
+                agg_group_cols=["lastName"],
+                agg_sum_cols=["age"],
+            )
+        ],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=1)
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec_to_json(spec)))
+    registry = str(tmp_path / "pipelines.json")
+    assert main(["--registry", registry, "quickstart", str(spec_file)]) == 0
+    capsys.readouterr()
+
+    assert (
+        main(
+            [
+                "--registry", registry, "optimize-table", spec.sink_dir,
+                "person", "--sort-cols", "age",
+            ]
+        )
+        == 0
+    )
+    assert json.loads(capsys.readouterr().out)["table"] == "person"
+    # table still readable after the in-place swap
+    assert main(["--registry", registry, "show-table", spec.sink_dir, "person"]) == 0
+    capsys.readouterr()
+
+    assert main(["--registry", registry, "agg-view", spec.sink_dir, "person"]) == 0
+    out = capsys.readouterr().out
+    assert "sum_age" in out and "avg_age" in out
+
+    assert main(["--registry", registry, "agg-view", spec.sink_dir, "nope"]) == 1
