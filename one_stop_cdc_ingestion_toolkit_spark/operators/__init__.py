@@ -114,6 +114,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         extras,
         history,
+        mixing,
         mlprep,
         multimodal,
         neardup2,
