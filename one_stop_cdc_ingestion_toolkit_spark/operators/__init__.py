@@ -112,6 +112,7 @@ def load_all() -> dict[str, QuerySpec]:
         audit,
         corpus,
         dedup,
+        experiments,
         extras,
         history,
         mixing,

@@ -1,0 +1,447 @@
+"""Experimentation / evaluation batch (``e153``–``e156``): k-means
+embedding clustering, Welch two-sample audit, classifier calibration
+(ECE), and segment-level duplicate-mass accounting.
+
+No reference parity (the reference — `/root/reference/`, a Bash
+provisioning CLI — has no query surface); these extend the
+training-data-pipeline inventory (SURVEY.md §2.5) with the evaluation
+loops an ML-data team runs over a CDC-fed lake.
+
+Scale shapes (100 TB posture):
+
+- e153 is MLlib-style Lloyd iteration: centroids (k × dim, bounded)
+  round-trip through the driver each iteration and come back as
+  *literals*, so cluster assignment is a map-side codegen projection —
+  embeddings NEVER shuffle for assignment. The only per-iteration
+  shuffle is the (cid, dim)-keyed partial-agg mean recompute, whose
+  output is k × dim rows regardless of corpus size.
+- e154 reduces the event stream to one exact per-type row (n, Σv, Σv²
+  as DECIMAL(38,0) of milli-units — overflow-safe past 10^12 rows) and
+  derives every complement ("rest") statistic from the broadcast 1-row
+  total — the t-statistics cost one partial-aggregated shuffle total.
+- e155 rides a110's broadcast-centroid scan; the calibration table is
+  a ≤ 21-row aggregate of (bin)-keyed exact counts.
+- e156 shuffles only 32-char segment digests (never text) for the
+  document-frequency count plus one digest-keyed join back; both
+  aggregations are map-side combinable.
+
+Cross-engine determinism: every emitted double is either derived from
+exact integer/decimal sums (e154, counts and ratios in e155/e156) or a
+ROUND of a bounded-drift float reduction (e153 inertia — addend order
+differs between engines by ~1e-12 relative, rounded well above it; the
+same contract `label_centroids` already uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
+    _duck_cos_vs,
+    label_centroids,
+)
+from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+    EMB_DIM,
+    cosine,
+)
+
+#: k-means cluster count (e153) — init = embeddings of the k smallest
+#: vec_ids, 2 Lloyd iterations (init → assign → recompute → assign).
+KMEANS_K = 8
+KMEANS_ITERS = 2
+#: segment width (words) for e156 duplicate-mass accounting.
+SEG_WORDS = 10
+#: |t| threshold for the e154 significance flag (two-sided 5%).
+T_CRIT = 1.96
+
+
+# ---------------------------------------------------------------------------
+# e153: k-means over embeddings (Lloyd, deterministic init)
+# ---------------------------------------------------------------------------
+
+
+def _l2sq(vec: Column, cent: list[float]) -> Column:
+    """Squared L2 distance between an array column and a literal centroid,
+    folded in index order (same reduction order DuckDB's ``list_sum``
+    uses, so both engines produce bit-identical doubles)."""
+    lit_vec = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            lit_vec,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Map-side cluster assignment: adds (cid, dist) = argmin over the
+    literal centroid list. No join, no shuffle — the centroid loop is
+    unrolled into a codegen ``array_min`` over k (dist, cid) structs;
+    ties break to the smallest cid via struct ordering."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _l2sq(F.col(vec_col), c).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return emb.withColumn("cid", best["cid"]).withColumn("dist", best["dist"])
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means with deterministic seeding: initial centroids are
+    the embeddings of the ``k`` smallest ids; each recomputed centroid
+    dimension is rounded to 6 places (absorbs summation-order ulp drift,
+    the `label_centroids` contract). Returns the final assignment frame
+    with (cid, dist).
+
+    The driver round-trips only k × dim doubles per iteration (the MLlib
+    KMeans pattern); per-iteration cluster means are ONE (cid, pos)-keyed
+    partial agg whose output size is k × dim, independent of corpus size.
+    """
+    init_rows = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in init_rows]
+    assigned = assign_clusters(emb, cents, vec_col)
+    for _ in range(iters - 1):
+        mean_rows = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
+        # a cluster emptied mid-iteration keeps its previous centroid
+        cents = [
+            [by_cid[i][p] for p in range(len(cents[i]))] if i in by_cid else cents[i]
+            for i in range(k)
+        ]
+        assigned = assign_clusters(emb, cents, vec_col)
+    return assigned
+
+
+@register(
+    "e153_kmeans_clusters",
+    f"""WITH emb AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       init AS (
+         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS cv
+         FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {KMEANS_K})),
+       d1 AS (
+         SELECT vec_id, e, cid,
+                list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                         i -> (e[i] - cv[i]) * (e[i] - cv[i]))) AS dist
+         FROM emb CROSS JOIN init),
+       a1 AS (
+         SELECT vec_id, e, cid FROM (
+           SELECT vec_id, e, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+           FROM d1) WHERE rn = 1),
+       m1 AS (
+         SELECT cid, i.range AS pos, ROUND(AVG(e[CAST(i.range AS INT) + 1]), 6) AS cv
+         FROM a1, range(0, {EMB_DIM}) i GROUP BY 1, 2),
+       c1 AS (SELECT cid, list(cv ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+       d2 AS (
+         SELECT vec_id, a.cid,
+                list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                         i -> (e[i] - cv[i]) * (e[i] - cv[i]))) AS dist
+         FROM emb CROSS JOIN c1 a),
+       a2 AS (
+         SELECT vec_id, cid, dist FROM (
+           SELECT vec_id, cid, dist,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+           FROM d2) WHERE rn = 1)
+       SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+              ROUND(SUM(dist), 3) AS inertia,
+              ROUND(AVG(dist), 6) AS avg_dist
+       FROM a2 GROUP BY cid ORDER BY cid""",
+)
+def e153_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means corpus structure audit: cluster the embedding table with
+    2 deterministic Lloyd iterations (k=8, seeded from the 8 smallest
+    vec_ids) and report per-cluster size, inertia (Σ squared L2 to the
+    assigned centroid) and mean distance — the quick "does this corpus
+    have usable structure / how unbalanced are the modes" check run
+    before spending a training job, and the pruning signal for
+    cluster-balanced data selection.
+
+    Assignment is a zero-shuffle codegen projection against literal
+    centroids (see `assign_clusters`); the oracle unrolls both Lloyd
+    iterations as CTEs so DuckDB replays the identical arithmetic."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    assigned = kmeans_fit(emb)
+    return (
+        assigned.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("dist"), 3).alias("inertia"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e154: Welch two-sample t audit (each event type vs the rest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e154_welch_audit",
+    f"""WITH mv AS (
+         SELECT event_type,
+                CAST(ROUND(value * 1000) AS DECIMAL(38,0)) AS m
+         FROM events),
+       per AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                SUM(m) AS s1, SUM(m * m) AS s2
+         FROM mv GROUP BY event_type),
+       tot AS (SELECT SUM(n) AS tn, SUM(s1) AS t1, SUM(s2) AS t2 FROM per),
+       st AS (
+         SELECT event_type, n,
+                CAST(s1 AS DOUBLE) / n AS m1,
+                (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                  / (n - 1) AS v1,
+                tn - n AS n2,
+                CAST(t1 - s1 AS DOUBLE) / (tn - n) AS m2,
+                (CAST(t2 - s2 AS DOUBLE)
+                 - CAST(t1 - s1 AS DOUBLE) * CAST(t1 - s1 AS DOUBLE) / (tn - n))
+                  / (tn - n - 1) AS v2
+         FROM per CROSS JOIN tot),
+       t AS (
+         SELECT event_type, n, m1, v1, n2, m2, v2,
+                v1 / n + v2 / n2 AS se2
+         FROM st)
+       SELECT event_type, n,
+              ROUND(m1 / 1000, 4) AS mean_value,
+              ROUND((m1 - m2) / sqrt(se2), 4) + 0.0 AS t_welch,
+              ROUND(se2 * se2 / ((v1 / n) * (v1 / n) / (n - 1)
+                                 + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2)
+                AS df_welch,
+              abs((m1 - m2) / sqrt(se2)) > {T_CRIT} AS significant
+       FROM t ORDER BY event_type""",
+)
+def e154_welch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-shift tripwire: Welch's unequal-variance t-test of
+    ``events.value`` for each event type against all other events —
+    the standard "did this segment's metric really move" audit over an
+    event stream, with the Welch–Satterthwaite degrees of freedom.
+
+    Values are quantized to exact milli-unit DECIMAL(38,0) sums (n, Σv,
+    Σv² — overflow-safe past 10^12 rows and bit-identical across
+    engines regardless of addend order); each type's complement comes
+    from the broadcast one-row total, so the whole test costs one
+    partial-aggregated shuffle."""
+    ev = tables(spark, sf_dir)["events"]
+    m = F.round(F.col("value") * 1000).cast("decimal(38,0)")
+    per = ev.select("event_type", m.alias("m")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("s1").alias("t1"), F.sum("s2").alias("t2")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n = F.col("n").cast("double")
+    n2 = (F.col("tn") - F.col("n")).cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    r1d = (F.col("t1") - F.col("s1")).cast("double")
+    r2d = (F.col("t2") - F.col("s2")).cast("double")
+    m1 = s1d / n
+    v1 = (s2d - s1d * s1d / n) / (n - F.lit(1.0))
+    m2 = r1d / n2
+    v2 = (r2d - r1d * r1d / n2) / (n2 - F.lit(1.0))
+    se2 = v1 / n + v2 / n2
+    t_stat = (m1 - m2) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (v1 / n) * (v1 / n) / (n - F.lit(1.0))
+        + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0))
+    )
+    return j.select(
+        "event_type",
+        "n",
+        F.round(m1 / 1000, 4).alias("mean_value"),
+        # + 0.0 collapses IEEE −0.0 (a sub-half-ulp negative t rounds to
+        # −0.0 in one engine and +0.0 in the other) to a single encoding
+        (F.round(t_stat, 4) + F.lit(0.0)).alias("t_welch"),
+        F.round(df_w, 2).alias("df_welch"),
+        (F.abs(t_stat) > T_CRIT).alias("significant"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# e155: calibration table / expected-calibration-error inputs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e155_ece_calibration",
+    f"""WITH cx AS (SELECT label, embedding,
+                          unnest(generate_series(1, {EMB_DIM})) AS i
+                   FROM embeddings),
+       cd AS (SELECT label, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+              FROM cx GROUP BY 1, 2),
+       cent AS (SELECT label AS c_label, list(cv ORDER BY i) AS cent_vec
+                FROM cd GROUP BY label),
+       scored AS (SELECT e.vec_id, e.label, c.c_label,
+                         {_duck_cos_vs('e.embedding', 'c.cent_vec')} AS cos
+                  FROM embeddings e CROSS JOIN cent c),
+       pred AS (SELECT vec_id, label, c_label AS pred, ROUND(cos, 6) AS conf
+                FROM (SELECT vec_id, label, c_label, cos,
+                             row_number() OVER (PARTITION BY vec_id
+                                                ORDER BY cos DESC, c_label) AS rn
+                      FROM scored) WHERE rn = 1),
+       binned AS (SELECT LEAST(GREATEST(CAST(FLOOR(conf * 10) AS INT), -10), 9)
+                           AS bin,
+                         CASE WHEN pred = label THEN 1 ELSE 0 END AS ok
+                  FROM pred),
+       agg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(ok) AS BIGINT) AS n_ok,
+                      ROUND(AVG(CAST(bin AS DOUBLE)) / 10 + 0.05, 4) AS bin_mid
+               FROM binned GROUP BY bin)
+       SELECT bin, n, ROUND(CAST(n_ok AS DOUBLE) / n, 4) AS accuracy,
+              bin_mid,
+              ROUND(ABS(ROUND(CAST(n_ok AS DOUBLE) / n, 4) - bin_mid), 4)
+                AS gap
+       FROM agg ORDER BY bin""",
+)
+def e155_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for the nearest-centroid classifier (a110's
+    model): bucket predictions by confidence (max centroid cosine,
+    bin width 0.1) and compare per-bin accuracy against the bin
+    midpoint — the per-bin table whose n-weighted ``gap`` sum is the
+    expected calibration error (ECE). An over-confident auto-labeler
+    silently poisons curated training mixes; this is the check.
+
+    Same scan shape as a110 (centroids broadcast, argmax is a keyed
+    partial agg, embeddings never shuffle); the calibration table adds
+    one ≤ 21-row exact-count aggregation. Accuracy and gap derive from
+    integer counts, bit-identical across engines."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cent = label_centroids(emb).select(F.col("label").alias("c_label"), "cent_vec")
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", cosine(F.col("embedding"), F.col("cent_vec"))
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.max_by(
+            "c_label", F.struct(F.col("cos"), (-F.col("c_label")).alias("nl"))
+        ).alias("pred"),
+        F.round(F.max("cos"), 6).alias("conf"),
+    )
+    binned = pred.select(
+        F.least(
+            F.greatest(F.floor(F.col("conf") * 10).cast("int"), F.lit(-10)),
+            F.lit(9),
+        ).alias("bin"),
+        (F.col("pred") == F.col("label")).cast("int").alias("ok"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ok").alias("n_ok"),
+        F.round(F.avg(F.col("bin").cast("double")) / 10 + 0.05, 4).alias("bin_mid"),
+    )
+    acc = F.round(F.col("n_ok").cast("double") / F.col("n"), 4)
+    return agg.select(
+        "bin",
+        "n",
+        acc.alias("accuracy"),
+        "bin_mid",
+        F.round(F.abs(acc - F.col("bin_mid")), 4).alias("gap"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# e156: segment-level duplicate mass (C4/Falcon line-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e156_segment_dup_mass",
+    f"""WITH w AS (
+         SELECT doc_id, source,
+                string_split_regex(trim(text), '\\s+') AS ws
+         FROM documents),
+       segs AS (
+         SELECT doc_id, source,
+                unnest(list_transform(
+                  generate_series(0, CAST(len(ws) // {SEG_WORDS} AS INT) - 1),
+                  i -> md5(array_to_string(
+                         list_slice(ws, i * {SEG_WORDS} + 1,
+                                    i * {SEG_WORDS} + {SEG_WORDS}), ' ')))) AS dig
+         FROM w),
+       df AS (SELECT dig, COUNT(*) AS c FROM segs GROUP BY dig)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seg,
+              CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*), 4) AS dup_mass
+       FROM segs JOIN df USING (dig)
+       GROUP BY source ORDER BY source""",
+)
+def e156_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-segment mass — the C4/Falcon "line dedup"
+    accounting adapted to unpunctuated text: each document is cut into
+    consecutive non-overlapping 10-word segments (the trailing partial
+    segment is dropped), a segment occurrence counts as duplicated when
+    its exact text appears anywhere else in the corpus, and each source
+    reports its duplicate fraction. Sources with high ``dup_mass`` are
+    boilerplate-heavy and should be line-deduped (or down-weighted)
+    before entering a training mix.
+
+    Only 32-char md5 digests ever shuffle (the document-frequency agg
+    and the digest-keyed join back); segment construction is a codegen
+    higher-order-function projection — text never leaves its input
+    partition. Both aggregations are map-side combinable."""
+    d = tables(spark, sf_dir)["documents"]
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_seg = F.floor(F.size(words) / SEG_WORDS).cast("int")
+    digs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(words, i * SEG_WORDS + 1, SEG_WORDS), " ")
+        ),
+    )
+    segs = d.filter(F.size(words) >= SEG_WORDS).select(
+        "doc_id", "source", F.explode(digs).alias("dig")
+    )
+    df = segs.groupBy("dig").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") > 1, 1).otherwise(0)
+    return (
+        segs.join(df, "dig")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(dup).cast("long").alias("n_dup"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_mass"),
+        )
+        .orderBy("source")
+    )

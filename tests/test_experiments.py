@@ -1,0 +1,120 @@
+"""Tests for the experimentation/evaluation batch (e153–e156).
+
+Oracle parity is covered by tools/verify_oracle.py (all four are
+hash-checked vs DuckDB); these tests pin the algorithmic invariants the
+hash can't see: Lloyd descent, test-statistic sanity, calibration and
+dup-mass bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+    KMEANS_K,
+    assign_clusters,
+    e153_kmeans_clusters,
+    e154_welch_audit,
+    e155_ece_calibration,
+    e156_segment_dup_mass,
+    kmeans_fit,
+)
+from tests.conftest import SF_DIR
+
+
+def test_kmeans_separates_two_blobs(spark):
+    """Two far-apart blobs, k=2: Lloyd must put each blob in its own
+    cluster and land near-zero inertia."""
+    rows = [
+        # ids 1 and 2 (the deterministic seeds) sit in different blobs
+        (1, [0.0, 0.1]), (3, [0.1, 0.0]), (5, [0.05, 0.05]),
+        (2, [10.0, 10.1]), (4, [10.1, 10.0]), (6, [10.05, 10.05]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_fit(emb, k=2, iters=3).select("vec_id", "cid").collect()
+    by_cid: dict[int, set[int]] = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, by_cid.values())) == [[1, 3, 5], [2, 4, 6]]
+
+
+def test_kmeans_iteration_descends(spark):
+    """One more Lloyd iteration must not increase total inertia (the
+    textbook monotone-descent property; centroid rounding at 6 dp is
+    far below the inertia scale)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    i1 = (
+        kmeans_fit(emb, iters=1).agg(F.sum("dist").alias("s")).collect()[0]["s"]
+    )
+    i2 = (
+        kmeans_fit(emb, iters=2).agg(F.sum("dist").alias("s")).collect()[0]["s"]
+    )
+    assert i2 <= i1 + 1e-6
+
+
+def test_kmeans_registered_partitions_corpus(spark):
+    res = e153_kmeans_clusters(spark, SF_DIR).collect()
+    total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n_members"] for r in res) == total
+    assert {r["cid"] for r in res} <= set(range(KMEANS_K))
+    assert all(r["inertia"] >= 0 for r in res)
+
+
+def test_assignment_is_shuffle_free(spark):
+    """Cluster assignment must be a pure projection: no Exchange in the
+    plan (centroids are literals, embeddings never move)."""
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = physical_plan(assign_clusters(emb, [[0.0] * 64, [1.0] * 64]))
+    assert "Exchange" not in plan
+
+
+def test_welch_sign_matches_mean_shift(spark):
+    """t must be positive exactly when the type's mean exceeds the
+    complement mean (same denominator, same ordering)."""
+    res = e154_welch_audit(spark, SF_DIR).collect()
+    assert len(res) >= 2
+    grand_n = sum(r["n"] for r in res)
+    grand_sum = sum(r["mean_value"] * r["n"] for r in res)
+    for r in res:
+        rest_mean = (grand_sum - r["mean_value"] * r["n"]) / (grand_n - r["n"])
+        if r["t_welch"] > 0.05:
+            assert r["mean_value"] > rest_mean
+        elif r["t_welch"] < -0.05:
+            assert r["mean_value"] < rest_mean
+        assert r["df_welch"] > 0
+        assert r["significant"] == (abs(r["t_welch"]) > 1.96) or (
+            abs(abs(r["t_welch"]) - 1.96) < 0.01
+        )
+
+
+def test_ece_bins_bounded(spark):
+    res = e155_ece_calibration(spark, SF_DIR).collect()
+    assert res, "at least one confidence bin"
+    for r in res:
+        assert -10 <= r["bin"] <= 9
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["gap"] >= 0.0
+        # gap is |accuracy - bin_mid| on the rounded values
+        assert abs(r["gap"] - round(abs(r["accuracy"] - r["bin_mid"]), 4)) < 1e-9
+
+
+def test_segment_dup_mass_bounds(spark):
+    res = e156_segment_dup_mass(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_sources = docs.select("source").distinct().count()
+    assert len(res) == n_sources
+    for r in res:
+        assert 0 <= r["n_dup"] <= r["n_seg"]
+        assert 0.0 <= r["dup_mass"] <= 1.0
+
+
+def test_segment_count_matches_word_count(spark):
+    """Every document contributes exactly floor(words/10) segments."""
+    res = e156_segment_dup_mass(spark, SF_DIR).agg(F.sum("n_seg")).collect()[0][0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expected = docs.select(
+        F.floor(F.size(F.split(F.trim("text"), r"\s+")) / 10).alias("k")
+    ).agg(F.sum("k")).collect()[0][0]
+    assert res == expected
