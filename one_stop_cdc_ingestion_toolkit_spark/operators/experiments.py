@@ -43,10 +43,12 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
     _duck_cos_vs,
     label_centroids,
 )
+from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import _DUCK_QUALITY
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     EMB_DIM,
     cosine,
 )
+from one_stop_cdc_ingestion_toolkit_spark.operators.text import quality_score
 
 #: k-means cluster count (e153) — init = embeddings of the k smallest
 #: vec_ids, 2 Lloyd iterations (init → assign → recompute → assign).
@@ -100,18 +102,17 @@ def assign_clusters(
     return emb.withColumn("cid", best["cid"]).withColumn("dist", best["dist"])
 
 
-def kmeans_fit(
+def kmeans_centroids(
     emb: DataFrame,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Lloyd's k-means with deterministic seeding: initial centroids are
-    the embeddings of the ``k`` smallest ids; each recomputed centroid
-    dimension is rounded to 6 places (absorbs summation-order ulp drift,
-    the `label_centroids` contract). Returns the final assignment frame
-    with (cid, dist).
+) -> list[list[float]]:
+    """The centroid list the final Lloyd assignment uses: seeded from the
+    ``k`` smallest ids, then ``iters - 1`` recomputes with each centroid
+    dimension rounded to 6 places (absorbs summation-order ulp drift,
+    the `label_centroids` contract).
 
     The driver round-trips only k × dim doubles per iteration (the MLlib
     KMeans pattern); per-iteration cluster means are ONE (cid, pos)-keyed
@@ -124,10 +125,10 @@ def kmeans_fit(
         .collect()
     )
     cents = [[float(x) for x in r["v"]] for r in init_rows]
-    assigned = assign_clusters(emb, cents, vec_col)
     for _ in range(iters - 1):
         mean_rows = (
-            assigned.select("cid", F.posexplode(vec_col).alias("pos", "x"))
+            assign_clusters(emb, cents, vec_col)
+            .select("cid", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cv"))
             .collect()
@@ -140,13 +141,26 @@ def kmeans_fit(
             [by_cid[i][p] for p in range(len(cents[i]))] if i in by_cid else cents[i]
             for i in range(k)
         ]
-        assigned = assign_clusters(emb, cents, vec_col)
-    return assigned
+    return cents
 
 
-@register(
-    "e153_kmeans_clusters",
-    f"""WITH emb AS (
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means (see `kmeans_centroids`): returns the final
+    assignment frame with (cid, dist) added — a zero-shuffle projection
+    against the literal centroids."""
+    return assign_clusters(emb, kmeans_centroids(emb, k, iters, id_col, vec_col), vec_col)
+
+
+#: the unrolled 2-iteration Lloyd CTE chain (shared by e153/e158/e159):
+#: ends at a2 = (vec_id, cid, dist) final assignments and keeps d2 (the
+#: full vector × centroid distance grid) visible for silhouette.
+_DUCK_KMEANS_CTES = f"""emb AS (
          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          FROM embeddings),
        init AS (
@@ -177,7 +191,12 @@ def kmeans_fit(
            SELECT vec_id, cid, dist,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY dist, cid) AS rn
-           FROM d2) WHERE rn = 1)
+           FROM d2) WHERE rn = 1)"""
+
+
+@register(
+    "e153_kmeans_clusters",
+    f"""WITH {_DUCK_KMEANS_CTES}
        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
               ROUND(SUM(dist), 3) AS inertia,
               ROUND(AVG(dist), 6) AS avg_dist
@@ -206,6 +225,7 @@ def e153_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
 
 
 # ---------------------------------------------------------------------------
@@ -445,3 +465,319 @@ def e156_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# e157: label-centroid margin matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e157_label_margin_matrix",
+    f"""WITH cx AS (SELECT label, embedding,
+                          unnest(generate_series(1, {EMB_DIM})) AS i
+                   FROM embeddings),
+       cd AS (SELECT label, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+              FROM cx GROUP BY 1, 2),
+       cent AS (SELECT label, list(cv ORDER BY i) AS cent_vec
+                FROM cd GROUP BY label)
+       SELECT a.label AS label_a, b.label AS label_b,
+              ROUND({_duck_cos_vs('a.cent_vec', 'b.cent_vec')}, 6) AS cos_sim
+       FROM cent a JOIN cent b ON a.label < b.label
+       ORDER BY label_a, label_b""",
+)
+def e157_label_margin_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the margin
+    audit behind a110/e155: label pairs whose centroids are nearly
+    parallel are the ones an auto-labeler will confuse and a curated
+    mix will cross-contaminate. k(k-1)/2 rows regardless of corpus
+    size; the per-label centroids come from one (label, dim)-keyed
+    partial agg, and the pair matrix is a broadcast self-join over k
+    rows."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    cent = label_centroids(emb)
+    a = cent.select(F.col("label").alias("label_a"), F.col("cent_vec").alias("va"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("cent_vec").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e158: simplified silhouette for the k-means clustering
+# ---------------------------------------------------------------------------
+
+
+def assign_with_runnerup(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Like `assign_clusters` but also keeps the runner-up centroid
+    distance (for simplified-silhouette): array_sort over the k
+    (dist, cid) structs, take ranks 0 and 1. Still a pure map-side
+    codegen projection — no join, no shuffle."""
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _l2sq(F.col(vec_col), c).alias("dist"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    return (
+        emb.withColumn("__arr", arr)
+        .withColumn("cid", F.col("__arr")[0]["cid"])
+        .withColumn("dist", F.col("__arr")[0]["dist"])
+        .withColumn("dist2", F.col("__arr")[1]["dist"])
+        .drop("__arr")
+    )
+
+
+@register(
+    "e158_simplified_silhouette",
+    f"""WITH {_DUCK_KMEANS_CTES},
+       r2 AS (
+         SELECT vec_id, cid, dist,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+         FROM d2),
+       ab AS (
+         SELECT a.vec_id, a.cid, a.dist AS da, b.dist AS db
+         FROM (SELECT * FROM r2 WHERE rn = 1) a
+         JOIN (SELECT * FROM r2 WHERE rn = 2) b USING (vec_id)),
+       s AS (
+         SELECT cid,
+                CASE WHEN GREATEST(da, db) = 0 THEN 0.0
+                     ELSE (db - da) / GREATEST(da, db) END AS sil
+         FROM ab)
+       SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(AVG(sil), 6) AS avg_sil,
+              ROUND(MIN(sil), 6) AS min_sil
+       FROM s GROUP BY cid ORDER BY cid""",
+)
+def e158_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette for the e153 clustering: for
+    each vector, a = squared distance to its assigned centroid, b = to
+    the runner-up centroid, s = (b−a)/max(a,b) ∈ [0,1] here (a ≤ b by
+    construction). Clusters with low average silhouette are overlapping
+    modes — merge candidates before cluster-balanced sampling trusts
+    them. The simplified (centroid-based) variant is O(n·k), unlike the
+    O(n²) classic, so it survives corpus scale; assignment + runner-up
+    is the same zero-shuffle literal-centroid projection as e153."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    # the exact centroid literals e153's final assignment used
+    scored = assign_with_runnerup(emb, kmeans_centroids(emb))
+    sil = F.when(F.greatest("dist", "dist2") == 0, F.lit(0.0)).otherwise(
+        (F.col("dist2") - F.col("dist")) / F.greatest("dist", "dist2")
+    )
+    return (
+        scored.select("cid", sil.alias("sil"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("sil"), 6).alias("avg_sil"),
+            F.round(F.min("sil"), 6).alias("min_sil"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e159: cluster-label purity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e159_cluster_purity",
+    f"""WITH {_DUCK_KMEANS_CTES},
+       cl AS (
+         SELECT a2.cid, e.label, COUNT(*) AS c
+         FROM a2 JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+       top AS (
+         SELECT cid, label AS major_label, c AS major_n,
+                row_number() OVER (PARTITION BY cid
+                                   ORDER BY c DESC, label) AS rn
+         FROM cl),
+       tot AS (SELECT cid, SUM(c) AS n FROM cl GROUP BY cid)
+       SELECT t.cid, CAST(tot.n AS BIGINT) AS n,
+              t.major_label, CAST(t.major_n AS BIGINT) AS major_n,
+              ROUND(CAST(t.major_n AS DOUBLE) / tot.n, 4) AS purity
+       FROM top t JOIN tot USING (cid) WHERE rn = 1 ORDER BY cid""",
+)
+def e159_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster ↔ label agreement for the e153 clustering: per cluster,
+    the majority ground-truth label and its purity (majority fraction).
+    High purity means the unsupervised structure recovers the labels —
+    the go/no-go check before using clusters as pseudo-labels or as
+    strata for balanced sampling. Costs two short-key partial-agg
+    shuffles ((cid,label) counts, then per-cid totals) on top of the
+    zero-shuffle assignment; purity is an exact integer ratio, so the
+    result is bit-identical across engines."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    assigned = kmeans_fit(emb)
+    cl = assigned.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("c"))
+    top = cl.groupBy("cid").agg(
+        F.max_by(
+            F.struct(F.col("label").alias("major_label"), F.col("c").alias("major_n")),
+            F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+        ).alias("m"),
+        F.sum("c").alias("n"),
+    )
+    return top.select(
+        "cid",
+        "n",
+        F.col("m.major_label").alias("major_label"),
+        F.col("m.major_n").alias("major_n"),
+        F.round(F.col("m.major_n").cast("double") / F.col("n"), 4).alias("purity"),
+    ).orderBy("cid")
+
+
+# ---------------------------------------------------------------------------
+# e160: weighted sampling without replacement (Efraimidis–Spirakis A-Res)
+# ---------------------------------------------------------------------------
+
+#: sample size for e160.
+WSAMPLE_M = 100
+
+
+@register(
+    "e160_weighted_sample",
+    f"""WITH q AS (
+         SELECT doc_id, source,
+                {_DUCK_QUALITY} AS w,
+                (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 0.5) / 4294967296.0 AS u
+         FROM documents),
+       keyed AS (
+         SELECT doc_id, source, w, ln(u) / w AS k
+         FROM q WHERE w > 0)
+       SELECT doc_id, source, ROUND(w, 4) AS weight, ROUND(k, 6) AS sample_key
+       FROM keyed ORDER BY k DESC, doc_id LIMIT {WSAMPLE_M}""",
+)
+def e160_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sample WITHOUT replacement (m=100): the
+    Efraimidis–Spirakis exponential race — each doc gets key
+    ln(u)/w for a deterministic md5-derived uniform u, and the m
+    largest keys are exactly a weighted sample without replacement.
+    Unlike e148's independent accept/reject (random output size), this
+    yields a fixed-size sample — what a curated eval set or human
+    review batch actually needs.
+
+    The key is computed map-side from each row alone (no weight
+    renormalization needed — the race is scale-invariant), so the whole
+    query is one TakeOrderedAndProject: per-partition top-m heaps, one
+    m-row driver merge, no shuffle of the corpus. Deterministic u means
+    task retries can't change the sample."""
+    d = tables(spark, sf_dir)["documents"]
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    w = quality_score(F.col("text"))
+    keyed = d.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        (F.log(u) / w).alias("k"),
+    ).filter(F.col("w") > 0)
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            F.round("w", 4).alias("weight"),
+            F.round("k", 6).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "doc_id")
+        .limit(WSAMPLE_M)
+    )
+
+
+# ---------------------------------------------------------------------------
+# e161: k-center greedy coreset (farthest-first traversal)
+# ---------------------------------------------------------------------------
+
+#: number of coreset centers for e161.
+KCENTER_K = 8
+
+
+def _duck_l2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _kcenter_oracle(k: int = KCENTER_K) -> str:
+    """Unrolled farthest-first CTE chain: p_i = the point maximizing the
+    running min-distance to centers 0..i-1 (tie → smallest vec_id)."""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS e FROM embeddings)",
+        "p0 AS (SELECT vec_id, e, 0.0 AS md FROM emb ORDER BY vec_id LIMIT 1)",
+        f"m0 AS (SELECT emb.vec_id, emb.e, {_duck_l2('emb.e', 'p0.e')} AS md "
+        "FROM emb CROSS JOIN p0)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"p{i} AS (SELECT vec_id, e, md FROM m{i - 1} "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            ctes.append(
+                f"m{i} AS (SELECT m.vec_id, m.e, "
+                f"LEAST(m.md, {_duck_l2('m.e', 'p.e')}) AS md "
+                f"FROM m{i - 1} m CROSS JOIN p{i} p)"
+            )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, vec_id, ROUND(md, 6) AS radius FROM p{i}"
+        for i in range(k)
+    )
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY step"
+
+
+@register("e161_kcenter_coreset", _kcenter_oracle())
+def e161_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset by farthest-first traversal (the classic
+    2-approximation to k-center): start from the smallest vec_id, then
+    repeatedly pick the embedding farthest (squared L2) from all chosen
+    centers. The selected rows are the maximally-spread exemplars —
+    the standard seed set for diverse data selection and the dual of
+    density-based sampling. ``radius`` is each center's min-distance
+    when chosen, a monotone non-increasing sequence whose final value
+    2-approximates the optimal k-center cover radius.
+
+    k driver rounds, each one codegen projection (running min against
+    literal centers — embeddings never shuffle) plus a single max_by
+    partial agg collecting ONE row; the oracle unrolls the same k
+    rounds as CTEs, arithmetic bit-identical (no transcendentals)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    base = emb.select("vec_id", F.col("embedding").alias("e"))
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(0, int(first["vec_id"]), 0.0)]
+    center = [float(x) for x in first["e"]]
+    cur = base.withColumn("md", _l2sq(F.col("e"), center))
+    for step in range(1, KCENTER_K):
+        far = cur.agg(
+            F.max_by(
+                F.struct("vec_id", "e", "md"),
+                F.struct(F.col("md"), (-F.col("vec_id")).alias("nv")),
+            ).alias("p")
+        ).collect()[0]["p"]
+        picked.append((step, int(far["vec_id"]), float(far["md"])))
+        center = [float(x) for x in far["e"]]
+        if step < KCENTER_K - 1:
+            cur = cur.withColumn("md", F.least("md", _l2sq(F.col("e"), center)))
+    return spark.createDataFrame(
+        [(s, v, float(round(r, 6))) for s, v, r in picked],
+        "step int, vec_id long, radius double",
+    ).orderBy("step")

@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import REGISTRY, register
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    REGISTRY,
+    register,
+    track_cache,
+)
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash,
@@ -127,6 +131,11 @@ def simhash_hamming_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with SimHash Hamming ≤ HAMMING_MAX."""
     fp = d.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("fp"))
+    # the 32-bit fingerprint costs an explode-words + md5 + 32 bit-votes
+    # pass over the corpus — persist it so the banded self-join reads it
+    # once instead of recomputing it on both sides (the q43 MinHash rule;
+    # released via release_caches() after materialization)
+    fp = track_cache(fp)
     bands = fp.select(
         "doc_id",
         "fp",
@@ -154,10 +163,13 @@ def simhash_hamming_pairs(
     return (
         a.join(b, ["band", "byte"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
+        # verify Hamming BEFORE the cross-band dedup: most band-collisions
+        # fail the radius check, so the distinct (the only wide exchange
+        # on pair rows) sees surviving pairs only — on template-heavy
+        # corpora this shrinks its input by an order of magnitude
         .filter(ham <= HAMMING_MAX)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .distinct()
         .orderBy("id_a", "id_b")
     )
 

@@ -118,3 +118,91 @@ def test_segment_count_matches_word_count(spark):
         F.floor(F.size(F.split(F.trim("text"), r"\s+")) / 10).alias("k")
     ).agg(F.sum("k")).collect()[0][0]
     assert res == expected
+
+
+def test_label_margin_matrix_shape(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e157_label_margin_matrix,
+    )
+
+    res = e157_label_margin_matrix(spark, SF_DIR).collect()
+    labels = {
+        r["label"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label").distinct().collect()
+    }
+    k = len(labels)
+    assert len(res) == k * (k - 1) // 2
+    for r in res:
+        assert r["label_a"] < r["label_b"]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_silhouette_bounds_and_population(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e158_simplified_silhouette,
+    )
+
+    res = e158_simplified_silhouette(spark, SF_DIR).collect()
+    total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n"] for r in res) == total
+    for r in res:
+        # a <= b by construction, so simplified silhouette lands in [0, 1]
+        assert 0.0 <= r["min_sil"] <= r["avg_sil"] <= 1.0
+
+
+def test_cluster_purity_consistent_with_kmeans(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e153_kmeans_clusters,
+        e159_cluster_purity,
+    )
+
+    sizes = {r["cid"]: r["n_members"] for r in e153_kmeans_clusters(spark, SF_DIR).collect()}
+    for r in e159_cluster_purity(spark, SF_DIR).collect():
+        assert r["n"] == sizes[r["cid"]]
+        assert 0.0 < r["purity"] <= 1.0
+        assert r["major_n"] <= r["n"]
+
+
+def test_weighted_sample_fixed_size_and_ranked(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        WSAMPLE_M,
+        e160_weighted_sample,
+    )
+
+    res = e160_weighted_sample(spark, SF_DIR).collect()
+    assert len(res) == min(
+        WSAMPLE_M,
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").count(),
+    )
+    keys = [r["sample_key"] for r in res]
+    assert keys == sorted(keys, reverse=True)
+    # exponential-race keys are ln(u)/w with u in (0,1): strictly negative
+    assert all(k < 0 for k in keys)
+    assert len({r["doc_id"] for r in res}) == len(res), "without replacement"
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e160_weighted_sample,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.plans import uses_take_ordered
+
+    assert uses_take_ordered(e160_weighted_sample(spark, SF_DIR))
+
+
+def test_kcenter_radius_monotone_and_spread(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        KCENTER_K,
+        e161_kcenter_coreset,
+    )
+
+    res = e161_kcenter_coreset(spark, SF_DIR).collect()
+    assert len(res) == KCENTER_K
+    assert [r["step"] for r in res] == list(range(KCENTER_K))
+    radii = [r["radius"] for r in res]
+    assert radii[0] == 0.0
+    # farthest-first: each later pick can never be farther than the
+    # previous pick was at its own selection time
+    assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
+    assert len({r["vec_id"] for r in res}) == KCENTER_K, "distinct centers"
