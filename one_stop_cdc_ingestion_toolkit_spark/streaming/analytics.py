@@ -217,3 +217,68 @@ def dedup_stream_within(events: DataFrame, delay: str = "10 minutes") -> DataFra
     (bounded lag) rather than event-time disorder; batch twin is the
     same ``SELECT DISTINCT``."""
     return watermarked(events, delay).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a (possibly streaming)
+    event frame against a static dimension table — the bread-and-butter
+    CDC pattern of decorating a click/txn stream with customer/product
+    attributes.
+
+    Stream-static joins need NO state store: Spark re-executes the
+    static side's plan every micro-batch, so each batch joins against
+    the dimension as read at batch planning time. With
+    ``hint_broadcast`` (the default — dimensions are the small side)
+    the join is a broadcast hash join per batch: the stream never
+    shuffles, which is the 100 TB-stream posture. Set it False for a
+    dimension too large to broadcast (falls back to a shuffle join of
+    THAT BATCH only — still bounded by micro-batch size).
+
+    For a dimension that the CDC pipeline itself maintains (a
+    `TableStore` materialized table), prefer :func:`enrich_via_store`,
+    which re-resolves the atomic generation pointer each batch so dim
+    UPDATES become visible mid-stream.
+    """
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return events.join(d, on, how)
+
+
+def enrich_via_store(
+    spark,
+    events: DataFrame,
+    store,
+    dim_table: str,
+    on: str | list[str],
+    out_path: str,
+    checkpoint: str,
+    how: str = "left",
+):
+    """Start a foreachBatch enrichment that re-reads the dimension from a
+    :class:`TableStore` at EVERY micro-batch — dimension rows
+    upserted/deleted by the CDC pipeline between batches are visible to
+    the very next batch (the store's generation pointer is atomic, so a
+    batch sees a consistent dim snapshot, never a half-written one).
+
+    Enriched batches append to ``out_path`` as parquet. Returns the
+    StreamingQuery. Restart-safe: foreachBatch re-delivery after a crash
+    re-reads the CURRENT dim generation — enrichment is at-least-once
+    with latest-dim semantics (the standard contract for slowly-changing
+    enrichment; use `read_as_of` inside a custom fn for frozen-dim
+    semantics)."""
+
+    def _apply(batch: DataFrame, _epoch: int) -> None:
+        d = store.read(spark, dim_table)
+        out = batch.join(F.broadcast(d), on, how) if d is not None else batch
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
