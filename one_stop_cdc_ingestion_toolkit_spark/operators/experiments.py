@@ -1,6 +1,8 @@
-"""Experimentation / evaluation batch (``e153``–``e156``): k-means
-embedding clustering, Welch two-sample audit, classifier calibration
-(ECE), and segment-level duplicate-mass accounting.
+"""Experimentation / evaluation batch (``e153``–``e164``): k-means
+embedding clustering (+ silhouette, purity, margin matrix, coreset
+selection and coverage), Welch two-sample audit, classifier calibration
+(ECE), segment-level duplicate-mass accounting, weighted sampling
+without replacement, padding-waste audit, and VARIANT extraction.
 
 No reference parity (the reference — `/root/reference/`, a Bash
 provisioning CLI — has no query surface); these extend the
@@ -781,3 +783,177 @@ def e161_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, v, float(round(r, 6))) for s, v, r in picked],
         "step int, vec_id long, radius double",
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# e162: context-length padding-waste audit
+# ---------------------------------------------------------------------------
+
+#: candidate context lengths (tokens) for the e162 packing audit.
+PACK_LENGTHS = (16, 32, 64, 128)
+
+
+@register(
+    "e162_padding_waste",
+    f"""WITH t AS (
+         SELECT doc_id,
+                len(string_split_regex(trim(text), '\\s+')) AS n_tok
+         FROM documents),
+       l AS (SELECT unnest(ARRAY{list(PACK_LENGTHS)}) AS ctx_len),
+       p AS (
+         SELECT l.ctx_len, t.n_tok,
+                CAST(CEIL(CAST(t.n_tok AS DOUBLE) / l.ctx_len) * l.ctx_len
+                     AS BIGINT) AS padded
+         FROM t CROSS JOIN l)
+       SELECT ctx_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+              CAST(SUM(padded) AS BIGINT) AS total_padded,
+              ROUND(CAST(SUM(padded) - SUM(n_tok) AS DOUBLE)
+                    / SUM(padded), 4) AS waste_frac
+       FROM p GROUP BY ctx_len ORDER BY ctx_len""",
+)
+def e162_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for choosing a training context length: for
+    each candidate length L, every document occupies ceil(tokens/L)
+    rows of L tokens (the pad-don't-concat packing regime) and the
+    wasted fraction is (padded − real) / padded. The elbow of this
+    curve is how max_seq_len actually gets picked; at 100 TB the audit
+    is one scan with a 4-way literal explode and an exact-integer
+    partial agg — no shuffle carries more than |PACK_LENGTHS| × sources
+    rows."""
+    d = tables(spark, sf_dir)["documents"]
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select(n_tok.alias("n_tok"))
+    exploded = t.select(
+        "n_tok", F.explode(F.array(*[F.lit(x) for x in PACK_LENGTHS])).alias("ctx_len")
+    )
+    padded = (
+        F.ceil(F.col("n_tok").cast("double") / F.col("ctx_len")) * F.col("ctx_len")
+    ).cast("long")
+    return (
+        exploded.withColumn("padded", padded)
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("padded").cast("long").alias("total_padded"),
+            F.round(
+                (F.sum("padded") - F.sum("n_tok")).cast("double") / F.sum("padded"),
+                4,
+            ).alias("waste_frac"),
+        )
+        .orderBy("ctx_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e163: VARIANT semi-structured extraction (Spark 4 twin of b51)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e163_variant_extract",
+    """SELECT event_type,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+              CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+              COUNT(json_extract_string(props, '$.k')) AS n_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def e163_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary VARIANT, then typed
+    ``try_variant_get`` path reads — the modern engine-native encoding
+    that replaces per-access JSON string re-parsing (b51's
+    ``get_json_object``) with a parse-once binary format; on wide
+    telemetry payloads the VARIANT read is O(paths), not O(payload).
+    Dialect pair: DuckDB extracts the same path from the JSON text."""
+    ev = tables(spark, sf_dir)["events"]
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("k").alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e164: coreset coverage per label
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_cover_oracle(k: int = KCENTER_K) -> str:
+    """e161's unrolled chain plus the final LEAST (m{k-1}) so every
+    vector's min-distance covers ALL k centers, aggregated per label."""
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS e FROM embeddings)",
+        "p0 AS (SELECT vec_id, e, 0.0 AS md FROM emb ORDER BY vec_id LIMIT 1)",
+        f"m0 AS (SELECT emb.vec_id, emb.e, {_duck_l2('emb.e', 'p0.e')} AS md "
+        "FROM emb CROSS JOIN p0)",
+    ]
+    for i in range(1, k):
+        ctes.append(
+            f"p{i} AS (SELECT vec_id, e, md FROM m{i - 1} "
+            "ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT m.vec_id, m.e, "
+            f"LEAST(m.md, {_duck_l2('m.e', 'p.e')}) AS md "
+            f"FROM m{i - 1} m CROSS JOIN p{i} p)"
+        )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"ROUND(AVG(m.md), 6) AS avg_cover_dist, "
+        f"ROUND(MAX(m.md), 6) AS max_cover_dist "
+        f"FROM m{k - 1} m JOIN embeddings e USING (vec_id) "
+        f"GROUP BY e.label ORDER BY e.label"
+    )
+
+
+@register("e164_coreset_coverage", _kcenter_cover_oracle())
+def e164_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How well the e161 k-center coreset covers each label's region:
+    per label, the mean and max squared distance from its embeddings to
+    the nearest of the k greedy centers. A label with outsized
+    ``max_cover_dist`` lives outside the coreset's reach — the signal
+    to raise k or stratify selection by label before using the coreset
+    as an exemplar set.
+
+    Same k driver rounds as e161 to obtain the centers, then ONE
+    codegen pass computes min-distance against all k literal centers
+    and a label-keyed partial agg reduces it — embeddings never
+    shuffle."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    base = emb.select("vec_id", "label", F.col("embedding").alias("e"))
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    centers = [[float(x) for x in first["e"]]]
+    cur = base.withColumn("md", _l2sq(F.col("e"), centers[0]))
+    for _ in range(1, KCENTER_K):
+        far = cur.agg(
+            F.max_by(
+                F.struct("vec_id", "e", "md"),
+                F.struct(F.col("md"), (-F.col("vec_id")).alias("nv")),
+            ).alias("p")
+        ).collect()[0]["p"]
+        centers.append([float(x) for x in far["e"]])
+        cur = cur.withColumn("md", F.least("md", _l2sq(F.col("e"), centers[-1])))
+    return (
+        cur.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("md"), 6).alias("avg_cover_dist"),
+            F.round(F.max("md"), 6).alias("max_cover_dist"),
+        )
+        .orderBy("label")
+    )

