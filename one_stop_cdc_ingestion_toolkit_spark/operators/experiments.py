@@ -40,12 +40,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
     _duck_cos_vs,
     label_centroids,
 )
-from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import _DUCK_QUALITY
+from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import (
+    _DUCK_QUALITY,
+    _DUCK_SIMHASH_CTE,
+    HAMMING_MAX,
+    simhash_hamming_pairs,
+)
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     EMB_DIM,
     cosine,
@@ -956,4 +961,219 @@ def e164_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("md"), 6).alias("max_cover_dist"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e165: count-min sketch heavy hitters (mergeable frequency sketch)
+# ---------------------------------------------------------------------------
+
+#: count-min geometry: CMS_D hash rows × CMS_W buckets (eps = e/w ~ 4.2%).
+CMS_D = 4
+CMS_W = 64
+#: heavy hitters reported (by true count).
+CMS_TOPK = 10
+
+
+@register(
+    "e165_countmin_heavy_hitters",
+    f"""WITH b AS (
+         SELECT user_id, r.range AS r,
+                CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' ||
+                                         CAST(user_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % {CMS_W} AS bucket
+         FROM events, range(0, {CMS_D}) r),
+       counters AS (
+         SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+         FROM b GROUP BY r, bucket),
+       truth AS (
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_n
+         FROM events GROUP BY user_id),
+       top AS (
+         SELECT user_id, true_n FROM truth
+         ORDER BY true_n DESC, user_id LIMIT {CMS_TOPK}),
+       est AS (
+         SELECT t.user_id, t.true_n, MIN(c.c) AS est_n
+         FROM top t
+         JOIN b ON b.user_id = t.user_id
+         JOIN counters c ON c.r = b.r AND c.bucket = b.bucket
+         GROUP BY t.user_id, t.true_n),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+       SELECT user_id, true_n, est_n,
+              est_n >= true_n AS never_underestimates,
+              est_n - true_n <= CAST(CEIL(2.718282 / {CMS_W} * tot.n) AS BIGINT)
+                AS within_eps
+       FROM est CROSS JOIN tot ORDER BY true_n DESC, user_id""",
+)
+def e165_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the top heavy hitters:
+    a CMS_D x CMS_W counter grid (deterministic md5 row-hashes) whose
+    per-key estimate is the MIN across rows — never an underestimate,
+    and within eps·N (eps = e/w) with high probability. The sketch is
+    MERGEABLE (counters add), so per-partition/per-day grids union into
+    a global one without rescanning — the companion to a108's HLL
+    (distinct-count) for the frequency-count question "which users
+    dominate the stream", answerable from 256 counters instead of a
+    full per-key table.
+
+    One partial-agg shuffle builds the counters (256 rows regardless of
+    stream size); the top-k truth side is a TakeOrdered; estimates join
+    k x CMS_D bucket rows against the tiny counter grid. The contract
+    booleans (no-underestimate, eps-bound) are exact-integer facts both
+    engines agree on bit-for-bit."""
+    ev = tables(spark, sf_dir)["events"]
+    b = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":",
+                                            F.lit(str(r)),
+                                            F.col("user_id").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("user_id", "rb.r", "rb.bucket")
+    counters = b.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    top = truth.orderBy(F.col("true_n").desc(), "user_id").limit(CMS_TOPK)
+    est = (
+        F.broadcast(top)
+        .join(b, "user_id")
+        .join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    bound = F.ceil(F.lit(2.718282 / CMS_W) * F.col("n")).cast("long")
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") >= F.col("true_n")).alias("never_underestimates"),
+            ((F.col("est_n") - F.col("true_n")) <= bound).alias("within_eps"),
+        )
+        .orderBy(F.col("true_n").desc(), "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e166: PageRank over the SimHash near-duplicate graph
+# ---------------------------------------------------------------------------
+
+#: PageRank damping and unrolled iteration count for e166.
+PR_DAMP = 0.85
+PR_ITERS = 2
+PR_TOPK = 10
+
+
+@register(
+    "e166_pagerank_neardup",
+    f"""WITH {_DUCK_SIMHASH_CTE},
+       bands AS (
+         SELECT doc_id, fp, i.range AS band,
+                (fp >> CAST(i.range * 8 AS INTEGER)) & 255 AS byte
+         FROM fp, range(0, 4) i),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+              AND bit_count(xor(a.fp, b.fp)) <= {HAMMING_MAX}),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM cand
+         UNION ALL SELECT id_b, id_a FROM cand),
+       deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+               FROM edges GROUP BY src),
+       n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+       p0 AS (SELECT node, d, 1.0 / nn AS pr FROM deg CROSS JOIN n),
+       p1 AS (
+         SELECT t.node, t.d, (1 - {PR_DAMP}) / n.nn + {PR_DAMP} * s.contrib AS pr
+         FROM deg t CROSS JOIN n
+         JOIN (SELECT e.dst AS node, SUM(p.pr / p.d) AS contrib
+               FROM edges e JOIN p0 p ON p.node = e.src GROUP BY e.dst) s
+           ON s.node = t.node),
+       p2 AS (
+         SELECT t.node, t.d, (1 - {PR_DAMP}) / n.nn + {PR_DAMP} * s.contrib AS pr
+         FROM deg t CROSS JOIN n
+         JOIN (SELECT e.dst AS node, SUM(p.pr / p.d) AS contrib
+               FROM edges e JOIN p1 p ON p.node = e.src GROUP BY e.dst) s
+           ON s.node = t.node)
+       SELECT node AS doc_id, d AS degree, ROUND(pr * 1000, 6) AS pr_milli
+       FROM p2 ORDER BY ROUND(pr * 1000, 6) DESC, node LIMIT {PR_TOPK}""",
+)
+def e166_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the SimHash near-duplicate graph (e147's
+    Hamming-≤3 pairs as undirected edges), PR_ITERS unrolled power
+    iterations with damping PR_DAMP: the most "central" documents of
+    a template family are its canonical representatives — a principled
+    keeper choice for near-dup collapse (vs a141's quality rule), and
+    the same machinery ranks authority in any doc-similarity graph.
+
+    Every node in this graph has degree ≥ 1, so there is no dangling
+    mass and each iteration is exactly one edge-keyed contribution join
+    + a node-keyed partial-agg sum — the join carries (node, pr/deg)
+    doubles only, never text or fingerprints. Ranking uses the ROUNDED
+    score (6 dp at milli scale) with doc_id tie-break so both engines
+    order identically despite sub-ulp addend-order drift."""
+    pairs = simhash_hamming_pairs(tables(spark, sf_dir)["documents"])
+    a = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = a.union(a.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the edge list embeds the banded SimHash self-join; deg + every PR
+    # iteration re-reads it, so persist once (released via release_caches)
+    edges = track_cache(edges)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    pr = deg.crossJoin(F.broadcast(n)).select(
+        "node", "d", (F.lit(1.0) / F.col("nn")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(pr.select("node", (F.col("pr") / F.col("d")).alias("w")),
+                       edges.src == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("contrib"))
+        )
+        pr = (
+            deg.crossJoin(F.broadcast(n))
+            .join(contrib, "node")
+            .select(
+                "node",
+                "d",
+                (
+                    (1 - PR_DAMP) / F.col("nn") + PR_DAMP * F.col("contrib")
+                ).alias("pr"),
+            )
+        )
+    score = F.round(F.col("pr") * 1000, 6)
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"),
+            F.col("d").alias("degree"),
+            score.alias("pr_milli"),
+        )
+        .orderBy(F.col("pr_milli").desc(), "doc_id")
+        .limit(PR_TOPK)
     )

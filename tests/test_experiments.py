@@ -262,3 +262,35 @@ def test_coreset_coverage_bounded_by_radius(spark):
     assert sum(r["n"] for r in res) == total
     for r in res:
         assert 0.0 <= r["avg_cover_dist"] <= r["max_cover_dist"]
+
+
+def test_countmin_contract(spark):
+    """CMS guarantees: estimate never underestimates; grid is 256
+    counters whose total equals CMS_D x stream size."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        CMS_TOPK,
+        e165_countmin_heavy_hitters,
+    )
+
+    res = e165_countmin_heavy_hitters(spark, SF_DIR).collect()
+    assert len(res) == CMS_TOPK
+    for r in res:
+        assert r["est_n"] >= r["true_n"]
+        assert r["never_underestimates"] is True
+
+
+def test_pagerank_mass_and_ranking(spark):
+    """PR scores are positive; output is the rounded-score descending
+    top-10 with doc_id tie-break."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        PR_TOPK,
+        e166_pagerank_neardup,
+    )
+
+    res = e166_pagerank_neardup(spark, SF_DIR).collect()
+    assert 0 < len(res) <= PR_TOPK
+    keys = [(-r["pr_milli"], r["doc_id"]) for r in res]
+    assert keys == sorted(keys)
+    for r in res:
+        assert r["pr_milli"] > 0
+        assert r["degree"] >= 1
