@@ -1177,3 +1177,59 @@ def e166_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr_milli").desc(), "doc_id")
         .limit(PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# e167: per-user next-event Markov transitions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e167_markov_transitions",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS nxt
+         FROM events),
+       t AS (
+         SELECT event_type AS cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+         FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+       tot AS (SELECT cur, SUM(n) AS tn FROM t GROUP BY cur)
+       SELECT t.cur, t.nxt, t.n,
+              ROUND(CAST(t.n AS DOUBLE) / tot.tn, 4) AS p
+       FROM t JOIN tot USING (cur) ORDER BY cur, nxt""",
+)
+def e167_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for every
+    consecutive event pair within a user's (ts, event_id)-ordered
+    history, count cur→next transitions and normalize per current
+    state. The matrix is the standard sequence-model sanity check
+    before training on event sequences (a114's assembly): a
+    near-uniform row means that state carries no signal; a
+    near-degenerate row reveals deterministic instrumentation
+    (log-spam) that will dominate next-event objectives.
+
+    One user-keyed window (the only shuffle carrying event rows) then
+    two |types|²-sized exact-count aggs; probabilities are exact
+    integer ratios, bit-identical across engines."""
+    ev = tables(spark, sf_dir)["events"]
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    t = seq.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = t.groupBy("cur").agg(F.sum("n").alias("tn"))
+    return (
+        t.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tn"), 4).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )

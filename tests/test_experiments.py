@@ -294,3 +294,22 @@ def test_pagerank_mass_and_ranking(spark):
     for r in res:
         assert r["pr_milli"] > 0
         assert r["degree"] >= 1
+
+
+def test_markov_rows_sum_to_one(spark):
+    """Each current-state row of the transition matrix is a probability
+    distribution: counts per cur sum to the transition total and the
+    rounded probabilities sum to ~1."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        e167_markov_transitions,
+    )
+
+    res = e167_markov_transitions(spark, SF_DIR).collect()
+    by_cur: dict[str, list] = {}
+    for r in res:
+        by_cur.setdefault(r["cur"], []).append(r)
+    assert by_cur, "at least one state"
+    for cur, rows in by_cur.items():
+        psum = sum(r["p"] for r in rows)
+        assert abs(psum - 1.0) < 0.01, f"{cur}: {psum}"
+        assert all(r["n"] >= 1 for r in rows)
