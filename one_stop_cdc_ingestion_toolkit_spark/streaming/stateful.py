@@ -18,6 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -55,4 +56,90 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timer-driven session finalizer (event-time timeout)
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = "user_id long, s_start long, s_end long, n_events long"
+SESSION_STATE = "start long, last long, n long"
+#: inactivity gap (µs) closing a session — matches session_counts/q40.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _close_user_sessions(key, pdfs, state):
+    """Exact gap-rule sessionization with an event-time TIMER: closed
+    sessions emit as soon as the gap is provably over (either a later
+    event arrives past the gap, or the watermark passes last+gap and the
+    registered timeout fires) — not merely when more data happens to
+    show up for the user. The state is 3 longs per OPEN session."""
+    import pandas as pd  # local import: runs on executors
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "s_start": [start], "s_end": [last],
+             "n_events": [n]}
+        )
+        return
+
+    ts = []
+    for pdf in pdfs:
+        ts.extend(int(x) for x in pdf["ts_us"])
+    ts.sort()
+    sessions = []
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = None, None, 0
+    for t in ts:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > SESSION_GAP_US:
+            sessions.append((start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    state.update((start, last, n))
+    # event-time timeout at last+gap: fires once the watermark passes it
+    state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)
+    if sessions:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "s_start": [s[0] for s in sessions],
+                "s_end": [s[1] for s in sessions],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+
+def session_finalize(events: DataFrame, delay: str = "1 second") -> DataFrame:
+    """Streaming gap-rule sessionization with explicit state + timers:
+    emits one (user_id, s_start, s_end, n_events) row per CLOSED session
+    (timestamps as epoch µs), closing via an event-time timeout when the
+    watermark passes last-activity + gap — the applyInPandasWithState
+    TIMER surface that `running_user_totals` (NoTimeout) doesn't
+    exercise. Equivalent to `session_counts` / q40's batch gap rule;
+    state is bounded by OPEN sessions only (closed state is removed on
+    the timer), which is the 100 TB/day posture: memory follows
+    concurrently-active users, not history."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.analytics import (
+        watermarked,
+    )
+
+    wm = watermarked(events, delay)
+    keyed = wm.select(
+        "ts_ev", "user_id", F.unix_micros(F.col("ts_ev")).alias("ts_us")
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _close_user_sessions,
+        SESSION_SCHEMA,
+        SESSION_STATE,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
