@@ -110,6 +110,7 @@ def load_all() -> dict[str, QuerySpec]:
     from one_stop_cdc_ingestion_toolkit_spark.operators import (  # noqa: F401
         advanced,
         audit,
+        behavior,
         corpus,
         dedup,
         experiments,

@@ -1,0 +1,279 @@
+"""Behavioral-analytics operators (`e168`–`e172`): multi-granularity
+rollups, gaps-and-islands streaks, RFM segmentation, market-basket
+co-occurrence, and rolling active-user curves.
+
+These are the classic "user/revenue behavior" reporting shapes a CDC
+pipeline's downstream lake tables feed. Each is a pure DataFrame plan
+with explicit type hygiene (counts as BIGINT, money via cents-as-BIGINT
+exact sums — the q18/b13 rule) so the oracle hash is representation-
+stable across engines.
+
+No reference parity (the reference is a provisioning CLI — SURVEY §0);
+engine extensions per SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import register
+
+#: Market-basket guard: orders carrying more distinct parts than this are
+#: dropped before pair generation (pair count is quadratic in basket
+#: size; one degenerate 10^4-item basket yields 5*10^7 pairs). TPC-H
+#: baskets max out at 7 lineitems, so the cap is a no-op at test scale —
+#: it exists for the 100 TB posture, mirrored exactly in the oracle.
+BASKET_CAP = 50
+
+#: Top-k co-purchase pairs reported.
+PAIR_TOPK = 20
+
+
+@register(
+    "e168_grouping_rollup",
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+              COALESCE(o_orderstatus, 'ALL') AS status,
+              CAST(GROUPING(o_orderpriority) * 2
+                   + GROUPING(o_orderstatus) AS INT) AS lvl,
+              CAST(COUNT(*) AS BIGINT) AS n_orders,
+              CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100 AS revenue
+       FROM orders
+       GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+       ORDER BY lvl, priority, status""",
+)
+def e168_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three granularities in ONE pass: (priority, status),
+    (priority), and grand total, via ROLLUP + GROUPING bits.
+
+    Catalyst expands the rollup into a single Expand + hash-aggregate —
+    one shuffle for all three granularities, vs. three separate
+    aggregations (three shuffles) if written naively. At 100 TB the
+    Expand multiplies rows 3x BEFORE the partial aggregate, but the
+    partial agg collapses them map-side, so shuffle bytes stay at the
+    aggregate's cardinality (dozens of groups), not the input's.
+    Money is summed exactly as cents-BIGINT (order-independent)."""
+    o = tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(cents).cast("double") / 100).alias("revenue"),
+        (
+            F.grouping("o_orderpriority").cast("int") * 2
+            + F.grouping("o_orderstatus").cast("int")
+        ).alias("lvl"),
+    )
+    return out.select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        "lvl",
+        "n_orders",
+        "revenue",
+    ).orderBy("lvl", "priority", "status")
+
+
+@register(
+    "e169_activity_streaks",
+    """WITH days AS (
+         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+       anchored AS (
+         SELECT user_id, day,
+                day - CAST(ROW_NUMBER() OVER (
+                  PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+         FROM days),
+       runs AS (
+         SELECT user_id, anchor, COUNT(*) AS len
+         FROM anchored GROUP BY user_id, anchor),
+       longest AS (
+         SELECT user_id, MAX(len) AS longest FROM runs GROUP BY user_id)
+       SELECT CAST(longest AS BIGINT) AS longest_streak,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+       FROM longest GROUP BY longest ORDER BY longest_streak""",
+)
+def e169_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, histogrammed —
+    the gaps-and-islands idiom: a run of consecutive days shares the
+    anchor ``day - row_number()``, so runs fall out of a plain groupBy
+    with no self-join.
+
+    Scale shape: one shuffle to dedup (user, day), one window sort per
+    user partition (bounded by a user's distinct days, not event count —
+    the distinct happens FIRST, so a user with 10^6 events on one day
+    contributes 1 row to the sort), then two small aggs on the same
+    user partitioning. No range join, no per-user collect."""
+    ev = tables(spark, sf_dir)["events"]
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    runs = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = runs.groupBy("user_id").agg(F.max("len").alias("longest"))
+    return (
+        longest.groupBy(F.col("longest").alias("longest_streak"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("longest_streak")
+    )
+
+
+@register(
+    "e170_rfm_segments",
+    """WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+       cust AS (
+         SELECT o_custkey,
+                DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                          CAST((SELECT maxd FROM maxd) AS DATE)) AS recency,
+                COUNT(*) AS freq,
+                SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS mon_cents
+         FROM orders GROUP BY o_custkey),
+       scored AS (
+         SELECT o_custkey, mon_cents,
+                NTILE(4) OVER (ORDER BY recency, o_custkey) AS r,
+                NTILE(4) OVER (ORDER BY freq, o_custkey) AS f,
+                NTILE(4) OVER (ORDER BY mon_cents, o_custkey) AS m
+         FROM cust)
+       SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(SUM(mon_cents) AS DOUBLE) / 100 AS total_monetary
+       FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
+)
+def e170_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation:
+    per-customer metrics, NTILE(4) each on a TOTAL order (metric then
+    custkey — ties broken deterministically so both engines bucket
+    identically), then segment-level counts and exact money totals.
+
+    Scale note: NTILE over a global ORDER BY is a single-partition sort
+    in Spark — fine for the customer-cardinality frame this runs on
+    (orders of magnitude below the fact table), but at 10^9+ customers
+    the quartile assignment should switch to approx percentile cutoffs
+    (one pass, no global sort) at the cost of exact tie handling."""
+    o = tables(spark, sf_dir)["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents).alias("mon_cents"),
+    )
+    maxd = o.agg(F.max("o_orderdate").alias("maxd"))
+    cust = cust.crossJoin(F.broadcast(maxd)).withColumn(
+        "recency", F.datediff(F.to_date("maxd"), F.to_date("last_order"))
+    )
+    scored = cust.select(
+        "o_custkey",
+        "mon_cents",
+        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r"),
+        F.ntile(4).over(W.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(W.orderBy("mon_cents", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("mon_cents").cast("double") / 100).alias("total_monetary"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "e171_copurchase_pairs",
+    f"""WITH items AS (
+         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       ok AS (
+         SELECT l_orderkey FROM items GROUP BY l_orderkey
+         HAVING COUNT(*) <= {BASKET_CAP}),
+       capped AS (
+         SELECT i.l_orderkey, i.l_partkey FROM items i
+         JOIN ok USING (l_orderkey)),
+       pairs AS (
+         SELECT a.l_partkey AS p1, b.l_partkey AS p2
+         FROM capped a JOIN capped b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+       SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM pairs GROUP BY p1, p2
+       ORDER BY n_orders DESC, p1, p2 LIMIT {PAIR_TOPK}""",
+)
+def e171_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs (market-basket affinity): distinct
+    (order, part), drop degenerate baskets over BASKET_CAP, self-join on
+    the order key with ``p1 < p2``, count, global top-k.
+
+    Scale shape: the self-join shuffles BOTH sides on l_orderkey once —
+    pair generation is local within each order's partition, bounded by
+    BASKET_CAP^2 per order. The top-k is TakeOrderedAndProject (per-
+    partition heaps, no global sort materialization). This is the same
+    df-cap discipline as the Jaccard inverted index (VERDICT r1 #6):
+    caps are what keep quadratic candidate generation linear-ish at
+    scale, and the cap is mirrored verbatim in the oracle."""
+    li = tables(spark, sf_dir)["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    capped = items.join(ok, "l_orderkey")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(PAIR_TOPK)
+    )
+
+
+@register(
+    "e172_rolling_dau",
+    """WITH du AS (
+         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       dau AS (
+         SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day),
+       wau AS (
+         SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+         FROM (SELECT DISTINCT day FROM du) d
+         JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day)
+       SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+              CAST(w.wau AS BIGINT) AS wau
+       FROM dau d JOIN wau w USING (day) ORDER BY day""",
+)
+def e172_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + trailing-7-day distinct users (DAU/WAU) per
+    active day.
+
+    The rolling-distinct is the interesting part: a naive range join
+    (day BETWEEN d-6 AND d, the oracle's shape) is a broadcast-nested-
+    loop in Spark. Instead each (day, user) row is EXPLODED to the 7
+    target days it contributes to — a linear 7x inflation that turns the
+    range join into a plain equi-aggregation: one shuffle on target day,
+    count-distinct inside. At 100 TB the exact count-distinct (2-phase
+    shuffle) swaps for approx_count_distinct or per-day HLL sketches
+    merged over the window; the explode pattern is unchanged."""
+    ev = tables(spark, sf_dir)["events"]
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau").orderBy("day")
