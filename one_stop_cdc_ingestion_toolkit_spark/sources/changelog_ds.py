@@ -1,0 +1,204 @@
+"""`changelog` — a custom Python DataSource (Spark 4 `pyspark.sql.datasource`
+API) that replays a directory of envelope-JSON segment files as a batch
+table OR an offset-tracked stream with RECORD-granular rate limiting.
+
+Why it exists next to the built-in file source (`streaming/pipeline.py
+Pipeline.start`): the JSON file source's only capacity knob is
+``maxFilesPerTrigger`` — a whole segment is the smallest unit of work, so
+one fat binlog segment becomes one fat micro-batch. This source tracks a
+global RECORD offset (`{"total": n}` over the line-concatenation of all
+segments in filename order) and honors ``maxRecordsPerBatch``, the
+record-level capacity control the reference configures on its connector
+(`/root/reference/bin/mskc-connector.sh:292-297` provisioned-capacity
+rationale; A14 in SURVEY §2.1).
+
+Contract (binlog-segment semantics): segment files are APPEND-ONCE —
+once a segment has been listed it never grows; new data arrives as new
+files sorted lexicographically after existing ones (exactly how the
+tests' ``write_stream_files`` and MySQL binlog rotation behave). Line
+counts of already-seen segments are therefore cached driver-side; only
+unseen files are scanned by ``latestOffset`` — O(new data), not O(dir).
+
+Scale posture: this is a control-plane-scale source (CDC replay,
+fixture/golden streams, backfill rehearsal). Executor-side parsing is
+one ``json.loads`` per line — fine at changelog volumes; the 100 TB data
+plane stays on the JVM Kafka/file sources that share the same downstream
+decode (`sources/debezium.py decode_json`). Rows are emitted
+(key, value) exactly like `streaming/pipeline.py RAW_SCHEMA`, so
+`Pipeline` can swap this source in without touching the decode path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+FORMAT_NAME = "changelog"
+
+#: schema is fixed: the Kafka-record shape Pipeline's decode expects.
+SCHEMA_DDL = "key string, value string"
+
+
+def _segments(path: str) -> list[str]:
+    """Segment files in replay order (filename-sorted, like binlog names)."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        os.path.join(path, n)
+        for n in names
+        if not n.startswith((".", "_")) and os.path.isfile(os.path.join(path, n))
+    )
+
+
+def _count_lines(file: str) -> int:
+    n = 0
+    with open(file, "rb") as f:
+        for _ in f:
+            n += 1
+    return n
+
+
+class _Slice(InputPartition):
+    """One segment's [start_line, end_line) slice of work."""
+
+    def __init__(self, file: str, start_line: int, end_line: int):
+        self.file = file
+        self.start_line = start_line
+        self.end_line = end_line
+
+
+def _read_slice(part: _Slice) -> Iterator[tuple]:
+    with open(part.file, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            if i < part.start_line:
+                continue
+            if i >= part.end_line:
+                break
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            yield (rec.get("key"), rec.get("value"))
+
+
+class ChangelogBatchReader(DataSourceReader):
+    """Whole-directory batch scan: one partition per segment file, so a
+    multi-segment changelog parallelizes across executors."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("changelog source requires a path")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [
+            _Slice(f, 0, _count_lines(f)) for f in _segments(self.path)
+        ] or [_Slice("", 0, 0)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if not partition.file:
+            return iter(())
+        return _read_slice(partition)
+
+
+class ChangelogStreamReader(DataSourceStreamReader):
+    """Record-offset stream over the segment directory.
+
+    Offset = ``{"total": n}``: n records consumed from the global
+    filename-ordered line concatenation. ``maxRecordsPerBatch`` caps how
+    far ``latestOffset`` advances past the last planned end — Spark then
+    plans the micro-batch [committed, capped-latest). On restart the
+    first replayed batch passes its checkpointed ``end`` through
+    ``partitions``, which re-syncs the cap base (``_planned``) before
+    the next ``latestOffset`` call, so the cap never plans a batch that
+    ends before its start.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("changelog source requires a path")
+        cap = options.get("maxrecordsperbatch") or options.get(
+            "maxRecordsPerBatch"
+        )
+        self.cap = int(cap) if cap else None
+        #: append-once contract: cache (file -> line count) forever.
+        self._sizes: dict[str, int] = {}
+        #: high-water mark of any batch end this reader has planned.
+        self._planned = 0
+
+    def _refresh(self) -> list[tuple[str, int]]:
+        """(file, lines) in replay order; scans only unseen files."""
+        out = []
+        for f in _segments(self.path):
+            if f not in self._sizes:
+                self._sizes[f] = _count_lines(f)
+            out.append((f, self._sizes[f]))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"total": 0}
+
+    def latestOffset(self) -> dict:
+        avail = sum(n for _, n in self._refresh())
+        if self.cap is not None:
+            avail = min(avail, self._planned + self.cap)
+        self._planned = max(self._planned, avail)
+        return {"total": avail}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["total"], end["total"]
+        self._planned = max(self._planned, hi)
+        parts: list[InputPartition] = []
+        base = 0
+        for f, n in self._refresh():
+            file_lo = max(lo - base, 0)
+            file_hi = min(hi - base, n)
+            if file_hi > file_lo:
+                parts.append(_Slice(f, file_lo, file_hi))
+            base += n
+            if base >= hi:
+                break
+        # Spark requires >=1 partition even for an empty planned range.
+        return parts or [_Slice("", 0, 0)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if not partition.file:
+            return iter(())
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:  # noqa: D102 — nothing to release
+        pass
+
+
+class ChangelogDataSource(DataSource):
+    """`spark.read.format("changelog").option("path", dir)` — see module
+    docstring. Register once per session via :func:`register_changelog`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        return ChangelogBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return ChangelogStreamReader(self.options)
+
+
+def register_changelog(spark) -> None:
+    """Idempotently register the format on a session (re-registration
+    overwrites, which is a no-op for an identical class)."""
+    spark.dataSource.register(ChangelogDataSource)

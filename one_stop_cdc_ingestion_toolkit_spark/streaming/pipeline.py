@@ -540,16 +540,35 @@ class Pipeline:
 
     def start(self) -> StreamingQuery:
         """Start the StreamingQuery (A13). File source: new files in
-        source_dir are micro-batches; Kafka would swap the reader only."""
-        reader = (
-            self.spark.readStream.schema(RAW_SCHEMA)
-            .format("json")
-        )
-        if self.spec.max_files_per_trigger:
-            reader = reader.option(
-                "maxFilesPerTrigger", self.spec.max_files_per_trigger
+        source_dir are micro-batches; Kafka would swap the reader only.
+        ``options["source_format"]="changelog"`` swaps in the Python
+        DataSource (`sources/changelog_ds.py`) whose capacity knob is
+        RECORD-granular (``options["max_records_per_batch"]``) instead
+        of file-granular — the engine's analogue of the reference's
+        provisioned connector capacity (A14)."""
+        if self.spec.options.get("source_format") == "changelog":
+            from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+                register_changelog,
             )
-        stream = reader.load(self.spec.source_dir)
+
+            register_changelog(self.spark)
+            reader = self.spark.readStream.format("changelog").option(
+                "path", self.spec.source_dir
+            )
+            cap = self.spec.options.get("max_records_per_batch")
+            if cap:
+                reader = reader.option("maxRecordsPerBatch", int(cap))
+            stream = reader.load()
+        else:
+            reader = (
+                self.spark.readStream.schema(RAW_SCHEMA)
+                .format("json")
+            )
+            if self.spec.max_files_per_trigger:
+                reader = reader.option(
+                    "maxFilesPerTrigger", self.spec.max_files_per_trigger
+                )
+            stream = reader.load(self.spec.source_dir)
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
             self.apply_batch(batch_df)

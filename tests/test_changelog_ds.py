@@ -1,0 +1,174 @@
+"""Custom Python DataSource (`changelog`): batch read, record-granular
+micro-batching, checkpoint restart, and Pipeline source swap-in."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+    register_changelog,
+)
+from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
+    Pipeline,
+    PipelineSpec,
+    TableSpec,
+)
+from tests.cdc_fixtures import (
+    CANONICAL_EVENTS,
+    GOLDEN_STATE,
+    PERSON_SCHEMA,
+    envelope,
+    person,
+    write_stream_files,
+)
+
+
+def _records(df) -> list[tuple]:
+    return sorted((r["key"], r["value"]) for r in df.collect())
+
+
+def _expected(events) -> list[tuple]:
+    return sorted((e["key"], e["value"]) for e in events)
+
+
+def test_batch_read_matches_files(spark, tmp_path):
+    src = str(tmp_path / "chg")
+    write_stream_files(src, CANONICAL_EVENTS, files=3)
+    register_changelog(spark)
+    df = spark.read.format("changelog").option("path", src).load()
+    assert df.columns == ["key", "value"]
+    assert _records(df) == _expected(CANONICAL_EVENTS)
+
+
+def test_batch_read_empty_dir(spark, tmp_path):
+    src = str(tmp_path / "empty")
+    pathlib.Path(src).mkdir()
+    register_changelog(spark)
+    df = spark.read.format("changelog").option("path", src).load()
+    assert df.count() == 0
+
+
+def test_stream_record_cap_splits_one_file(spark, tmp_path):
+    """One fat segment file is consumed across MULTIPLE micro-batches —
+    the capability the built-in file source (maxFilesPerTrigger) lacks."""
+    src = str(tmp_path / "chg")
+    write_stream_files(src, CANONICAL_EVENTS, files=1)  # 8 records, 1 file
+    register_changelog(spark)
+    out_dir = str(tmp_path / "out")
+    seen: list[int] = []
+
+    stream = (
+        spark.readStream.format("changelog")
+        .option("path", src)
+        .option("maxRecordsPerBatch", 3)
+        .load()
+    )
+    batches: list[list[tuple]] = []
+
+    def on_batch(df, epoch_id):
+        rows = [(r["key"], r["value"]) for r in df.collect()]
+        if rows:
+            batches.append(rows)
+        seen.append(len(rows))
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    total = [r for b in batches for r in b]
+    assert sorted(total) == _expected(CANONICAL_EVENTS)
+    assert all(n <= 3 for n in seen)
+    assert len(batches) >= 3  # 8 records / cap 3 → at least 3 batches
+    # record order within the replay is preserved (CDC needs it)
+    flat_vals = [json.loads(v)["source"]["pos"] for _, v in total]
+    canon = [json.loads(e["value"])["source"]["pos"] for e in CANONICAL_EVENTS]
+    assert flat_vals == canon
+
+
+def test_stream_restart_continues_from_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "chg")
+    write_stream_files(src, CANONICAL_EVENTS[:4], files=1)
+    register_changelog(spark)
+    ckpt = str(tmp_path / "ckpt")
+    got: list[tuple] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.format("changelog").option("path", src).load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, eid: got.extend(
+                    (r["key"], r["value"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert sorted(got) == _expected(CANONICAL_EVENTS[:4])
+    # new segment appears while stopped; restart must pick up ONLY it
+    with open(pathlib.Path(src) / "batch-9999.json", "w") as f:
+        for e in CANONICAL_EVENTS[4:]:
+            f.write(json.dumps(e) + "\n")
+    run_once()
+    assert sorted(got) == _expected(CANONICAL_EVENTS)
+
+
+def test_pipeline_swaps_changelog_source(spark, tmp_path):
+    """Pipeline with source_format=changelog lands the same golden state
+    as the default file-source path."""
+    spec = PipelineSpec(
+        name="pds",
+        source_dir=str(tmp_path / "stream"),
+        tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        options={"source_format": "changelog", "max_records_per_batch": 3},
+    )
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=2)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    snap = pipe.read_table("person")
+    state = {
+        r["firstName"]: (r["firstName"], r["lastName"], r["age"])
+        for r in snap.collect()
+    }
+    assert state == GOLDEN_STATE
+
+
+def test_late_out_of_order_update_respected_across_batches(spark, tmp_path):
+    """With cap=1 every envelope is its own micro-batch: the out-of-order
+    pos=4 update arrives in a LATER batch than pos=5 and must still lose
+    (sequence-number merge, not arrival order)."""
+    events = [
+        envelope("c", 1, after=person("zed", "alpha", 20)),
+        envelope("u", 3, before=person("zed", "alpha", 20), after=person("zed", "gamma", 22)),
+        envelope("u", 2, before=person("zed", "alpha", 20), after=person("zed", "beta", 21)),
+    ]
+    spec = PipelineSpec(
+        name="pds2",
+        source_dir=str(tmp_path / "stream"),
+        tables=[TableSpec("person", ["firstName"], PERSON_SCHEMA)],
+        sink_dir=str(tmp_path / "lake"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        options={"source_format": "changelog", "max_records_per_batch": 1},
+    )
+    write_stream_files(spec.source_dir, events, files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    snap = pipe.read_table("person")
+    rows = {r["firstName"]: r["lastName"] for r in snap.collect()}
+    assert rows == {"zed": "gamma"}
