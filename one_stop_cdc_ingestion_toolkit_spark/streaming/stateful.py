@@ -143,3 +143,129 @@ def session_finalize(events: DataFrame, delay: str = "1 second") -> DataFrame:
         "append",
         GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4): multiple typed state variables
+# ---------------------------------------------------------------------------
+
+PROFILE_SCHEMA = (
+    "user_id long, event_type string, n_type long, n_events long, "
+    "total_value double"
+)
+
+try:  # import-try gate: older PySpark builds lack transformWithState
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Per-user profile with TWO independent state variables — a
+    ValueState (running totals) plus a MapState (per-event-type counts).
+
+    This is the capability boundary that motivates transformWithState
+    over `applyInPandasWithState`: the older API forces ALL state into
+    one flat tuple per key (a map would need serialize-the-world on
+    every batch), while here each event type is its own state-store
+    entry — updates touch only the types present in the batch, and TTL
+    (`ttlDurationMs`) can bound retention per variable. State size:
+    2 numbers + |event types| entries per user.
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl = ttl_ms
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n long, total double", ttlDurationMs=self._ttl
+        )
+        self._by_type = handle.getMapState(
+            "by_type", "event_type string", "n long", ttlDurationMs=self._ttl
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd  # executor-side
+
+        (user_id,) = key
+        prev = self._totals.get() if self._totals.exists() else None
+        n, total = prev if prev is not None else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for etype, cnt in pdf.groupby("event_type").size().items():
+                cur = self._by_type.getValue((etype,))
+                self._by_type.updateValue(
+                    (etype,), (int(cnt) + (cur[0] if cur else 0),)
+                )
+        self._totals.update((n, total))
+        types, counts = [], []
+        for (etype,), (cnt,) in self._by_type.iterator():
+            types.append(etype)
+            counts.append(cnt)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(types),
+                "event_type": types,
+                "n_type": counts,
+                "n_events": [n] * len(types),
+                "total_value": [total] * len(types),
+            }
+        )
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def handleInitialState(self, key, initial_state, timer_values) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def user_profile_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Streaming per-user profile via ``transformWithStateInPandas``:
+    emits (user_id, event_type, n_type, n_events, total_value) — the
+    FULL updated profile of every user touched by the micro-batch.
+
+    Requires the RocksDB state store provider (transformWithState's
+    backing store); the caller's session is configured by
+    :func:`enable_tws`. Scale: state is keyed by user and segmented by
+    state variable — a batch updates only the (user, touched-type)
+    entries, and RocksDB keeps the working set off-heap, which is what
+    makes 10^8-key state feasible on an executor."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserProfileProcessor(ttl_ms),
+        PROFILE_SCHEMA,
+        "update",
+        "None",
+    )
+
+
+def tws_available() -> bool:
+    """transformWithState needs (a) the Spark 4 StatefulProcessor API and
+    (b) ``google.protobuf`` — its state-server wire protocol is proto-
+    encoded and the DRIVER-side Python worker imports it at query start.
+    Environments without protobuf (this container) get a clean gate, the
+    same discipline as the Avro-jar and Kafka-broker probes."""
+    if StatefulProcessor is object:  # import gate fell through
+        return False
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def enable_tws(spark) -> bool:
+    """Point the session at the RocksDB state store provider (required
+    by transformWithState). Returns False when the feature can't run
+    in this environment (see :func:`tws_available`)."""
+    if not tws_available():
+        return False
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    return True

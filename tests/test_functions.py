@@ -60,3 +60,43 @@ def test_dot_product_sql(spark, funcs):
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d"
     ).first()["d"]
     assert got == 11.0
+
+
+def test_udtf_text_chunks_sql_lateral(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.functions.udtfs import register_udtfs
+
+    assert register_udtfs(spark) == ["text_chunks"]
+    spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, None)],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("u_docs")
+    rows = spark.sql(
+        "SELECT doc_id, tc.chunk_id, tc.n_tokens, tc.chunk "
+        "FROM u_docs, LATERAL text_chunks(text, 3, 1) tc "
+        "ORDER BY doc_id, tc.chunk_id"
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["n_tokens"], r["chunk"]))
+    # doc 1: 7 tokens, size 3 overlap 1 -> step 2: windows at 0, 2, 4;
+    # the window at 4 reaches the last token, so no trailing stub chunk
+    assert by_doc[1] == [
+        (0, 3, "a b c"),
+        (1, 3, "c d e"),
+        (2, 3, "e f g"),
+    ]
+    assert by_doc[2] == [(0, 2, "x y")]
+    assert 3 not in by_doc  # NULL text yields no rows
+    # coverage: union of chunk tokens == document tokens
+    covered = {t for c in by_doc[1] for t in c[2].split()}
+    assert covered == set("a b c d e f g".split())
+
+
+def test_udtf_overlap_guard(spark):
+    from one_stop_cdc_ingestion_toolkit_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="overlap"):
+        spark.sql("SELECT * FROM text_chunks('a b c', 2, 2)").collect()
