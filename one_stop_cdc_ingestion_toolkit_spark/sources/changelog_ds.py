@@ -26,6 +26,15 @@ plane stays on the JVM Kafka/file sources that share the same downstream
 decode (`sources/debezium.py decode_json`). Rows are emitted
 (key, value) exactly like `streaming/pipeline.py RAW_SCHEMA`, so
 `Pipeline` can swap this source in without touching the decode path.
+
+The WRITE side (`ChangelogBatchWriter` / `ChangelogStreamWriter`) makes
+the format a round-trippable sink: executor tasks write dotfile temps
+(invisible to the reader's listing), and the driver-side commit flips
+them visible via rename — atomic per batch, and for the streaming sink
+IDEMPOTENT under batch replay because segment names are a pure function
+of (batchId, task). Commit-time renames assume the directory is shared
+storage (local FS, NFS, or a fuse-mounted object store) — the same
+assumption the checkpoint directory already makes.
 """
 
 from __future__ import annotations
@@ -34,11 +43,16 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
+import uuid
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "changelog"
@@ -180,6 +194,90 @@ class ChangelogStreamReader(DataSourceStreamReader):
         pass
 
 
+class _Written(WriterCommitMessage):
+    """One task's uncommitted temp file (invisible to readers: dotfile)."""
+
+    def __init__(self, tmp: str, rows: int):
+        self.tmp = tmp
+        self.rows = rows
+
+
+def _write_task(path: str, it) -> _Written:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+    n = 0
+    with open(tmp, "w", encoding="utf-8") as f:
+        for row in it:
+            f.write(json.dumps({"key": row["key"], "value": row["value"]}) + "\n")
+            n += 1
+    return _Written(tmp, n)
+
+
+def _abort_task(messages) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.tmp):
+            os.remove(m.tmp)
+
+
+class ChangelogBatchWriter(DataSourceWriter):
+    """Batch append: tasks write dotfile temps; driver-side commit renames
+    them into visible segments in one pass. Readers never observe a
+    partial write (the `_segments` listing skips dotfiles)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("changelog sink requires a path")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        return _write_task(self.path, iterator)
+
+    def commit(self, messages) -> None:
+        run = uuid.uuid4().hex[:8]
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                _abort_task([m])
+                continue
+            os.replace(
+                m.tmp, os.path.join(self.path, f"load-{run}-{i:04d}.json")
+            )
+
+    def abort(self, messages) -> None:
+        _abort_task(messages)
+
+
+class ChangelogStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with IDEMPOTENT per-batch commits: the visible
+    segment name is a pure function of (batchId, task index) — a batch
+    replayed after a crash-between-commit-and-checkpoint re-renames onto
+    the SAME names instead of appending duplicates. Same discipline as
+    `streaming/table_store.py`'s atomic generation pointer: visibility
+    is a metadata flip (here: rename), never an in-place data mutation.
+    Segment names embed the zero-padded batch id, so replay order ==
+    filename order == the changelog source's offset order."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("changelog sink requires a path")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        return _write_task(self.path, iterator)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        for i, m in enumerate(messages):
+            if m is None or m.rows == 0:
+                _abort_task([m])
+                continue
+            os.replace(
+                m.tmp,
+                os.path.join(self.path, f"b{batchId:010d}-{i:04d}.json"),
+            )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        _abort_task(messages)
+
+
 class ChangelogDataSource(DataSource):
     """`spark.read.format("changelog").option("path", dir)` — see module
     docstring. Register once per session via :func:`register_changelog`."""
@@ -196,6 +294,14 @@ class ChangelogDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return ChangelogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError("changelog sink is append-only")
+        return ChangelogBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return ChangelogStreamWriter(self.options)
 
 
 def register_changelog(spark) -> None:
