@@ -116,6 +116,7 @@ def load_all() -> dict[str, QuerySpec]:
         experiments,
         extras,
         history,
+        insights,
         mixing,
         mlprep,
         multimodal,

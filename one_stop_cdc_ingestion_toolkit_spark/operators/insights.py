@@ -1,0 +1,339 @@
+"""Graph/attribution/survivorship operators (`e173`–`e176`): triangle
+census of the near-dup graph, seasonal traffic profile, integer-exact
+multi-touch attribution, and golden-record survivorship over duplicate
+clusters.
+
+No reference parity (provisioning CLI — SURVEY §0); engine extensions
+per SURVEY §2.5. Money/ratio outputs follow the house type-hygiene
+rules: counts BIGINT, exact integer arithmetic wherever a float sum
+would be addend-order-sensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
+from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import (
+    _DUCK_SIMHASH_CTE,
+    HAMMING_MAX,
+    simhash_hamming_pairs,
+)
+
+#: e173: nodes with near-dup degree above this are excluded from the
+#: triangle census. Template families form CLIQUES — one 10^3-doc family
+#: is ~1.7*10^8 triangles, so unbounded triangle counting is cubic in
+#: the largest family. The cap bounds per-node work at DEG_CAP², the
+#: same df-cap discipline as q44's inverted index (VERDICT r1 #6).
+DEG_CAP = 50
+
+#: e175: attribution lookback window (days) and touch event types.
+ATTR_WINDOW_DAYS = 7
+TOUCH_TYPES = ("click", "view")
+
+#: e176: words of normalized prefix that define a duplicate cluster
+#: (a103_prefix_dups' blocking rule, reused as the survivorship key).
+PREFIX_WORDS = 8
+
+_DUCK_EDGES_CTE = f"""{_DUCK_SIMHASH_CTE},
+  bands AS (
+    SELECT doc_id, fp, i.range AS band,
+           (fp >> CAST(i.range * 8 AS INTEGER)) & 255 AS byte
+    FROM fp, range(0, 4) i),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.fp AS fp_a, b.fp AS fp_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id),
+  alledges AS (
+    SELECT id_a, id_b FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_MAX}),
+  deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+      SELECT id_a AS node FROM alledges
+      UNION ALL SELECT id_b FROM alledges) GROUP BY node),
+  keepn AS (SELECT node FROM deg WHERE d <= {DEG_CAP}),
+  edges AS (
+    SELECT e.id_a, e.id_b FROM alledges e
+    JOIN keepn ka ON e.id_a = ka.node
+    JOIN keepn kb ON e.id_b = kb.node)"""
+
+
+@register(
+    "e173_triangle_census",
+    f"""WITH {_DUCK_EDGES_CTE},
+       tri AS (
+         SELECT COUNT(*) AS t
+         FROM edges e1
+         JOIN edges e2 ON e1.id_b = e2.id_a
+         JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       cdeg AS (
+         SELECT node, COUNT(*) AS d FROM (
+           SELECT id_a AS node FROM edges
+           UNION ALL SELECT id_b FROM edges) GROUP BY node),
+       agg AS (
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+         FROM cdeg)
+       SELECT agg.n_nodes,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+              CAST(tri.t AS BIGINT) AS n_triangles,
+              agg.n_wedges,
+              ROUND(CASE WHEN agg.n_wedges > 0
+                         THEN 3.0 * tri.t / agg.n_wedges ELSE 0 END,
+                    4) AS clustering
+       FROM tri, agg""",
+)
+def e173_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the SimHash
+    near-duplicate graph (e147's Hamming-≤3 edges, degree-capped).
+
+    A high clustering coefficient says near-dups arrive as FAMILIES
+    (template cliques) rather than chains — which decides whether dedup
+    should collapse connected components (d96) or pick per-pair
+    (q43/q44). Canonical-edge (a<b) triple join counts each triangle
+    once: (a,b)+(b,c)+(a,c) with a<b<c. Scale: per-node join work is
+    bounded by DEG_CAP² after the cap; the production upgrade is
+    degree-ordered orientation (each edge oriented toward the
+    higher-degree endpoint bounds out-degree at O(√m) without any cap),
+    same join shape."""
+    pairs = simhash_hamming_pairs(tables(spark, sf_dir)["documents"])
+    # the banded self-join feeds BOTH the degree pass and the capped edge
+    # list — cache it once or it materializes twice (2x the whole LSH).
+    alledges = track_cache(pairs.select("id_a", "id_b"))
+    deg0 = (
+        alledges.select(F.col("id_a").alias("node"))
+        .unionAll(alledges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep = deg0.filter(F.col("d") <= DEG_CAP).select("node")
+    edges = track_cache(
+        alledges.join(keep.withColumnRenamed("node", "id_a"), "id_a")
+        .join(keep.withColumnRenamed("node", "id_b"), "id_b")
+        .select("id_a", "id_b")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    cdeg = (
+        edges.select(F.col("id_a").alias("node"))
+        .unionAll(edges.select(F.col("id_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = cdeg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(
+            (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+        ).alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            "n_wedges",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("t") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("clustering"),
+        )
+    )
+
+
+@register(
+    "e174_seasonal_profile",
+    """WITH cells AS (
+         SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY dow, hr),
+       tot AS (SELECT SUM(n) AS total FROM cells)
+       SELECT CAST(dow AS INT) AS dow, CAST(hr AS INT) AS hr, n,
+              ROUND(CAST(n AS DOUBLE) * 168 / tot.total, 4) AS lift
+       FROM cells, tot ORDER BY dow, hr""",
+)
+def e174_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day traffic profile with lift vs the
+    uniform-grid mean (lift > 1 = hotter-than-average cell) — the
+    seasonality baseline that a116's rolling z-score anomaly detector
+    implicitly assumes away. Dow convention aligned across engines:
+    0 = Sunday (Spark's dayofweek is 1-based). One partial-agg shuffle
+    to 168 cells; the total re-joins as a broadcast literal row."""
+    ev = tables(spark, sf_dir)["events"]
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hr",
+            "n",
+            F.round(F.col("n").cast("double") * 168 / F.col("total"), 4).alias(
+                "lift"
+            ),
+        )
+        .orderBy("dow", "hr")
+    )
+
+
+@register(
+    "e175_multitouch_attribution",
+    f"""WITH p AS (
+         SELECT event_id, user_id, ts,
+                CAST(ROUND(value * 100) AS BIGINT) * 1000 AS value_milli
+         FROM events WHERE event_type = 'purchase'),
+       c AS (
+         SELECT user_id, ts, CAST(ts AS DATE) AS day
+         FROM events WHERE event_type IN {tuple(TOUCH_TYPES)!r}),
+       joined AS (
+         SELECT p.event_id, p.value_milli, c.day
+         FROM p JOIN c ON p.user_id = c.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY),
+       shared AS (
+         SELECT day,
+                value_milli // COUNT(*) OVER (PARTITION BY event_id)
+                  AS share_milli
+         FROM joined)
+       SELECT day, CAST(COUNT(*) AS BIGINT) AS n_touches,
+              CAST(CAST(SUM(share_milli) AS DOUBLE) / 100000 AS DOUBLE)
+                AS attrib_value
+       FROM shared GROUP BY day ORDER BY day""",
+)
+def e175_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    EQUALLY across the user's click/view touches in the preceding
+    {ATTR_WINDOW_DAYS} days, credited to the touch's calendar day.
+
+    The split uses INTEGER milli-cent floor division
+    (``value_milli DIV n_touches``) — identical arithmetic in both
+    engines, so per-day sums are exact BIGINTs and the result hash can
+    never drift on float addend order (the pitfall of `value/n` as
+    DOUBLE). Purchases with zero prior touches drop out (inner join) —
+    they have no one to credit. Scale shape: one user-keyed equi-join
+    (the 7-day predicate prunes inside each user's partition), a
+    purchase-keyed window count, one day-keyed agg; per-user work is
+    bounded by activity × window."""
+    ev = tables(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.round(F.col("value") * 100).cast("long") * 1000).alias(
+            "value_milli"
+        ),
+    )
+    c = ev.filter(F.col("event_type").isin(*TOUCH_TYPES)).select(
+        "user_id", F.col("ts").alias("c_ts"), F.to_date("ts").alias("day")
+    )
+    joined = p.join(c, "user_id").filter(
+        (F.col("c_ts") <= F.col("p_ts"))
+        & (
+            F.col("c_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+        )
+    )
+    shared = joined.select(
+        "day",
+        F.expr("value_milli DIV COUNT(*) OVER (PARTITION BY event_id)").alias(
+            "share_milli"
+        ),
+    )
+    return (
+        shared.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            (F.sum("share_milli").cast("double") / 100000).alias(
+                "attrib_value"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "e176_survivorship",
+    f"""WITH keyed AS (
+         SELECT doc_id, lang, source, n_chars,
+                md5(array_to_string(list_slice(
+                  string_split_regex(lower(trim(text)), '\\s+'),
+                  1, {PREFIX_WORDS}), ' ')) AS ck
+         FROM documents),
+       sized AS (
+         SELECT *, COUNT(*) OVER (PARTITION BY ck) AS n_dups,
+                ROW_NUMBER() OVER (
+                  PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rk
+         FROM keyed),
+       clusters AS (SELECT * FROM sized WHERE n_dups > 1)
+       SELECT ck AS cluster_key,
+              MIN(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+              MIN(CASE WHEN rk = 1 THEN lang END) AS keeper_lang,
+              CAST(COUNT(*) AS BIGINT) AS n_dups,
+              CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       FROM clusters GROUP BY ck
+       ORDER BY n_dups DESC, keeper_id""",
+)
+def e176_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over duplicate clusters (a103's
+    8-word-prefix blocking key): per cluster, the KEEPER is the longest
+    document (doc_id tie-break), and the golden row carries the
+    keeper's fields plus cluster provenance (dup count, distinct
+    sources, total chars) — the master-data-management step after
+    dedup DETECTS duplicates: deciding which copy's fields survive.
+
+    One shuffle on the cluster key does everything: the count window,
+    the keeper ranking, and the final per-cluster agg all share the
+    same partitioning, which Catalyst reuses (no re-shuffle between
+    window and groupBy)."""
+    d = tables(spark, sf_dir)["documents"]
+    ck = F.md5(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.trim("text")), r"\s+"), 1, PREFIX_WORDS
+            ),
+        )
+    )
+    keyed = d.select("doc_id", "lang", "source", "n_chars", ck.alias("ck"))
+    wc = W.partitionBy("ck")
+    wr = W.partitionBy("ck").orderBy(F.desc("n_chars"), "doc_id")
+    sized = keyed.withColumn("n_dups", F.count(F.lit(1)).over(wc)).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    clusters = sized.filter(F.col("n_dups") > 1)
+    return (
+        clusters.groupBy(F.col("ck").alias("cluster_key"))
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "keeper_id"
+            ),
+            F.min(F.when(F.col("rk") == 1, F.col("lang"))).alias(
+                "keeper_lang"
+            ),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy(F.desc("n_dups"), "keeper_id")
+    )
