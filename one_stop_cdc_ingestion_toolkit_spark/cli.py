@@ -465,9 +465,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.verb == "sql":
+        from one_stop_cdc_ingestion_toolkit_spark.functions import (
+            register_sql_functions,
+        )
+        from one_stop_cdc_ingestion_toolkit_spark.functions.udtfs import (
+            register_udtfs,
+        )
         from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import snapshot
 
         spark = get_session("osci-spark")
+        # the full engine function surface is SQL-callable from the verb:
+        # scalar SQL UDFs (dot_product, token_count, ...) and table
+        # functions (LATERAL text_chunks(...)).
+        register_sql_functions(spark)
+        register_udtfs(spark)
         store = BucketedTableStore(args.sink_dir)
         if args.epoch is not None:
             views = store.read_epoch(spark, args.epoch)

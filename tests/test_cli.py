@@ -78,6 +78,24 @@ def test_cli_quickstart_inspect_remove(spark, tmp_path, capsys):
     )
     assert str(len(GOLDEN_STATE)) in capsys.readouterr().out
 
+    # the engine function surface is pre-registered for the verb: scalar
+    # SQL UDFs and the text_chunks table function both resolve
+    assert (
+        main(
+            [
+                "--registry",
+                registry,
+                "sql",
+                spec.sink_dir,
+                "SELECT token_count(firstName) AS tc, c.chunk "
+                "FROM person, LATERAL text_chunks(firstName, 1, 0) c "
+                "LIMIT 1",
+            ]
+        )
+        == 0
+    )
+    capsys.readouterr()
+
     # unknown table / unknown pipeline are clean failures, not tracebacks
     assert main(["--registry", registry, "show-table", spec.sink_dir, "nope"]) == 1
     assert main(["--registry", registry, "pipeline-status", "ghost"]) == 1
