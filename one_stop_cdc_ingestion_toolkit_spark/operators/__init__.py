@@ -122,6 +122,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         neardup2,
         pipeline_ops,
+        profiling,
         relational,
         relational2,
         retrieval,
