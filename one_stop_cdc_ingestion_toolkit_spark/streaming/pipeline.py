@@ -168,6 +168,18 @@ class Pipeline:
         #: engine's schema-history record (A6) alongside the store's
         #: append-only version log.
         self.schema_log: list[tuple[str | None, int | None, str | None]] = []
+        # Debezium provide.transaction.metadata analogue: hold change
+        # records until their source transaction provably committed
+        # (streaming/tx_gate.py). Off by default — it delays visibility
+        # by up to one transaction.
+        if spec.options.get("tx_atomic"):
+            from one_stop_cdc_ingestion_toolkit_spark.streaming.tx_gate import (
+                TxGate,
+            )
+
+            self.tx_gate: TxGate | None = TxGate(spark, spec.sink_dir)
+        else:
+            self.tx_gate = None
         self.indexes: dict[str, DedupIndex] = {
             t.name: DedupIndex(
                 self.store,
@@ -208,6 +220,11 @@ class Pipeline:
         has its own envelope row schema) re-parse from memory, not from
         the source; each table's decoded slice is persisted across its
         isEmpty + merge actions."""
+        if self.tx_gate is not None:
+            # transaction atomicity: boundary records are consumed, open
+            # transactions buffered, committed ones released into THIS
+            # batch — so a source transaction lands in one epoch.
+            raw = self.tx_gate.filter_batch(raw)
         raw = raw.persist()
         try:
             # A5: schema-change (DDL) events ride the same stream
@@ -592,13 +609,21 @@ class Pipeline:
         the first number an operator checks when a table looks stale."""
         dlq = self.read_dlq()
         dlq_rows = 0 if dlq is None else dlq.count()
+        open_tx = (
+            len(self.tx_gate.pending()) if self.tx_gate is not None else 0
+        )
         if self.query is None:
-            return {"state": "STOPPED", "dlq_rows": dlq_rows}
+            return {
+                "state": "STOPPED",
+                "dlq_rows": dlq_rows,
+                "open_transactions": open_tx,
+            }
         return {
             "state": "RUNNING" if self.query.isActive else "TERMINATED",
             "status": self.query.status,
             "exception": self.query.exception(),
             "dlq_rows": dlq_rows,
+            "open_transactions": open_tx,
         }
 
     def stop(self) -> None:
