@@ -130,6 +130,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         text,
         textmine,
+        tseries,
     )
 
     return REGISTRY
