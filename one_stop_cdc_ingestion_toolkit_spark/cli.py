@@ -103,6 +103,12 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "explain", help="formatted physical plan of a SQL query (no execution)"
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("query")
+
+    p = sub.add_parser(
         "epochs", help="cross-table consistency points logged per micro-batch"
     )
     p.add_argument("sink_dir")
@@ -462,6 +468,19 @@ def main(argv: list[str] | None = None) -> int:
             if c.startswith("sum_"):
                 v = v.withColumn("avg_" + c[4:], F.col(c) / F.col("n"))
         v.orderBy(v.columns[0]).show(args.n, truncate=False)
+        return 0
+
+    if args.verb == "explain":
+        # plan-audit escape hatch: the discipline tests/test_plans.py
+        # enforces on registered queries, exposed for ad-hoc SQL — check
+        # pushdown/broadcast/codegen BEFORE running on the big table.
+        from one_stop_cdc_ingestion_toolkit_spark.operators.cdc import snapshot
+
+        spark = get_session("osci-spark")
+        store = BucketedTableStore(args.sink_dir)
+        for t in store.list_tables():
+            snapshot(store.read(spark, t)).createOrReplaceTempView(t)
+        spark.sql(args.query).explain("formatted")
         return 0
 
     if args.verb == "sql":

@@ -96,6 +96,23 @@ def test_cli_quickstart_inspect_remove(spark, tmp_path, capsys):
     )
     capsys.readouterr()
 
+    # plan-audit verb: formatted physical plan, no execution
+    assert (
+        main(
+            [
+                "--registry",
+                registry,
+                "explain",
+                spec.sink_dir,
+                "SELECT firstName FROM person WHERE age > 0",
+            ]
+        )
+        == 0
+    )
+    plan_out = capsys.readouterr().out
+    assert "Physical Plan" in plan_out
+    assert "PushedFilters" in plan_out or "Filter" in plan_out
+
     # unknown table / unknown pipeline are clean failures, not tracebacks
     assert main(["--registry", registry, "show-table", spec.sink_dir, "nope"]) == 1
     assert main(["--registry", registry, "pipeline-status", "ghost"]) == 1
