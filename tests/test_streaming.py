@@ -83,7 +83,11 @@ def test_stream_status_and_remove(spark, tmp_path):
     spec = _spec(tmp_path)
     write_stream_files(spec.source_dir, CANONICAL_EVENTS[:2], files=1)
     pipe = Pipeline(spark, spec)
-    assert pipe.status() == {"state": "STOPPED", "dlq_rows": 0}
+    assert pipe.status() == {
+        "state": "STOPPED",
+        "dlq_rows": 0,
+        "open_transactions": 0,
+    }
     pipe.process_available()
     assert pipe.status()["state"] == "RUNNING"
     pipe.remove(drop_data=True)
