@@ -616,8 +616,8 @@ def _semantic_clusters_oracle() -> str:
         FROM reach GROUP BY node ORDER BY vec_id"""
 
 
-@register("a98_semantic_clusters", _semantic_clusters_oracle())
-def a98_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("a038_semantic_clusters", _semantic_clusters_oracle())
+def a038_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup clusters: connected components over the
     embedding-cosine near-dup graph (b55's LSH-bucketed pair space, so
     candidate generation is per-bucket, never all-pairs). Composes two
@@ -654,7 +654,7 @@ def a98_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a99_skew_audit",
+    "a039_skew_audit",
     """WITH k AS (
          SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
        ),
@@ -667,7 +667,7 @@ def a98_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (SELECT total FROM g), 4) AS skew_factor
        FROM k ORDER BY n DESC, key LIMIT 5""",
 )
-def a99_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a039_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew audit: the top-5 heaviest keys with their share of
     rows and skew factor (key count / mean key count) — the measurement
     that decides operators/skew.py's salt factor before a big join. One

@@ -33,7 +33,7 @@ PAIR_TOPK = 20
 
 
 @register(
-    "e168_grouping_rollup",
+    "a022_grouping_rollup",
     """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
               COALESCE(o_orderstatus, 'ALL') AS status,
               CAST(GROUPING(o_orderpriority) * 2
@@ -45,7 +45,7 @@ PAIR_TOPK = 20
        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
        ORDER BY lvl, priority, status""",
 )
-def e168_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a022_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue at three granularities in ONE pass: (priority, status),
     (priority), and grand total, via ROLLUP + GROUPING bits.
 
@@ -76,7 +76,7 @@ def e168_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e169_activity_streaks",
+    "a023_activity_streaks",
     """WITH days AS (
          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
        anchored AS (
@@ -93,7 +93,7 @@ def e168_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(COUNT(*) AS BIGINT) AS n_users
        FROM longest GROUP BY longest ORDER BY longest_streak""",
 )
-def e169_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a023_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-day activity streak per user, histogrammed —
     the gaps-and-islands idiom: a run of consecutive days shares the
     anchor ``day - row_number()``, so runs fall out of a plain groupBy
@@ -124,7 +124,7 @@ def e169_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e170_rfm_segments",
+    "a024_rfm_segments",
     """WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
        cust AS (
          SELECT o_custkey,
@@ -144,7 +144,7 @@ def e169_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(SUM(mon_cents) AS DOUBLE) / 100 AS total_monetary
        FROM scored GROUP BY r, f, m ORDER BY r, f, m""",
 )
-def e170_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a024_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation:
     per-customer metrics, NTILE(4) each on a TOTAL order (metric then
     custkey — ties broken deterministically so both engines bucket
@@ -184,7 +184,7 @@ def e170_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e171_copurchase_pairs",
+    "a025_copurchase_pairs",
     f"""WITH items AS (
          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        ok AS (
@@ -201,7 +201,7 @@ def e170_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM pairs GROUP BY p1, p2
        ORDER BY n_orders DESC, p1, p2 LIMIT {PAIR_TOPK}""",
 )
-def e171_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a025_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-purchased part pairs (market-basket affinity): distinct
     (order, part), drop degenerate baskets over BASKET_CAP, self-join on
     the order key with ``p1 < p2``, count, global top-k.
@@ -240,7 +240,7 @@ def e171_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e172_rolling_dau",
+    "a026_rolling_dau",
     """WITH du AS (
          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
        dau AS (
@@ -254,7 +254,7 @@ def e171_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(w.wau AS BIGINT) AS wau
        FROM dau d JOIN wau w USING (day) ORDER BY day""",
 )
-def e172_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a026_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily active users + trailing-7-day distinct users (DAU/WAU) per
     active day.
 

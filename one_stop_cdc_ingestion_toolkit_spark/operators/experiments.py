@@ -202,14 +202,14 @@ _DUCK_KMEANS_CTES = f"""emb AS (
 
 
 @register(
-    "e153_kmeans_clusters",
+    "a007_kmeans_clusters",
     f"""WITH {_DUCK_KMEANS_CTES}
        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
               ROUND(SUM(dist), 3) AS inertia,
               ROUND(AVG(dist), 6) AS avg_dist
        FROM a2 GROUP BY cid ORDER BY cid""",
 )
-def e153_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a007_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means corpus structure audit: cluster the embedding table with
     2 deterministic Lloyd iterations (k=8, seeded from the 8 smallest
     vec_ids) and report per-cluster size, inertia (Σ squared L2 to the
@@ -241,7 +241,7 @@ def e153_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e154_welch_audit",
+    "a008_welch_audit",
     f"""WITH mv AS (
          SELECT event_type,
                 CAST(ROUND(value * 1000) AS DECIMAL(38,0)) AS m
@@ -275,7 +275,7 @@ def e153_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
               abs((m1 - m2) / sqrt(se2)) > {T_CRIT} AS significant
        FROM t ORDER BY event_type""",
 )
-def e154_welch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a008_welch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metric-shift tripwire: Welch's unequal-variance t-test of
     ``events.value`` for each event type against all other events —
     the standard "did this segment's metric really move" audit over an
@@ -330,7 +330,7 @@ def e154_welch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e155_ece_calibration",
+    "a009_ece_calibration",
     f"""WITH cx AS (SELECT label, embedding,
                           unnest(generate_series(1, {EMB_DIM})) AS i
                    FROM embeddings),
@@ -360,7 +360,7 @@ def e154_welch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS gap
        FROM agg ORDER BY bin""",
 )
-def e155_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a009_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration audit for the nearest-centroid classifier (a110's
     model): bucket predictions by confidence (max centroid cosine,
     bin width 0.1) and compare per-bin accuracy against the bin
@@ -411,7 +411,7 @@ def e155_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e156_segment_dup_mass",
+    "a010_segment_dup_mass",
     f"""WITH w AS (
          SELECT doc_id, source,
                 string_split_regex(trim(text), '\\s+') AS ws
@@ -432,7 +432,7 @@ def e155_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM segs JOIN df USING (dig)
        GROUP BY source ORDER BY source""",
 )
-def e156_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a010_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplicated-segment mass — the C4/Falcon "line dedup"
     accounting adapted to unpunctuated text: each document is cut into
     consecutive non-overlapping 10-word segments (the trailing partial
@@ -480,7 +480,7 @@ def e156_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e157_label_margin_matrix",
+    "a011_label_margin_matrix",
     f"""WITH cx AS (SELECT label, embedding,
                           unnest(generate_series(1, {EMB_DIM})) AS i
                    FROM embeddings),
@@ -493,7 +493,7 @@ def e156_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM cent a JOIN cent b ON a.label < b.label
        ORDER BY label_a, label_b""",
 )
-def e157_label_margin_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a011_label_margin_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine similarity between label centroids — the margin
     audit behind a110/e155: label pairs whose centroids are nearly
     parallel are the ones an auto-labeler will confuse and a curated
@@ -549,7 +549,7 @@ def assign_with_runnerup(
 
 
 @register(
-    "e158_simplified_silhouette",
+    "a012_simplified_silhouette",
     f"""WITH {_DUCK_KMEANS_CTES},
        r2 AS (
          SELECT vec_id, cid, dist,
@@ -570,7 +570,7 @@ def assign_with_runnerup(
               ROUND(MIN(sil), 6) AS min_sil
        FROM s GROUP BY cid ORDER BY cid""",
 )
-def e158_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a012_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette for the e153 clustering: for
     each vector, a = squared distance to its assigned centroid, b = to
     the runner-up centroid, s = (b−a)/max(a,b) ∈ [0,1] here (a ≤ b by
@@ -603,7 +603,7 @@ def e158_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e159_cluster_purity",
+    "a013_cluster_purity",
     f"""WITH {_DUCK_KMEANS_CTES},
        cl AS (
          SELECT a2.cid, e.label, COUNT(*) AS c
@@ -619,7 +619,7 @@ def e158_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
               ROUND(CAST(t.major_n AS DOUBLE) / tot.n, 4) AS purity
        FROM top t JOIN tot USING (cid) WHERE rn = 1 ORDER BY cid""",
 )
-def e159_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a013_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster ↔ label agreement for the e153 clustering: per cluster,
     the majority ground-truth label and its purity (majority fraction).
     High purity means the unsupervised structure recovers the labels —
@@ -656,7 +656,7 @@ WSAMPLE_M = 100
 
 
 @register(
-    "e160_weighted_sample",
+    "a014_weighted_sample",
     f"""WITH q AS (
          SELECT doc_id, source,
                 {_DUCK_QUALITY} AS w,
@@ -669,7 +669,7 @@ WSAMPLE_M = 100
        SELECT doc_id, source, ROUND(w, 4) AS weight, ROUND(k, 6) AS sample_key
        FROM keyed ORDER BY k DESC, doc_id LIMIT {WSAMPLE_M}""",
 )
-def e160_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a014_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted sample WITHOUT replacement (m=100): the
     Efraimidis–Spirakis exponential race — each doc gets key
     ln(u)/w for a deterministic md5-derived uniform u, and the m
@@ -752,8 +752,8 @@ def _kcenter_oracle(k: int = KCENTER_K) -> str:
     return f"WITH {', '.join(ctes)} {selects} ORDER BY step"
 
 
-@register("e161_kcenter_coreset", _kcenter_oracle())
-def e161_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("a015_kcenter_coreset", _kcenter_oracle())
+def a015_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity coreset by farthest-first traversal (the classic
     2-approximation to k-center): start from the smallest vec_id, then
     repeatedly pick the embedding farthest (squared L2) from all chosen
@@ -799,7 +799,7 @@ PACK_LENGTHS = (16, 32, 64, 128)
 
 
 @register(
-    "e162_padding_waste",
+    "a016_padding_waste",
     f"""WITH t AS (
          SELECT doc_id,
                 len(string_split_regex(trim(text), '\\s+')) AS n_tok
@@ -817,7 +817,7 @@ PACK_LENGTHS = (16, 32, 64, 128)
                     / SUM(padded), 4) AS waste_frac
        FROM p GROUP BY ctx_len ORDER BY ctx_len""",
 )
-def e162_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a016_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Padding-waste audit for choosing a training context length: for
     each candidate length L, every document occupies ceil(tokens/L)
     rows of L tokens (the pad-don't-concat packing regime) and the
@@ -857,7 +857,7 @@ def e162_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e163_variant_extract",
+    "a017_variant_extract",
     """SELECT event_type,
               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
@@ -868,7 +868,7 @@ def e162_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
               COUNT(json_extract_string(props, '$.k')) AS n_k
        FROM events GROUP BY event_type ORDER BY event_type""",
 )
-def e163_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a017_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction through Spark 4's VARIANT type:
     ``parse_json`` once into a binary VARIANT, then typed
     ``try_variant_get`` path reads — the modern engine-native encoding
@@ -926,8 +926,8 @@ def _kcenter_cover_oracle(k: int = KCENTER_K) -> str:
     )
 
 
-@register("e164_coreset_coverage", _kcenter_cover_oracle())
-def e164_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("a018_coreset_coverage", _kcenter_cover_oracle())
+def a018_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How well the e161 k-center coreset covers each label's region:
     per label, the mean and max squared distance from its embeddings to
     the nearest of the k greedy centers. A label with outsized
@@ -976,7 +976,7 @@ CMS_TOPK = 10
 
 
 @register(
-    "e165_countmin_heavy_hitters",
+    "a019_countmin_heavy_hitters",
     f"""WITH b AS (
          SELECT user_id, r.range AS r,
                 CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' ||
@@ -1005,7 +1005,7 @@ CMS_TOPK = 10
                 AS within_eps
        FROM est CROSS JOIN tot ORDER BY true_n DESC, user_id""",
 )
-def e165_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a019_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimates for the top heavy hitters:
     a CMS_D x CMS_W counter grid (deterministic md5 row-hashes) whose
     per-key estimate is the MIN across rows — never an underestimate,
@@ -1089,7 +1089,7 @@ PR_TOPK = 10
 
 
 @register(
-    "e166_pagerank_neardup",
+    "a020_pagerank_neardup",
     f"""WITH {_DUCK_SIMHASH_CTE},
        bands AS (
          SELECT doc_id, fp, i.range AS band,
@@ -1122,7 +1122,7 @@ PR_TOPK = 10
        SELECT node AS doc_id, d AS degree, ROUND(pr * 1000, 6) AS pr_milli
        FROM p2 ORDER BY ROUND(pr * 1000, 6) DESC, node LIMIT {PR_TOPK}""",
 )
-def e166_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a020_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the SimHash near-duplicate graph (e147's
     Hamming-≤3 pairs as undirected edges), PR_ITERS unrolled power
     iterations with damping PR_DAMP: the most "central" documents of
@@ -1185,7 +1185,7 @@ def e166_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e167_markov_transitions",
+    "a021_markov_transitions",
     """WITH seq AS (
          SELECT user_id, event_type,
                 lead(event_type) OVER (PARTITION BY user_id
@@ -1199,7 +1199,7 @@ def e166_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
               ROUND(CAST(t.n AS DOUBLE) / tot.tn, 4) AS p
        FROM t JOIN tot USING (cur) ORDER BY cur, nxt""",
 )
-def e167_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a021_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user behavior: for every
     consecutive event pair within a user's (ts, event_id)-ordered
     history, count cur→next transitions and normalize per current

@@ -63,7 +63,7 @@ _DUCK_EDGES_CTE = f"""{_DUCK_SIMHASH_CTE},
 
 
 @register(
-    "e173_triangle_census",
+    "a027_triangle_census",
     f"""WITH {_DUCK_EDGES_CTE},
        tri AS (
          SELECT COUNT(*) AS t
@@ -87,7 +87,7 @@ _DUCK_EDGES_CTE = f"""{_DUCK_SIMHASH_CTE},
                     4) AS clustering
        FROM tri, agg""",
 )
-def e173_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a027_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the SimHash
     near-duplicate graph (e147's Hamming-≤3 edges, degree-capped).
 
@@ -159,7 +159,7 @@ def e173_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e174_seasonal_profile",
+    "a028_seasonal_profile",
     """WITH cells AS (
          SELECT dayofweek(ts) AS dow, hour(ts) AS hr,
                 CAST(COUNT(*) AS BIGINT) AS n
@@ -169,7 +169,7 @@ def e173_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
               ROUND(CAST(n AS DOUBLE) * 168 / tot.total, 4) AS lift
        FROM cells, tot ORDER BY dow, hr""",
 )
-def e174_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a028_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week × hour-of-day traffic profile with lift vs the
     uniform-grid mean (lift > 1 = hotter-than-average cell) — the
     seasonality baseline that a116's rolling z-score anomaly detector
@@ -197,7 +197,7 @@ def e174_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e175_multitouch_attribution",
+    "a029_multitouch_attribution",
     f"""WITH p AS (
          SELECT event_id, user_id, ts,
                 CAST(ROUND(value * 100) AS BIGINT) * 1000 AS value_milli
@@ -220,7 +220,7 @@ def e174_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS attrib_value
        FROM shared GROUP BY day ORDER BY day""",
 )
-def e175_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a029_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value is split
     EQUALLY across the user's click/view touches in the preceding
     {ATTR_WINDOW_DAYS} days, credited to the touch's calendar day.
@@ -272,7 +272,7 @@ def e175_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e176_survivorship",
+    "a030_survivorship",
     f"""WITH keyed AS (
          SELECT doc_id, lang, source, n_chars,
                 md5(array_to_string(list_slice(
@@ -294,7 +294,7 @@ def e175_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM clusters GROUP BY ck
        ORDER BY n_dups DESC, keeper_id""",
 )
-def e176_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a030_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship over duplicate clusters (a103's
     8-word-prefix blocking key): per cluster, the KEEPER is the longest
     document (doc_id tie-break), and the golden row carries the

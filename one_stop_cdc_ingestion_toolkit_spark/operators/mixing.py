@@ -40,7 +40,7 @@ def epoch_order(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
 
 
 @register(
-    "e151_epoch_shuffle",
+    "a005_epoch_shuffle",
     f"""WITH e AS (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch),
        ranked AS (
          SELECT e.epoch, d.doc_id,
@@ -53,7 +53,7 @@ def epoch_order(df: DataFrame, id_col: str, epoch: int) -> DataFrame:
        FROM ranked WHERE rank <= {HEAD_K}
        ORDER BY epoch, rank""",
 )
-def e151_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a005_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head of each epoch's deterministic shuffle order — the audit that
     (a) epochs see different permutations and (b) the order is stable
     across runs. Per-epoch top-k is a WindowGroupLimit (k rows per
@@ -75,7 +75,7 @@ def e151_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e152_mix_repeat",
+    "a006_mix_repeat",
     """WITH q AS (
          SELECT source,
                 CAST(COUNT(*) AS BIGINT) AS n_orig,
@@ -96,7 +96,7 @@ def e151_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
        GROUP BY f.source, f.n_orig, f.factor
        ORDER BY f.source""",
 )
-def e152_mix_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a006_mix_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture-weight repetition: each source's documents are physically
     repeated ``factor`` times (factor derived here from mean doc length
     as a deterministic stand-in for a mixture weight), the standard way

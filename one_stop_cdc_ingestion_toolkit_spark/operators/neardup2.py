@@ -82,7 +82,7 @@ _DUCK_SIMHASH_CTE = """
 
 
 @register(
-    "e147_simhash_hamming_pairs",
+    "a001_simhash_hamming_pairs",
     f"""WITH {_DUCK_SIMHASH_CTE},
        bands AS (
          SELECT doc_id, fp, i.range AS band,
@@ -102,7 +102,7 @@ _DUCK_SIMHASH_CTE = """
               CAST(MIN(id_b) AS BIGINT) AS min_id_b
        FROM pairs GROUP BY hamming ORDER BY hamming""",
 )
-def e147_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a001_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram (by Hamming distance, with min-id witnesses) of
     document pairs within SimHash Hamming distance ≤ 3 — the radius at
     which 32-bit SimHash flags near-identical text. Exact-bucket
@@ -183,7 +183,7 @@ _DUCK_QUALITY = r"""ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\s+')) 
 
 
 @register(
-    "e148_temperature_sample",
+    "a002_temperature_sample",
     f"""WITH q AS (
          SELECT doc_id, source, {_DUCK_QUALITY} AS quality,
                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -201,7 +201,7 @@ _DUCK_QUALITY = r"""ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\s+')) 
                     / CAST(COUNT(*) AS DOUBLE), 4) AS kept_frac
        FROM s GROUP BY source ORDER BY source""",
 )
-def e148_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a002_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-temperature sampling: keep a document with probability
     (quality / source-max-quality)^2 — the standard up-weight-the-best
     corpus reshaping — decided by a deterministic md5-derived uniform,
@@ -237,7 +237,7 @@ def e148_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e149_knn_degree",
+    "a003_knn_degree",
     f"""WITH sig AS (
          SELECT vec_id, embedding, {_duck_signature()} AS s FROM embeddings),
        edges AS (
@@ -256,7 +256,7 @@ def e148_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
        FROM deg GROUP BY degree ORDER BY degree""",
 )
-def e149_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a003_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the LSH-bucketed approximate kNN graph over
     the embedding corpus (edges = same sign-bucket AND cosine ≥ 0.2) —
     the index-quality audit run before trusting ANN retrieval: a spiky
@@ -296,7 +296,7 @@ _Q43_ORACLE = REGISTRY["q43_minhash_lsh_pairs"].oracle
 
 
 @register(
-    "e150_containment_pairs",
+    "a004_containment_pairs",
     f"""WITH pairs AS (SELECT id_a, id_b FROM ({_Q43_ORACLE})),
        sh AS (
          SELECT DISTINCT w.doc_id,
@@ -322,7 +322,7 @@ _Q43_ORACLE = REGISTRY["q43_minhash_lsh_pairs"].oracle
        JOIN sizes zb ON zb.doc_id = i.id_b
        ORDER BY id_a, id_b""",
 )
-def e150_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional shingle containment for MinHash-LSH candidate pairs:
     |sh(A)∩sh(B)| / |sh(A)| and / |sh(B)|. Jaccard alone misses the
     quote/sub-document case (small A fully inside big B has low Jaccard

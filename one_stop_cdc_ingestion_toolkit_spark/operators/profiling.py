@@ -32,7 +32,7 @@ PROFILE_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment
 
 
 @register(
-    "e177_autocorrelation",
+    "a031_autocorrelation",
     f"""WITH daily AS (
          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
          FROM events GROUP BY day),
@@ -47,7 +47,7 @@ PROFILE_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment
               ROUND(corr(x, y), 4) AS acf
        FROM paired GROUP BY lag ORDER BY lag""",
 )
-def e177_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a031_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of the daily event-count series at lags 1–7: the
     signal that tells a capacity planner whether traffic has a weekly
     rhythm (peak at lag 7) or is trend-dominated (slow decay).
@@ -81,7 +81,7 @@ def e177_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e178_amount_reconciliation",
+    "a032_amount_reconciliation",
     f"""WITH detail AS (
          SELECT l_orderkey,
                 SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
@@ -102,7 +102,7 @@ def e177_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(SUM(book_cents - calc_cents) AS BIGINT) AS net_diff_cents
        FROM joined GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 )
-def e178_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a032_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-vs-detail amount reconciliation: recompute each order's total
     from its lineitems (price × (1−discount) × (1+tax)) and compare to
     the booked ``o_totalprice`` — the first audit an ingestion pipeline
@@ -147,7 +147,7 @@ def e178_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "e179_null_profile",
+    "a033_null_profile",
     " UNION ALL ".join(
         f"""SELECT '{c}' AS col_name,
                CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
@@ -157,7 +157,7 @@ def e178_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     + " ORDER BY col_name",
 )
-def e179_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a033_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column null count + distinct cardinality of the customer
     dimension — the schema-health profile emitted after every snapshot
     load (a column whose null count jumps or whose cardinality collapses
@@ -203,7 +203,7 @@ def e179_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BENFORD = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
 
 @register(
-    "e180_benford_audit",
+    "a034_benford_audit",
     f"""WITH digits AS (
          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
                                  AS VARCHAR), 1, 1) AS INT) AS digit
@@ -224,7 +224,7 @@ _BENFORD = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
        FROM counts c JOIN exp_t e ON c.digit = e.digit, tot
        ORDER BY c.digit""",
 )
-def e180_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a034_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals: empirical leading-digit
     shares vs Benford's law (P(d) = log10(1+1/d)) — the standard
     screen for fabricated or truncated monetary data; synthetic uniform

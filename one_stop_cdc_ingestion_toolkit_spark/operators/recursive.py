@@ -40,8 +40,8 @@ FROM chain GROUP BY depth ORDER BY depth
 """
 
 
-@register("e182_hierarchy_rollup", _HIER_SQL.format(div="//"))
-def e182_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("a036_hierarchy_rollup", _HIER_SQL.format(div="//"))
+def a036_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-depth census of a customer hierarchy computed with Spark 4's
     ``WITH RECURSIVE`` — roots (custkey < 10) seed the walk and each
     round joins the next decimal-digit generation, so iteration count
@@ -80,8 +80,8 @@ ORDER BY day
 """
 
 
-@register("e183_date_spine_gaps", _SPINE_SQL)
-def e183_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("a037_date_spine_gaps", _SPINE_SQL)
+def a037_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled event calendar: a recursive date spine from min to max
     event date, left-joined to daily event counts so ZERO-activity days
     become visible rows (``is_gap=1``) — the audit that catches a stuck

@@ -30,7 +30,7 @@ TS_TOPK = 20
 
 
 @register(
-    "e181_curve_similarity",
+    "a035_curve_similarity",
     f"""WITH bounds AS (
          SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
          FROM events),
@@ -79,7 +79,7 @@ TS_TOPK = 20
        FROM dist d JOIN ustat us ON d.user_id = us.user_id
        ORDER BY d.zdist, d.user_id LIMIT {TS_TOPK}""",
 )
-def e181_curve_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a035_curve_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TS_TOPK} users whose daily-activity SHAPE most tracks the
     global traffic curve (smallest z-normalized squared distance) —
     the 'representative user' search, and the building block for

@@ -208,7 +208,7 @@ def test_semantic_clusters_consistent_with_pairs(spark):
     ]
     clusters = {
         r["vec_id"]: r["cluster_id"]
-        for r in reg["a98_semantic_clusters"].fn(spark, SF_DIR).collect()
+        for r in reg["a038_semantic_clusters"].fn(spark, SF_DIR).collect()
     }
     release_caches()
     assert pairs, "fixture must produce at least one near-dup pair"

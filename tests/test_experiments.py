@@ -13,10 +13,10 @@ from pyspark.sql import functions as F
 from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
     KMEANS_K,
     assign_clusters,
-    e153_kmeans_clusters,
-    e154_welch_audit,
-    e155_ece_calibration,
-    e156_segment_dup_mass,
+    a007_kmeans_clusters,
+    a008_welch_audit,
+    a009_ece_calibration,
+    a010_segment_dup_mass,
     kmeans_fit,
 )
 from tests.conftest import SF_DIR
@@ -53,7 +53,7 @@ def test_kmeans_iteration_descends(spark):
 
 
 def test_kmeans_registered_partitions_corpus(spark):
-    res = e153_kmeans_clusters(spark, SF_DIR).collect()
+    res = a007_kmeans_clusters(spark, SF_DIR).collect()
     total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert sum(r["n_members"] for r in res) == total
     assert {r["cid"] for r in res} <= set(range(KMEANS_K))
@@ -73,7 +73,7 @@ def test_assignment_is_shuffle_free(spark):
 def test_welch_sign_matches_mean_shift(spark):
     """t must be positive exactly when the type's mean exceeds the
     complement mean (same denominator, same ordering)."""
-    res = e154_welch_audit(spark, SF_DIR).collect()
+    res = a008_welch_audit(spark, SF_DIR).collect()
     assert len(res) >= 2
     grand_n = sum(r["n"] for r in res)
     grand_sum = sum(r["mean_value"] * r["n"] for r in res)
@@ -90,7 +90,7 @@ def test_welch_sign_matches_mean_shift(spark):
 
 
 def test_ece_bins_bounded(spark):
-    res = e155_ece_calibration(spark, SF_DIR).collect()
+    res = a009_ece_calibration(spark, SF_DIR).collect()
     assert res, "at least one confidence bin"
     for r in res:
         assert -10 <= r["bin"] <= 9
@@ -101,7 +101,7 @@ def test_ece_bins_bounded(spark):
 
 
 def test_segment_dup_mass_bounds(spark):
-    res = e156_segment_dup_mass(spark, SF_DIR).collect()
+    res = a010_segment_dup_mass(spark, SF_DIR).collect()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n_sources = docs.select("source").distinct().count()
     assert len(res) == n_sources
@@ -112,7 +112,7 @@ def test_segment_dup_mass_bounds(spark):
 
 def test_segment_count_matches_word_count(spark):
     """Every document contributes exactly floor(words/10) segments."""
-    res = e156_segment_dup_mass(spark, SF_DIR).agg(F.sum("n_seg")).collect()[0][0]
+    res = a010_segment_dup_mass(spark, SF_DIR).agg(F.sum("n_seg")).collect()[0][0]
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     expected = docs.select(
         F.floor(F.size(F.split(F.trim("text"), r"\s+")) / 10).alias("k")
@@ -122,10 +122,10 @@ def test_segment_count_matches_word_count(spark):
 
 def test_label_margin_matrix_shape(spark):
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e157_label_margin_matrix,
+        a011_label_margin_matrix,
     )
 
-    res = e157_label_margin_matrix(spark, SF_DIR).collect()
+    res = a011_label_margin_matrix(spark, SF_DIR).collect()
     labels = {
         r["label"]
         for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -140,10 +140,10 @@ def test_label_margin_matrix_shape(spark):
 
 def test_silhouette_bounds_and_population(spark):
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e158_simplified_silhouette,
+        a012_simplified_silhouette,
     )
 
-    res = e158_simplified_silhouette(spark, SF_DIR).collect()
+    res = a012_simplified_silhouette(spark, SF_DIR).collect()
     total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert sum(r["n"] for r in res) == total
     for r in res:
@@ -153,12 +153,12 @@ def test_silhouette_bounds_and_population(spark):
 
 def test_cluster_purity_consistent_with_kmeans(spark):
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e153_kmeans_clusters,
-        e159_cluster_purity,
+        a007_kmeans_clusters,
+        a013_cluster_purity,
     )
 
-    sizes = {r["cid"]: r["n_members"] for r in e153_kmeans_clusters(spark, SF_DIR).collect()}
-    for r in e159_cluster_purity(spark, SF_DIR).collect():
+    sizes = {r["cid"]: r["n_members"] for r in a007_kmeans_clusters(spark, SF_DIR).collect()}
+    for r in a013_cluster_purity(spark, SF_DIR).collect():
         assert r["n"] == sizes[r["cid"]]
         assert 0.0 < r["purity"] <= 1.0
         assert r["major_n"] <= r["n"]
@@ -167,10 +167,10 @@ def test_cluster_purity_consistent_with_kmeans(spark):
 def test_weighted_sample_fixed_size_and_ranked(spark):
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
         WSAMPLE_M,
-        e160_weighted_sample,
+        a014_weighted_sample,
     )
 
-    res = e160_weighted_sample(spark, SF_DIR).collect()
+    res = a014_weighted_sample(spark, SF_DIR).collect()
     assert len(res) == min(
         WSAMPLE_M,
         spark.read.parquet(f"{SF_DIR}/documents.parquet").count(),
@@ -184,20 +184,20 @@ def test_weighted_sample_fixed_size_and_ranked(spark):
 
 def test_weighted_sample_plan_is_take_ordered(spark):
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e160_weighted_sample,
+        a014_weighted_sample,
     )
     from one_stop_cdc_ingestion_toolkit_spark.plans import uses_take_ordered
 
-    assert uses_take_ordered(e160_weighted_sample(spark, SF_DIR))
+    assert uses_take_ordered(a014_weighted_sample(spark, SF_DIR))
 
 
 def test_kcenter_radius_monotone_and_spread(spark):
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
         KCENTER_K,
-        e161_kcenter_coreset,
+        a015_kcenter_coreset,
     )
 
-    res = e161_kcenter_coreset(spark, SF_DIR).collect()
+    res = a015_kcenter_coreset(spark, SF_DIR).collect()
     assert len(res) == KCENTER_K
     assert [r["step"] for r in res] == list(range(KCENTER_K))
     radii = [r["radius"] for r in res]
@@ -213,10 +213,10 @@ def test_padding_waste_monotone_in_ctx_len(spark):
     shorter than it; the fixture's docs are 10-99 words, so waste_frac
     must rise with ctx_len across 16->128."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e162_padding_waste,
+        a016_padding_waste,
     )
 
-    res = {r["ctx_len"]: r for r in e162_padding_waste(spark, SF_DIR).collect()}
+    res = {r["ctx_len"]: r for r in a016_padding_waste(spark, SF_DIR).collect()}
     assert set(res) == {16, 32, 64, 128}
     n_docs = {r["n_docs"] for r in res.values()}
     assert len(n_docs) == 1, "every L sees every doc"
@@ -229,12 +229,12 @@ def test_padding_waste_monotone_in_ctx_len(spark):
 def test_variant_extract_equals_json_path(spark):
     """The VARIANT path must agree with the string get_json_object path."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e163_variant_extract,
+        a017_variant_extract,
     )
 
     got = {
         r["event_type"]: (r["sum_k"], r["n_k"])
-        for r in e163_variant_extract(spark, SF_DIR).collect()
+        for r in a017_variant_extract(spark, SF_DIR).collect()
     }
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     k = F.get_json_object("props", "$.k").cast("bigint")
@@ -254,10 +254,10 @@ def test_coreset_coverage_bounded_by_radius(spark):
     the global max over labels <= radius at step k-1 would not hold;
     instead check coverage max equals the true global max min-dist)."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e164_coreset_coverage,
+        a018_coreset_coverage,
     )
 
-    res = e164_coreset_coverage(spark, SF_DIR).collect()
+    res = a018_coreset_coverage(spark, SF_DIR).collect()
     total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert sum(r["n"] for r in res) == total
     for r in res:
@@ -269,10 +269,10 @@ def test_countmin_contract(spark):
     counters whose total equals CMS_D x stream size."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
         CMS_TOPK,
-        e165_countmin_heavy_hitters,
+        a019_countmin_heavy_hitters,
     )
 
-    res = e165_countmin_heavy_hitters(spark, SF_DIR).collect()
+    res = a019_countmin_heavy_hitters(spark, SF_DIR).collect()
     assert len(res) == CMS_TOPK
     for r in res:
         assert r["est_n"] >= r["true_n"]
@@ -284,10 +284,10 @@ def test_pagerank_mass_and_ranking(spark):
     top-10 with doc_id tie-break."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
         PR_TOPK,
-        e166_pagerank_neardup,
+        a020_pagerank_neardup,
     )
 
-    res = e166_pagerank_neardup(spark, SF_DIR).collect()
+    res = a020_pagerank_neardup(spark, SF_DIR).collect()
     assert 0 < len(res) <= PR_TOPK
     keys = [(-r["pr_milli"], r["doc_id"]) for r in res]
     assert keys == sorted(keys)
@@ -301,10 +301,10 @@ def test_markov_rows_sum_to_one(spark):
     distribution: counts per cur sum to the transition total and the
     rounded probabilities sum to ~1."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
-        e167_markov_transitions,
+        a021_markov_transitions,
     )
 
-    res = e167_markov_transitions(spark, SF_DIR).collect()
+    res = a021_markov_transitions(spark, SF_DIR).collect()
     by_cur: dict[str, list] = {}
     for r in res:
         by_cur.setdefault(r["cur"], []).append(r)
