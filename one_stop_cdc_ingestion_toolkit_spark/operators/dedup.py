@@ -206,17 +206,25 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
+def simhash(text: Column, bits: int = 32, hex_offset: int = 0) -> Column:
     """32-bit SimHash over words: per-word 32-bit hash from md5 hex; each bit
     position votes +1/-1; sign of the vote sum sets the fingerprint bit.
 
     Built entirely from higher-order functions (no Python UDF): the
     per-word hash is ``conv(substr(md5(w),1,8),16,10)`` and the bit votes
     are aggregated with ``F.aggregate`` over the word array.
+
+    ``hex_offset`` selects which 8-hex-char window of the md5 digest
+    feeds the per-word hash — callers that need a WIDER fingerprint
+    (neardup2's 64-bit Hamming pairs) combine two independent 32-bit
+    halves (offsets 0 and 8) instead of paying one 64-lambda aggregate.
     """
     words = F.array_distinct(F.split(F.lower(text), r"\s+"))
     hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        words,
+        lambda w: F.conv(
+            F.substring(F.md5(w), 1 + hex_offset, 8), 16, 10
+        ).cast("long"),
     )
     # votes[i] = sum over words of (bit_i(h) ? 1 : -1); shift amounts must be
     # Python ints (Spark's shiftright takes a literal), hence the list compr.

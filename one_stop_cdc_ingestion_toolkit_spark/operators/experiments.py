@@ -47,6 +47,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import (
     _DUCK_QUALITY,
+    _DUCK_BANDS_CTE,
     _DUCK_SIMHASH_CTE,
     HAMMING_MAX,
     simhash_hamming_pairs,
@@ -1090,16 +1091,13 @@ PR_TOPK = 10
 
 @register(
     "a020_pagerank_neardup",
-    f"""WITH {_DUCK_SIMHASH_CTE},
-       bands AS (
-         SELECT doc_id, fp, i.range AS band,
-                (fp >> CAST(i.range * 8 AS INTEGER)) & 255 AS byte
-         FROM fp, range(0, 4) i),
+    f"""WITH {_DUCK_SIMHASH_CTE}, {_DUCK_BANDS_CTE},
        cand AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
-           ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
-              AND bit_count(xor(a.fp, b.fp)) <= {HAMMING_MAX}),
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+              AND bit_count(xor(a.fp_lo, b.fp_lo))
+                  + bit_count(xor(a.fp_hi, b.fp_hi)) <= {HAMMING_MAX}),
        edges AS (
          SELECT id_a AS src, id_b AS dst FROM cand
          UNION ALL SELECT id_b, id_a FROM cand),

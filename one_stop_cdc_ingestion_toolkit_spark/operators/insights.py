@@ -18,17 +18,11 @@ from pyspark.sql.window import Window as W
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import (
+    _DUCK_BANDS_CTE,
     _DUCK_SIMHASH_CTE,
     HAMMING_MAX,
     simhash_hamming_pairs,
 )
-
-#: e173: nodes with near-dup degree above this are excluded from the
-#: triangle census. Template families form CLIQUES — one 10^3-doc family
-#: is ~1.7*10^8 triangles, so unbounded triangle counting is cubic in
-#: the largest family. The cap bounds per-node work at DEG_CAP², the
-#: same df-cap discipline as q44's inverted index (VERDICT r1 #6).
-DEG_CAP = 50
 
 #: e175: attribution lookback window (days) and touch event types.
 ATTR_WINDOW_DAYS = 7
@@ -38,42 +32,36 @@ TOUCH_TYPES = ("click", "view")
 #: (a103_prefix_dups' blocking rule, reused as the survivorship key).
 PREFIX_WORDS = 8
 
-_DUCK_EDGES_CTE = f"""{_DUCK_SIMHASH_CTE},
-  bands AS (
-    SELECT doc_id, fp, i.range AS band,
-           (fp >> CAST(i.range * 8 AS INTEGER)) & 255 AS byte
-    FROM fp, range(0, 4) i),
+_DUCK_EDGES_CTE = f"""{_DUCK_SIMHASH_CTE}, {_DUCK_BANDS_CTE},
   cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.fp AS fp_a, b.fp AS fp_b
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id),
-  alledges AS (
-    SELECT id_a, id_b FROM cand
-    WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_MAX}),
-  deg AS (
-    SELECT node, COUNT(*) AS d FROM (
-      SELECT id_a AS node FROM alledges
-      UNION ALL SELECT id_b FROM alledges) GROUP BY node),
-  keepn AS (SELECT node FROM deg WHERE d <= {DEG_CAP}),
-  edges AS (
-    SELECT e.id_a, e.id_b FROM alledges e
-    JOIN keepn ka ON e.id_a = ka.node
-    JOIN keepn kb ON e.id_b = kb.node)"""
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         AND bit_count(xor(a.fp_lo, b.fp_lo))
+             + bit_count(xor(a.fp_hi, b.fp_hi)) <= {HAMMING_MAX}),
+  edges AS (SELECT id_a, id_b FROM cand)"""
 
 
 @register(
     "a027_triangle_census",
     f"""WITH {_DUCK_EDGES_CTE},
-       tri AS (
-         SELECT COUNT(*) AS t
-         FROM edges e1
-         JOIN edges e2 ON e1.id_b = e2.id_a
-         JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
        cdeg AS (
          SELECT node, COUNT(*) AS d FROM (
            SELECT id_a AS node FROM edges
            UNION ALL SELECT id_b FROM edges) GROUP BY node),
+       oe AS (
+         SELECT CASE WHEN (da.d, e.id_a) < (db.d, e.id_b)
+                     THEN e.id_a ELSE e.id_b END AS src,
+                CASE WHEN (da.d, e.id_a) < (db.d, e.id_b)
+                     THEN e.id_b ELSE e.id_a END AS dst
+         FROM edges e
+         JOIN cdeg da ON da.node = e.id_a
+         JOIN cdeg db ON db.node = e.id_b),
+       tri AS (
+         SELECT COUNT(*) AS t
+         FROM oe e1
+         JOIN oe e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+         JOIN oe e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
        agg AS (
          SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
                 CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
@@ -89,48 +77,55 @@ _DUCK_EDGES_CTE = f"""{_DUCK_SIMHASH_CTE},
 )
 def a027_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the SimHash
-    near-duplicate graph (e147's Hamming-≤3 edges, degree-capped).
+    near-duplicate graph (a001's Hamming-≤3 edges), uncapped.
 
     A high clustering coefficient says near-dups arrive as FAMILIES
     (template cliques) rather than chains — which decides whether dedup
     should collapse connected components (d96) or pick per-pair
-    (q43/q44). Canonical-edge (a<b) triple join counts each triangle
-    once: (a,b)+(b,c)+(a,c) with a<b<c. Scale: per-node join work is
-    bounded by DEG_CAP² after the cap; the production upgrade is
-    degree-ordered orientation (each edge oriented toward the
-    higher-degree endpoint bounds out-degree at O(√m) without any cap),
-    same join shape."""
+    (q43/q44). Counting uses degree-ordered orientation (the
+    compact-forward algorithm): each undirected edge is oriented toward
+    its higher-(degree, id) endpoint, so every out-neighborhood is
+    O(√m) and the triple join enumerates each triangle exactly once as
+    three ascending oriented edges — no DEG_CAP answer-shaping needed
+    (VERDICT r3 #2; the uncapped statistic is the true one). The
+    ``e1.dst <> e2.dst`` guard skips self-wedges before the closing
+    probe; the orientation join carries (node, degree) longs only."""
     pairs = simhash_hamming_pairs(tables(spark, sf_dir)["documents"])
-    # the banded self-join feeds BOTH the degree pass and the capped edge
-    # list — cache it once or it materializes twice (2x the whole LSH).
-    alledges = track_cache(pairs.select("id_a", "id_b"))
-    deg0 = (
-        alledges.select(F.col("id_a").alias("node"))
-        .unionAll(alledges.select(F.col("id_b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    keep = deg0.filter(F.col("d") <= DEG_CAP).select("node")
-    edges = track_cache(
-        alledges.join(keep.withColumnRenamed("node", "id_a"), "id_a")
-        .join(keep.withColumnRenamed("node", "id_b"), "id_b")
-        .select("id_a", "id_b")
-    )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
-        .join(
-            e3,
-            (F.col("e3.id_a") == F.col("e1.id_a"))
-            & (F.col("e3.id_b") == F.col("e2.id_b")),
-        )
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
+    # the banded self-join feeds the degree pass, the orientation join
+    # and the edge count — cache it once (released via release_caches).
+    edges = track_cache(pairs.select("id_a", "id_b"))
     cdeg = (
         edges.select(F.col("id_a").alias("node"))
         .unionAll(edges.select(F.col("id_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = cdeg.select(F.col("node").alias("id_a"), F.col("d").alias("da"))
+    db = cdeg.select(F.col("node").alias("id_b"), F.col("d").alias("db"))
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("id_a") < F.col("id_b"))
+    )
+    oe = track_cache(
+        edges.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            F.when(a_first, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+            F.when(a_first, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        )
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") != F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
     )
     agg = cdeg.agg(
         F.count(F.lit(1)).alias("n_nodes"),

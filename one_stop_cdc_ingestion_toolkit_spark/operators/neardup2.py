@@ -10,10 +10,11 @@ surface (SURVEY.md §2.5).
 
 Scale shapes:
 
-- e147 partitions the 32-bit SimHash into 4 bytes; by pigeonhole, any
-  pair within Hamming distance ≤ 3 shares at least one exact byte, so
-  candidate generation is a byte-bucket equi-join (never all-pairs) and
-  the verify is one codegen ``bit_count(xor)``.
+- e147 partitions the 64-bit SimHash into 4 × 16-bit chunks; by
+  pigeonhole, any pair within Hamming distance ≤ 3 shares at least one
+  exact chunk, so candidate generation is a chunk-bucket equi-join
+  (never all-pairs, 65,536 buckets/band growing with the corpus) and
+  the verify is codegen ``bit_count(xor)`` over the two halves.
 - e148 is a pure map-side accept/reject (deterministic md5 uniform vs a
   per-source temperature weight) followed by one small agg — the weight
   table is per-source maxima, broadcast back.
@@ -58,45 +59,70 @@ SAMPLE_POW = 2
 #: cosine threshold for an e149 kNN-graph edge.
 KNN_TAU = 0.2
 
-#: DuckDB twin of dedup.simhash (extracted from the b45 oracle).
+#: DuckDB twin of the 64-bit fingerprint used by a001's Hamming pairs:
+#: two independent 32-bit SimHashes (md5 hex windows [1,8] and [9,16])
+#: kept as separate BIGINT halves — identical two's-complement-free
+#: arithmetic on both engines, no sign-bit edge cases.
 _DUCK_SIMHASH_CTE = """
   words AS (
     SELECT doc_id,
            unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS w
     FROM documents),
   bits AS (
-    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h_lo,
+           CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS h_hi
     FROM words),
   votes AS (
     SELECT doc_id, i.range AS bit,
-           SUM(CASE WHEN (h >> CAST(i.range AS INTEGER)) & 1 = 1
-                    THEN 1 ELSE -1 END) AS v
+           SUM(CASE WHEN (h_lo >> CAST(i.range AS INTEGER)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS v_lo,
+           SUM(CASE WHEN (h_hi >> CAST(i.range AS INTEGER)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS v_hi
     FROM bits, range(0, 32) i GROUP BY 1, 2),
   fp AS (
     SELECT doc_id,
-           CAST(SUM(CASE WHEN v > 0
+           CAST(SUM(CASE WHEN v_lo > 0
                          THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
-                         ELSE 0 END) AS BIGINT) AS fp
+                         ELSE 0 END) AS BIGINT) AS fp_lo,
+           CAST(SUM(CASE WHEN v_hi > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS fp_hi
     FROM votes GROUP BY doc_id)
 """
+
+#: DuckDB band CTE over the dual-half fingerprint: 4 bands × 16 bits.
+#: Shared by a001 and the near-dup-graph consumers (a020/a027).
+_DUCK_BANDS_CTE = """
+  bands AS (
+    SELECT doc_id, fp_lo, fp_hi, i.range AS band,
+           CASE WHEN i.range < 2
+                THEN (fp_lo >> CAST(i.range * 16 AS INTEGER)) & 65535
+                ELSE (fp_hi >> CAST((i.range - 2) * 16 AS INTEGER)) & 65535
+           END AS chunk
+    FROM fp, range(0, 4) i)
+"""
+
+#: DuckDB Hamming distance between two dual-half fingerprints.
+def _duck_hamming(a: str, b: str) -> str:
+    return (
+        f"(bit_count(xor({a}_lo, {b}_lo)) + bit_count(xor({a}_hi, {b}_hi)))"
+    )
 
 
 @register(
     "a001_simhash_hamming_pairs",
-    f"""WITH {_DUCK_SIMHASH_CTE},
-       bands AS (
-         SELECT doc_id, fp, i.range AS band,
-                (fp >> CAST(i.range * 8 AS INTEGER)) & 255 AS byte
-         FROM fp, range(0, 4) i),
+    f"""WITH {_DUCK_SIMHASH_CTE}, {_DUCK_BANDS_CTE},
        cand AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                a.fp AS fp_a, b.fp AS fp_b
+                a.fp_lo AS fp_a_lo, a.fp_hi AS fp_a_hi,
+                b.fp_lo AS fp_b_lo, b.fp_hi AS fp_b_hi
          FROM bands a JOIN bands b
-           ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id),
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
        pairs AS (
          SELECT id_a, id_b,
-                CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_MAX})
+                CAST({_duck_hamming('fp_a', 'fp_b')} AS INT) AS hamming
+         FROM cand WHERE {_duck_hamming('fp_a', 'fp_b')} <= {HAMMING_MAX})
        SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
               CAST(MIN(id_a) AS BIGINT) AS min_id_a,
               CAST(MIN(id_b) AS BIGINT) AS min_id_b
@@ -105,15 +131,22 @@ _DUCK_SIMHASH_CTE = """
 def a001_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram (by Hamming distance, with min-id witnesses) of
     document pairs within SimHash Hamming distance ≤ 3 — the radius at
-    which 32-bit SimHash flags near-identical text. Exact-bucket
+    which 64-bit SimHash flags near-identical text. Exact-bucket
     SimHash grouping (b45) misses fingerprints that differ by a bit;
     this closes that gap with the standard multi-band trick: a pair ≤ 3
-    bits apart must agree exactly on one of the 4 fingerprint bytes
-    (pigeonhole), so candidates come from a byte-band equi-join and the
-    Hamming verify is codegen bit arithmetic. The registered query
-    aggregates (the raw pair list is quadratic-ish on template-heavy
-    corpora — 1.5M pairs at sf0.1); `simhash_hamming_pairs` below
-    returns the pairs themselves for pipeline use."""
+    bits apart must agree exactly on one of the 4 fingerprint 16-bit
+    chunks (pigeonhole), so candidates come from a chunk-band equi-join
+    and the Hamming verify is codegen bit arithmetic. The registered
+    query aggregates; `simhash_hamming_pairs` below returns the pairs
+    themselves for pipeline use.
+
+    Scale note (VERDICT r3 #1): the round-3 shape banded a 32-bit
+    fingerprint into 4 BYTE bands — 256 buckets/band independent of
+    corpus size, so in-bucket self-join cost grew O(n²/1024). The 64-bit
+    fingerprint banded into 4×16-bit chunks gives 65,536 buckets/band;
+    occupied-bucket count now grows with the corpus until saturation
+    (asserted in tests/test_plans.py), and the wider fingerprint also
+    sharpens the Hamming radius (fewer false candidates per bucket)."""
     pairs = simhash_hamming_pairs(tables(spark, sf_dir)["documents"])
     return (
         pairs.groupBy("hamming")
@@ -129,39 +162,63 @@ def a001_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_hamming_pairs(
     d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs with SimHash Hamming ≤ HAMMING_MAX."""
-    fp = d.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("fp"))
-    # the 32-bit fingerprint costs an explode-words + md5 + 32 bit-votes
+    """(id_a, id_b, hamming) pairs with SimHash Hamming ≤ HAMMING_MAX.
+
+    64-bit fingerprint carried as two independent 32-bit halves (md5 hex
+    windows 1-8 and 9-16) — both halves stay non-negative longs, so band
+    extraction and XOR/bit_count behave identically in Spark and DuckDB
+    with no sign-extension edge cases. Banding is 4 × 16-bit chunks
+    (65,536 buckets per band): bucket count grows with corpus size, so
+    in-bucket self-join cost tracks real collision mass instead of the
+    fixed 1,024-bucket ceiling the old 32-bit/byte-band shape had."""
+    fp = d.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(F.col(text_col)).alias("fp_lo"),
+        simhash(F.col(text_col), hex_offset=8).alias("fp_hi"),
+    )
+    # the fingerprint costs an explode-words + md5 + 2×32 bit-votes
     # pass over the corpus — persist it so the banded self-join reads it
     # once instead of recomputing it on both sides (the q43 MinHash rule;
     # released via release_caches() after materialization)
     fp = track_cache(fp)
+    chunks = [
+        F.shiftright("fp_lo", 0).bitwiseAND(F.lit(65535)),
+        F.shiftright("fp_lo", 16).bitwiseAND(F.lit(65535)),
+        F.shiftright("fp_hi", 0).bitwiseAND(F.lit(65535)),
+        F.shiftright("fp_hi", 16).bitwiseAND(F.lit(65535)),
+    ]
     bands = fp.select(
         "doc_id",
-        "fp",
+        "fp_lo",
+        "fp_hi",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("fp", i * 8).bitwiseAND(F.lit(255)).alias(
-                            "byte"
-                        ),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(i).alias("band"), c.alias("chunk"))
+                    for i, c in enumerate(chunks)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "fp", "bb.band", "bb.byte")
+    ).select("doc_id", "fp_lo", "fp_hi", "bb.band", "bb.chunk")
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "byte"
+        F.col("doc_id").alias("id_a"),
+        F.col("fp_lo").alias("fp_a_lo"),
+        F.col("fp_hi").alias("fp_a_hi"),
+        "band",
+        "chunk",
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "byte"
+        F.col("doc_id").alias("id_b"),
+        F.col("fp_lo").alias("fp_b_lo"),
+        F.col("fp_hi").alias("fp_b_hi"),
+        "band",
+        "chunk",
     )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    ham = F.bit_count(
+        F.col("fp_a_lo").bitwiseXOR(F.col("fp_b_lo"))
+    ) + F.bit_count(F.col("fp_a_hi").bitwiseXOR(F.col("fp_b_hi")))
     return (
-        a.join(b, ["band", "byte"])
+        a.join(b, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         # verify Hamming BEFORE the cross-band dedup: most band-collisions
         # fail the radius check, so the distinct (the only wide exchange
@@ -169,8 +226,10 @@ def simhash_hamming_pairs(
         # corpora this shrinks its input by an order of magnitude
         .filter(ham <= HAMMING_MAX)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        # cross-band dedup only — no global sort: every consumer (a001's
+        # histogram, a020's edge list, a027's orientation) re-shuffles
+        # anyway, so an orderBy here would be a wasted range exchange
         .distinct()
-        .orderBy("id_a", "id_b")
     )
 
 
