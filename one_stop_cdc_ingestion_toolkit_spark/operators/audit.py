@@ -302,19 +302,21 @@ def a121_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE's global order is made total with the custkey tie-break so
     both engines assign identical deciles.
 
-    The global NTILE is the scale constraint: a single ordered pass
-    over ONE row per customer (not per order), which is key-cardinality
-    sized. For corpora where even that overflows one partition, swap
-    NTILE for a percent_rank threshold on a distributed sort."""
+    Decile assignment uses behavior.exact_ntile (range repartition +
+    partition-local row_number + partition-size offsets) — exact NTILE
+    semantics with no single-partition sort, so the plan survives
+    10^9-customer cardinality (VERDICT r3 #3's a024 fix, applied to the
+    other NTILE in the inventory)."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.behavior import (
+        exact_ntile,
+    )
+
     o = tables(spark, sf_dir)["orders"]
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     rev = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    d = rev.select(
-        "cents",
-        F.ntile(10)
-        .over(W.orderBy(F.col("cents").desc(), F.col("o_custkey")))
-        .alias("decile"),
-    )
+    d = exact_ntile(
+        rev, [F.col("cents").desc(), F.col("o_custkey")], 10, "decile"
+    ).select("cents", "decile")
     tot = d.agg(F.sum("cents").alias("t"))
     return (
         d.groupBy("decile")

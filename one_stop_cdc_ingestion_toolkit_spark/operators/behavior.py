@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 
 #: Market-basket guard: orders carrying more distinct parts than this are
 #: dropped before pair generation (pair count is quadratic in basket
@@ -30,6 +30,79 @@ BASKET_CAP = 50
 
 #: Top-k co-purchase pairs reported.
 PAIR_TOPK = 20
+
+
+def _global_ranked(df: DataFrame, order_cols: list) -> DataFrame:
+    """``df`` plus ``_rank`` (exact global row_number over the total
+    order ``order_cols``) and ``_total`` (row count) — with NO
+    single-partition window (VERDICT r3 #3).
+
+    Distributed exact ranking: range-repartition on the total order, take
+    a partition-LOCAL row_number (WindowExec partitioned by
+    spark_partition_id — never the zero-partition global sort), then add
+    the cumulative size of the preceding range partitions. The prefix
+    sum is a triangular self-join on the one-row-per-partition size
+    frame (<= shuffle.partitions rows) — declarative, no global window,
+    no extra driver job — and the join back is a broadcast. Callers must
+    include a unique tie-break column so the order is total."""
+    ranked = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local_rank",
+            F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols)),
+        )
+    )
+    ranked = track_cache(ranked)
+    sizes = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    before = sizes.select(
+        F.col("_pid").alias("_bpid"), F.col("_n").alias("_bn")
+    )
+    offsets = (
+        sizes.join(F.broadcast(before), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_bn"), F.lit(0)).alias("_offset"))
+        .crossJoin(
+            F.broadcast(sizes.agg(F.sum("_n").alias("_total")))
+        )
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.col("_local_rank") + F.col("_offset"))
+        .drop("_pid", "_local_rank", "_offset")
+    )
+
+
+def exact_row_number(df: DataFrame, order_cols: list, out_col: str) -> DataFrame:
+    """Exact ``ROW_NUMBER() OVER (ORDER BY order_cols)`` as ``out_col``,
+    distributed (see _global_ranked)."""
+    return (
+        _global_ranked(df, order_cols)
+        .withColumn(out_col, F.col("_rank"))
+        .drop("_rank", "_total")
+    )
+
+
+def exact_ntile(
+    df: DataFrame, order_cols: list, n_buckets: int, out_col: str
+) -> DataFrame:
+    """Exact ``NTILE(n_buckets) OVER (ORDER BY order_cols)`` as
+    ``out_col``, distributed (see _global_ranked). The bucket follows in
+    closed form from (rank, n): the first ``n mod k`` buckets take
+    ``ceil(n/k)`` rows, the rest ``floor(n/k)`` — identical tie handling
+    to the window function because the order is total."""
+    ranked = _global_ranked(df, order_cols)
+    rank = F.col("_rank")
+    q = F.floor(F.col("_total") / n_buckets)
+    r = F.col("_total") % n_buckets
+    head = (q + 1) * r  # rows covered by the ceil-sized buckets
+    bucket = F.when(
+        rank <= head, F.ceil(rank / (q + 1))
+    ).otherwise(r + F.ceil((rank - head) / q))
+    return (
+        ranked.withColumn(out_col, bucket.cast("int"))
+        .drop("_rank", "_total")
+    )
 
 
 @register(
@@ -146,15 +219,16 @@ def a023_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a024_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation:
-    per-customer metrics, NTILE(4) each on a TOTAL order (metric then
-    custkey — ties broken deterministically so both engines bucket
+    per-customer metrics, exact NTILE(4) each on a TOTAL order (metric
+    then custkey — ties broken deterministically so both engines bucket
     identically), then segment-level counts and exact money totals.
 
-    Scale note: NTILE over a global ORDER BY is a single-partition sort
-    in Spark — fine for the customer-cardinality frame this runs on
-    (orders of magnitude below the fact table), but at 10^9+ customers
-    the quartile assignment should switch to approx percentile cutoffs
-    (one pass, no global sort) at the cost of exact tie handling."""
+    Scale note (VERDICT r3 #3): quartile assignment uses
+    ``exact_ntile`` — distributed exact ranking via range repartition +
+    partition-local row_number + driver-bounded cumulative offsets — so
+    there is NO zero-partition WindowExec anywhere in the plan (asserted
+    in tests/test_plans.py); at 10^9 customers each metric's rank is an
+    ordinary range shuffle."""
     o = tables(spark, sf_dir)["orders"]
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     cust = o.groupBy("o_custkey").agg(
@@ -166,12 +240,22 @@ def a024_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = cust.crossJoin(F.broadcast(maxd)).withColumn(
         "recency", F.datediff(F.to_date("maxd"), F.to_date("last_order"))
     )
-    scored = cust.select(
-        "o_custkey",
-        "mon_cents",
-        F.ntile(4).over(W.orderBy("recency", "o_custkey")).alias("r"),
-        F.ntile(4).over(W.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(4).over(W.orderBy("mon_cents", "o_custkey")).alias("m"),
+    # rank the three metrics INDEPENDENTLY off the cached customer frame
+    # (chaining them would make each round's range-sampling pass re-read
+    # the previous rounds' join output), then join the slim (custkey,
+    # bucket) frames back — ordinary key-partitioned joins at scale
+    cust = track_cache(cust)
+    parts = {
+        col: exact_ntile(
+            cust.select("o_custkey", metric), [metric, "o_custkey"], 4, col
+        ).select("o_custkey", col)
+        for col, metric in [("r", "recency"), ("f", "freq"), ("m", "mon_cents")]
+    }
+    scored = (
+        cust.select("o_custkey", "mon_cents")
+        .join(parts["r"], "o_custkey")
+        .join(parts["f"], "o_custkey")
+        .join(parts["m"], "o_custkey")
     )
     return (
         scored.groupBy("r", "f", "m")

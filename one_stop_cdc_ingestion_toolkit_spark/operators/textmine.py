@@ -53,20 +53,21 @@ def a127_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     shallower — the statistic is a cheap corpus-authenticity /
     distribution-shift audit.
 
-    Word counting is a map-side-combined agg on the word key; the rank
-    window orders the VOCABULARY (key-cardinality rows, not corpus
-    rows), and regr_slope is an algebraic aggregate — partials merge,
-    so the whole fit is two small shuffles at any corpus size."""
+    Word counting is a map-side-combined agg on the word key; the Zipf
+    rank is behavior.exact_row_number — a distributed range-partitioned
+    ranking with no single-partition window (VERDICT r3 #3), so the
+    vocabulary (100M+ words at 100 TB) never funnels through one task —
+    and regr_slope is an algebraic aggregate: partials merge, so the
+    whole fit is a few small shuffles at any corpus size."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.behavior import (
+        exact_row_number,
+    )
+
     d = tables(spark, sf_dir)["documents"]
     f = _words(d).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    from pyspark.sql.window import Window as W
-
-    r = f.select(
-        "freq",
-        F.row_number()
-        .over(W.orderBy(F.col("freq").desc(), F.col("word")))
-        .alias("rank"),
-    )
+    r = exact_row_number(
+        f, [F.col("freq").desc(), F.col("word")], "rank"
+    ).select("freq", "rank")
     return r.agg(
         F.count(F.lit(1)).alias("n_words"),
         F.round(

@@ -290,3 +290,26 @@ def test_simhash_band_cardinality_scales_with_corpus(spark):
     small = corpus_occupied("/root/testdata/sf0.001")
     big = corpus_occupied("/root/testdata/sf0.01")
     assert big > small, (small, big)
+
+
+def test_rfm_has_no_global_window(spark):
+    """a024's quartile assignment must never plan a zero-partition
+    WindowExec (VERDICT r3 #3): every Window in the physical plan is
+    partitioned by the range-shuffle partition id."""
+    import re
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.behavior import (
+        a024_rfm_segments,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    plan = physical_plan(a024_rfm_segments(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        spec = line[line.index("windowspecdefinition") :]
+        # a global window's spec starts directly with the ORDER BY list;
+        # the partitioned one leads with the _pid partition column
+        assert "_pid" in spec.split("specifiedwindowframe")[0], (
+            f"zero-partition window found: {line.strip()[:160]}"
+        )
