@@ -33,8 +33,10 @@ class TextChunks:
     def eval(self, text: str, size: int, overlap: int):  # noqa: D102
         if text is None or size <= 0:
             return
-        if overlap >= size:
-            raise ValueError("overlap must be < size")
+        if overlap >= size or overlap < 0:
+            # negative overlap would make step > size and silently drop
+            # the tokens between windows, violating the contract above
+            raise ValueError("overlap must be in [0, size)")
         toks = text.split()
         step = size - overlap
         i = 0

@@ -219,6 +219,19 @@ def _abort_task(messages) -> None:
             os.remove(m.tmp)
 
 
+def _next_seq(existing: list[str]) -> int:
+    """Next monotonic batch-load sequence for a segment dir. ``load2-``
+    sorts after both the stream writer's ``b…`` names and the legacy
+    ``load-{hex}`` names, so seq 1 is safe for any pre-existing layout;
+    thereafter the zero-padded counter keeps loads in commit order."""
+    seqs = [
+        int(n.split("-")[1])
+        for n in existing
+        if n.startswith("load2-") and n.split("-")[1].isdigit()
+    ]
+    return max(seqs, default=0) + 1
+
+
 class ChangelogBatchWriter(DataSourceWriter):
     """Batch append: tasks write dotfile temps; driver-side commit renames
     them into visible segments in one pass. Readers never observe a
@@ -233,13 +246,20 @@ class ChangelogBatchWriter(DataSourceWriter):
         return _write_task(self.path, iterator)
 
     def commit(self, messages) -> None:
-        run = uuid.uuid4().hex[:8]
+        # the run prefix must sort AFTER every existing segment — the
+        # stream reader's offset mapping assumes append-only filename
+        # order, so a random prefix could silently reorder history
+        # (advisory r3). Derive it from the current maximum: existing
+        # names are compared as strings, so zero-padded "load2-<max+1>"
+        # style prefixes keep the total order monotonic per directory.
+        existing = [os.path.basename(p) for p in _segments(self.path)]
+        run = f"load2-{_next_seq(existing):012d}"
         for i, m in enumerate(messages):
             if m is None or m.rows == 0:
                 _abort_task([m])
                 continue
             os.replace(
-                m.tmp, os.path.join(self.path, f"load-{run}-{i:04d}.json")
+                m.tmp, os.path.join(self.path, f"{run}-{i:04d}.json")
             )
 
     def abort(self, messages) -> None:

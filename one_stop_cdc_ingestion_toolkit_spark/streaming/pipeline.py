@@ -213,7 +213,7 @@ class Pipeline:
 
     # -- batch core (also used directly by tests / backfills) -------------
 
-    def apply_batch(self, raw: DataFrame) -> None:
+    def apply_batch(self, raw: DataFrame, batch_id: int | None = None) -> None:
         """Decode + merge one micro-batch of raw (key,value) records.
 
         The raw batch is persisted once so per-table decodes (each table
@@ -224,7 +224,7 @@ class Pipeline:
             # transaction atomicity: boundary records are consumed, open
             # transactions buffered, committed ones released into THIS
             # batch — so a source transaction lands in one epoch.
-            raw = self.tx_gate.filter_batch(raw)
+            raw = self.tx_gate.filter_batch(raw, batch_id)
         raw = raw.persist()
         try:
             # A5: schema-change (DDL) events ride the same stream
@@ -588,7 +588,7 @@ class Pipeline:
             stream = reader.load(self.spec.source_dir)
 
         def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            self.apply_batch(batch_df)
+            self.apply_batch(batch_df, batch_id=epoch_id)
 
         self.query = (
             stream.writeStream.foreachBatch(on_batch)

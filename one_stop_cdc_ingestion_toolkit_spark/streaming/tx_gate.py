@@ -25,12 +25,25 @@ Record shapes (over the raw ``(key, value)`` stream):
   DLQ, so the gate strips boundaries before the malformed-check);
 - anything without ``transaction.id`` passes through untouched.
 
-Durability: the buffer is a parquet dir + a JSON state file under the
-pipeline's sink dir. A replayed micro-batch (crash between apply and
-checkpoint commit) re-appends duplicate rows — harmless, because the
-downstream merge is (key, pos) max-per-key idempotent, and the release
-DISTINCTs the buffer. Buffer rewrites go through a staged swap (write
-aside, atomic rename), the `table_store` discipline.
+Durability & replay (the round-3 advisory fixes):
+
+- A release is IDEMPOTENT under micro-batch replay. Released rows are
+  staged per transaction under ``_txrelease/<tx_id>/`` and the state
+  file records ``released[tx] = batch``. The staged rows and the marker
+  survive until a LATER batch runs — foreachBatch only starts batch
+  N+1 after batch N's checkpoint committed, so seeing batch > N proves
+  the released rows reached the sink durably. A crash between release
+  and checkpoint commit therefore replays batch N, finds
+  ``released[tx] == N``, and re-emits the staged rows — nothing is
+  lost even though the buffer was already rewritten.
+- Ended/released transactions leave a TOMBSTONE (bounded, newest
+  ``TOMBSTONE_KEEP``). Same-tx records arriving in a later micro-batch
+  than the END (multi-partition redelivery) pass straight through to
+  the idempotent merge instead of re-buffering against a transaction
+  that can never re-complete; a redelivered END for a tombstoned tx is
+  ignored.
+- The buffer swap is crash-recoverable: ``__init__`` rolls a leftover
+  ``-gone``/``-stage-*`` pair forward or back before first use.
 
 Scale: buffered volume is bounded by OPEN transactions only (released
 data is physically removed), i.e. by transaction size × concurrency,
@@ -41,6 +54,7 @@ records per batch.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -58,6 +72,13 @@ BUFFER_SCHEMA = T.StructType(
     ]
 )
 
+#: How many released-transaction tombstones to retain (newest first, by
+#: release batch). A tombstone only matters within the source's
+#: redelivery horizon — a straggler arriving after its tombstone aged
+#: out would re-open the transaction forever, so size this above the
+#: maximum END-to-last-straggler batch distance the broker can produce.
+TOMBSTONE_KEEP = 10_000
+
 
 class TxGate:
     """Durable hold-and-release buffer for in-flight transactions."""
@@ -66,15 +87,46 @@ class TxGate:
         self.spark = spark
         self.dir = os.path.join(base_dir, "_txbuf")
         self.state_path = os.path.join(base_dir, "_txstate.json")
+        self.release_root = os.path.join(base_dir, "_txrelease")
+        self._recover_buffer_swap()
         os.makedirs(self.dir, exist_ok=True)
+
+    # -- crash recovery ----------------------------------------------------
+
+    def _recover_buffer_swap(self) -> None:
+        """Roll a torn _rewrite_buffer forward or back (advisory: a crash
+        between the two renames left no _txbuf dir at all)."""
+        gone = self.dir + "-gone"
+        stages = sorted(glob.glob(self.dir + "-stage-*"))
+        if not os.path.exists(self.dir):
+            if os.path.exists(gone) and stages:
+                # crash between the renames: the stage dir is a complete
+                # replacement buffer (written before any rename) — roll
+                # FORWARD to it and drop the old generation
+                os.rename(stages[-1], self.dir)
+                stages = stages[:-1]
+                shutil.rmtree(gone)
+            elif os.path.exists(gone):
+                # stage already swapped in then crashed mid-cleanup is
+                # impossible without self.dir; a lone -gone means the
+                # stage rename finished and cleanup raced — or nothing
+                # was ever staged. Rolling BACK is always safe: the
+                # release state was not saved before the swap completed.
+                os.rename(gone, self.dir)
+        else:
+            if os.path.exists(gone):
+                shutil.rmtree(gone)  # crash after swap, before cleanup
+        for s in stages:
+            shutil.rmtree(s, ignore_errors=True)
 
     # -- state ------------------------------------------------------------
 
     def _load_state(self) -> dict:
-        if not os.path.exists(self.state_path):
-            return {"ended": {}}
-        with open(self.state_path) as f:
-            return json.load(f)
+        state = {"ended": {}, "released": {}, "tombstones": {}, "seq": 0}
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                state.update(json.load(f))
+        return state
 
     def _save_state(self, state: dict) -> None:
         tmp = self.state_path + ".tmp"
@@ -102,15 +154,52 @@ class TxGate:
         os.rename(stage, old)
         shutil.rmtree(gone)
 
+    def _staged_dir(self, tx_id: str) -> str:
+        return os.path.join(self.release_root, tx_id)
+
+    def _read_staged(self, tx_ids: list[str]) -> DataFrame:
+        out = self.spark.createDataFrame(
+            [], T.StructType(BUFFER_SCHEMA.fields[:2])
+        )
+        for t in tx_ids:
+            out = out.unionByName(
+                self.spark.read.schema(
+                    T.StructType(BUFFER_SCHEMA.fields[:2])
+                ).parquet(self._staged_dir(t))
+            )
+        return out
+
     # -- the gate ---------------------------------------------------------
 
-    def filter_batch(self, raw: DataFrame) -> DataFrame:
+    def filter_batch(
+        self, raw: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """One micro-batch in → the records the apply path may see now.
 
         Splits ``raw`` into boundary records (consumed here), tx-tagged
         data (buffered), and plain data (passes through). Returns plain
         data UNIONed with every buffered record of transactions that
-        are now provably committed."""
+        are now provably committed. ``batch_id`` is the foreachBatch
+        epoch — the replay detector; direct (non-streaming) callers get
+        a monotonic internal sequence instead."""
+        state = self._load_state()
+        eb = state["seq"] + 1 if batch_id is None else batch_id
+        state["seq"] = max(state["seq"], eb)
+
+        # 0. GC: a released transaction whose batch is OLDER than this
+        # one is durably applied (foreachBatch ordering) — drop its
+        # staged rows, keep a tombstone for stragglers.
+        gced = [t for t, rb in state["released"].items() if rb < eb]
+        for t in gced:
+            shutil.rmtree(self._staged_dir(t), ignore_errors=True)
+            state["tombstones"][t] = state["released"].pop(t)
+        if len(state["tombstones"]) > TOMBSTONE_KEEP:
+            for t, _ in sorted(
+                state["tombstones"].items(), key=lambda kv: kv[1]
+            )[: len(state["tombstones"]) - TOMBSTONE_KEEP]:
+                del state["tombstones"][t]
+        closed = set(state["released"]) | set(state["tombstones"])
+
         val = F.col("value").cast("string")
         tx_id = F.get_json_object(val, "$.transaction.id")
         is_boundary = (
@@ -135,55 +224,71 @@ class TxGate:
                 .filter(F.col("status") == "END")
                 .collect()
             )
-            state = self._load_state()
             for r in ends:
-                state["ended"][r["id"]] = r["event_count"]
+                if r["id"] not in closed:  # redelivered END: ignore
+                    state["ended"][r["id"]] = r["event_count"]
 
-            # 2. buffer tx-tagged data
+            # 2. buffer OPEN-tx data; rows of already-released/tombstoned
+            # transactions pass straight through to the idempotent merge
+            # (advisory: re-buffering them would strand them forever)
             data = raw.filter(~is_boundary)
             tagged = data.filter(tx_id.isNotNull()).select(
                 "key", "value", tx_id.alias("tx_id")
             )
-            if not tagged.isEmpty():
-                self._append_buffer(tagged)
+            stragglers = (
+                tagged.filter(F.col("tx_id").isin(sorted(closed)))
+                .select("key", "value")
+                if closed
+                else None
+            )
+            open_tagged = (
+                tagged.filter(~F.col("tx_id").isin(sorted(closed)))
+                if closed
+                else tagged
+            )
+            if not open_tagged.isEmpty():
+                self._append_buffer(open_tagged)
             passthrough = data.filter(tx_id.isNull())
+            if stragglers is not None:
+                passthrough = passthrough.unionByName(stragglers)
 
             # 3. release committed transactions
-            if not state["ended"]:
-                self._save_state(state)
-                return passthrough
-            buf = self._read_buffer().distinct()
-            counts = {
-                r["tx_id"]: r["n"]
-                for r in buf.groupBy("tx_id")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            release = [
-                t
-                for t, need in state["ended"].items()
-                if t in counts and (need is None or counts[t] >= need)
-            ]
-            if not release:
-                self._save_state(state)
-                return passthrough
-            # stage released rows to parquet BEFORE the buffer swap
-            # invalidates their lineage — distributed write, no driver
-            # materialization of transaction payloads.
-            release_dir = os.path.join(
-                os.path.dirname(self.dir), "_txrelease"
-            )
-            buf.filter(F.col("tx_id").isin(release)).select(
-                "key", "value"
-            ).write.mode("overwrite").parquet(release_dir)
-            self._rewrite_buffer(buf.filter(~F.col("tx_id").isin(release)))
-            for t in release:
-                del state["ended"][t]
+            if state["ended"]:
+                buf = self._read_buffer().distinct()
+                counts = {
+                    r["tx_id"]: r["n"]
+                    for r in buf.groupBy("tx_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                release = [
+                    t
+                    for t, need in state["ended"].items()
+                    if t in counts and (need is None or counts[t] >= need)
+                ]
+                if release:
+                    # stage per-tx BEFORE the buffer swap invalidates
+                    # lineage; the staged dirs + released markers are
+                    # what make a post-release crash replayable
+                    for t in release:
+                        buf.filter(F.col("tx_id") == t).select(
+                            "key", "value"
+                        ).write.mode("overwrite").parquet(self._staged_dir(t))
+                        state["released"][t] = eb
+                        del state["ended"][t]
+                    self._save_state(state)
+                    self._rewrite_buffer(
+                        buf.filter(~F.col("tx_id").isin(release))
+                    )
+
+            # 4. emit staged rows for every tx released IN THIS batch —
+            # covers fresh releases and the replay-after-crash case
+            # (released[tx] == eb survives until a later batch GCs it)
+            emit = [t for t, rb in state["released"].items() if rb == eb]
             self._save_state(state)
-            released = self.spark.read.schema(
-                T.StructType(BUFFER_SCHEMA.fields[:2])
-            ).parquet(release_dir)
-            return passthrough.unionByName(released)
+            if emit:
+                return passthrough.unionByName(self._read_staged(emit))
+            return passthrough
         finally:
             raw.unpersist()
 

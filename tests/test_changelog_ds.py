@@ -244,3 +244,29 @@ def test_stream_writer_commit_is_replay_idempotent(tmp_path):
     names = os.listdir(dst)
     assert names == ["b0000000007-0000.json"]
     assert len(open(os.path.join(dst, names[0])).readlines()) == 2
+
+
+def test_batch_loads_sort_after_existing_segments(spark, tmp_path):
+    """Advisory r3: a second batch load must never sort lexicographically
+    BEFORE an earlier one — the stream reader's offset mapping is
+    filename order, so segment names must be append-monotonic."""
+    import os
+
+    register_changelog(spark)
+    path = str(tmp_path / "cl")
+    df1 = spark.createDataFrame([("k1", "v1")], "key string, value string")
+    df2 = spark.createDataFrame([("k2", "v2")], "key string, value string")
+    df1.coalesce(1).write.format("changelog").mode("append").save(path)
+    first = sorted(
+        n for n in os.listdir(path) if not n.startswith((".", "_"))
+    )
+    df2.coalesce(1).write.format("changelog").mode("append").save(path)
+    all_names = sorted(
+        n for n in os.listdir(path) if not n.startswith((".", "_"))
+    )
+    new = [n for n in all_names if n not in first]
+    assert new, "second load must add a segment"
+    assert all(n > max(first) for n in new), (first, new)
+    # replay order: first load's record precedes the second's
+    back = spark.read.format("changelog").load(path).collect()
+    assert [r["key"] for r in back] == ["k1", "k2"]

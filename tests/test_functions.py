@@ -100,3 +100,7 @@ def test_udtf_overlap_guard(spark):
 
     with _pytest.raises(Exception, match="overlap"):
         spark.sql("SELECT * FROM text_chunks('a b c', 2, 2)").collect()
+    # negative overlap would silently drop tokens between windows
+    # (advisory r3): must be rejected, not accepted with step > size
+    with _pytest.raises(Exception, match="overlap"):
+        spark.sql("SELECT * FROM text_chunks('a b c d', 2, -1)").collect()

@@ -167,3 +167,83 @@ def test_delete_inside_transaction(spark, tmp_path):
     assert _names(pipe) == {"del"}  # tx still open: delete not applied
     pipe.apply_batch(_raw(spark, [boundary("tx-d")]))
     assert _names(pipe) == {"new"}
+
+
+def test_release_is_replay_safe(spark, tmp_path):
+    """Crash between release and checkpoint commit (advisory r3, high):
+    replaying the releasing micro-batch must re-emit the full
+    transaction from the staged dir even though the buffer was already
+    rewritten — no rows lost, no permanently-open tx."""
+    import os
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.tx_gate import TxGate
+
+    gate = TxGate(spark, str(tmp_path / "g"))
+    b1 = _raw(spark, [tx_envelope("c", 1, "tx-1", after=person("ann", "a", 1))])
+    assert gate.filter_batch(b1, batch_id=1).count() == 0
+    b2 = _raw(
+        spark,
+        [
+            tx_envelope("c", 2, "tx-1", after=person("bob", "b", 2)),
+            boundary("tx-1", event_count=2),
+        ],
+    )
+    out1 = gate.filter_batch(b2, batch_id=2)
+    assert out1.count() == 2  # released
+    assert gate.pending() == {}  # buffer rewritten
+    # simulate the crash: downstream merge of batch 2 never committed,
+    # the stream replays the SAME batch id against a fresh gate instance
+    gate2 = TxGate(spark, str(tmp_path / "g"))
+    out2 = gate2.filter_batch(b2, batch_id=2)
+    # the replayed in-batch row ALSO passes through as a straggler of the
+    # released tx — duplicates are harmless (the merge is (key,pos)
+    # idempotent); what matters is that BOTH rows of the tx are present
+    assert out2.distinct().count() == 2, (
+        "replay must re-emit the staged transaction"
+    )
+    # a LATER batch proves the checkpoint advanced: staged dir is GC'd,
+    # tombstone retained
+    assert gate2.filter_batch(_raw(spark, []), batch_id=3).count() == 0
+    assert not os.path.exists(str(tmp_path / "g" / "_txrelease" / "tx-1"))
+    assert "tx-1" in gate2._load_state()["tombstones"]
+
+
+def test_straggler_after_release_passes_through(spark, tmp_path):
+    """END-without-event_count releases what is buffered; a same-tx row
+    arriving in a LATER batch (advisory r3, medium) must pass straight
+    through to the idempotent merge, not re-buffer forever."""
+    pipe = Pipeline(spark, _spec(tmp_path))
+    pipe.apply_batch(
+        _raw(spark, [tx_envelope("c", 1, "tx-2", after=person("ann", "a", 1))])
+    )
+    pipe.apply_batch(_raw(spark, [boundary("tx-2")]))  # END, no count
+    assert _names(pipe) == {"ann"}
+    # straggler of the already-released tx-2, delivered out of order
+    pipe.apply_batch(
+        _raw(spark, [tx_envelope("c", 2, "tx-2", after=person("bob", "b", 2))])
+    )
+    assert _names(pipe) == {"ann", "bob"}, "straggler must reach the merge"
+    assert pipe.status()["open_transactions"] == 0
+    # and a redelivered END for the tombstoned tx is ignored
+    pipe.apply_batch(_raw(spark, [boundary("tx-2")]))
+    assert pipe.status()["open_transactions"] == 0
+
+
+def test_buffer_swap_crash_recovery(spark, tmp_path):
+    """A crash between _rewrite_buffer's two renames leaves only the
+    -gone dir (advisory r3, low): the next TxGate init must roll the
+    buffer back instead of crashing on a missing _txbuf."""
+    import os
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.tx_gate import TxGate
+
+    base = str(tmp_path / "g")
+    gate = TxGate(spark, base)
+    b1 = _raw(spark, [tx_envelope("c", 1, "tx-3", after=person("ann", "a", 1))])
+    gate.filter_batch(b1, batch_id=1)
+    assert gate.pending() == {"tx-3": 1}
+    # simulate: first rename done, second never happened
+    os.rename(os.path.join(base, "_txbuf"), os.path.join(base, "_txbuf-gone"))
+    gate2 = TxGate(spark, base)
+    assert gate2.pending() == {"tx-3": 1}, "buffered rows must survive"
+    assert not os.path.exists(os.path.join(base, "_txbuf-gone"))
