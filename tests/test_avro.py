@@ -208,3 +208,43 @@ _values = st.fixed_dictionaries(
 @given(_values)
 def test_codec_roundtrip_property(value):
     assert avro_codec.decode(_PROP_SCHEMA, avro_codec.encode(_PROP_SCHEMA, value)) == value
+
+
+def test_jvm_avro_path_matches_python_codec(spark):
+    """Parity contract for the JVM spark-avro path (VERDICT r3 #5): the
+    SAME golden Confluent wire bytes must decode to the same envelope
+    through `decode_avro` (from_avro, JVM) and through the pure-Python
+    codec path (`avro_to_json`). Skips where the spark-avro package is
+    not on the classpath (it is an external Spark module, not bundled —
+    this sandbox has no network to fetch it); the contract activates
+    automatically in any jar-equipped deployment.
+
+    Reference semantics: bin/mskc-connector.sh:434-459 (Avro value
+    converter against a schema registry)."""
+    import pytest
+
+    from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
+        avro_available,
+        decode_avro,
+    )
+
+    if not avro_available(spark):
+        pytest.skip("spark-avro jar not on classpath")
+    value = envelope_value(
+        "c", 7, after={"firstName": "ann", "lastName": "a", "age": 30}
+    )
+    raw = spark.createDataFrame(
+        [("ann", bytearray(wire(1, ENVELOPE_SCHEMA_V1, value)))],
+        "key string, value binary",
+    )
+    jvm = decode_avro(
+        raw, json.dumps(ENVELOPE_SCHEMA_V1), confluent_wire_format=True
+    ).collect()[0]
+    py = json.loads(
+        avro_to_json(raw, {1: json.dumps(ENVELOPE_SCHEMA_V1)})
+        .collect()[0]["value"]
+    )
+    assert jvm["op"] == py["op"] == "c"
+    assert jvm["ts_ms"] == py["ts_ms"]
+    assert jvm["after"].asDict() == py["after"]
+    assert jvm["source"].asDict() == py["source"]

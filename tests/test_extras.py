@@ -75,3 +75,34 @@ def test_resize_images_deterministic_contract(spark):
     )
     assert all(r.width == 224 and r.height == 224 for r in a)
     assert all(bytes(r.payload).startswith(b"resized:224x224:") for r in a)
+
+
+def test_real_image_decode_gated(spark):
+    """The real decoder is feature-gated on Pillow (VERDICT r3 #8): with
+    no codec installed decode_image raises the documented
+    NotImplementedError; with Pillow it must return true dimensions
+    through the SAME Arrow mapInPandas path."""
+    import pytest
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
+        decode_blobs,
+        decode_image,
+        pil_available,
+    )
+
+    if not pil_available():
+        with pytest.raises(NotImplementedError, match="codec"):
+            decode_image(b"\x89PNG\r\n")
+        return
+    # Pillow present: build a real 3x2 PNG and decode it through Spark
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    blobs = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = decode_blobs(blobs, "doc_id", "payload", use_real=True).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (3, 2, 1)

@@ -153,3 +153,75 @@ def test_forward_mode_truth_table(tmp_path):
     v4 = T.StructType([f for f in v2.fields if f.name != "opt"])
     store.register("t", v4)
     assert len(store.versions("t")) == 3
+
+
+class _FakeRegistryServer:
+    """In-memory Confluent-wire registry: the transport double for
+    HttpSchemaRegistryClient — exercises the full endpoint/payload
+    mapping without a network."""
+
+    def __init__(self):
+        self.subjects = {}
+
+    def __call__(self, method, url, body):
+        import json as _json
+
+        parts = url.split("/")
+        if method == "GET" and url.endswith("/subjects"):
+            return sorted(self.subjects)
+        if method == "GET" and parts[-1] == "versions":
+            subject = parts[-2]
+            if subject not in self.subjects:
+                raise KeyError(subject)  # 404 analogue
+            return list(range(1, len(self.subjects[subject]) + 1))
+        if method == "GET" and parts[-2] == "versions":
+            subject, v = parts[-3], int(parts[-1])
+            return {"schema": self.subjects[subject][v - 1]}
+        if method == "POST" and parts[-1] == "versions":
+            subject = parts[-2]
+            self.subjects.setdefault(subject, []).append(body["schema"])
+            return {"id": len(self.subjects[subject]),
+                    "version": len(self.subjects[subject])}
+        raise AssertionError(f"unexpected call {method} {url}")
+
+
+def test_http_registry_client_drop_in():
+    """The HTTP client implements the same SchemaRegistryClient contract
+    as the local store: register/idempotence/latest/list and the SAME
+    client-side BACKWARD enforcement (VERDICT r3 #6)."""
+    import pytest
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        HttpSchemaRegistryClient,
+        IncompatibleSchemaError,
+        SchemaRegistryClient,
+    )
+
+    server = _FakeRegistryServer()
+    client = HttpSchemaRegistryClient("http://reg:8081", transport=server)
+    assert isinstance(client, SchemaRegistryClient)
+
+    v1 = T.StructType([T.StructField("a", T.LongType(), False)])
+    v2 = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    bad = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("c", T.StringType(), False),  # NOT NULL, no default
+        ]
+    )
+    assert client.register("person-value", v1) == 1
+    assert client.register("person-value", v1) == 1  # idempotent
+    assert client.register("person-value", v2) == 2
+    assert client.latest("person-value") == v2
+    assert client.versions("person-value") == [v1, v2]
+    assert client.list_subjects() == ["person-value"]
+    with pytest.raises(IncompatibleSchemaError, match="NOT NULL"):
+        client.register("person-value", bad)
+    # unknown subject reads as empty, like the local store
+    assert client.versions("nope") == []
+    assert client.latest("nope") is None
