@@ -18,9 +18,10 @@ Scale shapes:
 - e148 is a pure map-side accept/reject (deterministic md5 uniform vs a
   per-source temperature weight) followed by one small agg — the weight
   table is per-source maxima, broadcast back.
-- e149 bounds pair generation by the LSH sign-bucket (8 hyperplanes →
-  256 buckets); the degree histogram is two partial-agg shuffles over
-  id-keyed rows, embeddings never shuffle twice.
+- e149 bounds pair generation by the LSH sign-bucket (KNN_PLANES=16
+  hyperplanes → 65,536 buckets); the degree histogram is two
+  partial-agg shuffles over id-keyed rows, embeddings never shuffle
+  twice.
 - e150 computes exact shingle containment ONLY for MinHash-LSH candidate
   pairs (q43's banded self-join bounds the pair space); the intersection
   count joins postings against the bounded pair list, so cost follows
@@ -52,12 +53,18 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.text import quality_score
 
-#: max Hamming distance for e147 (4 byte-bands cover ≤ 3 flipped bits).
+#: max Hamming distance for e147 (4 × 16-bit bands cover ≤ 3 flipped bits).
 HAMMING_MAX = 3
 #: sampling temperature exponent for e148.
 SAMPLE_POW = 2
 #: cosine threshold for an e149 kNN-graph edge.
 KNN_TAU = 0.2
+#: sign planes for the a003 kNN-graph buckets. 16 planes = 65,536
+#: buckets: like the SimHash band fix, the bucket space must be able to
+#: GROW with the corpus — the default 8-plane/256-bucket space is fine
+#: for top-k retrieval (b54 probes one bucket) but pins an
+#: all-pairs-in-bucket GRAPH build at O(n²/256) at 10^9 vectors.
+KNN_PLANES = 16
 
 #: DuckDB twin of the 64-bit fingerprint used by a001's Hamming pairs:
 #: two independent 32-bit SimHashes (md5 hex windows [1,8] and [9,16])
@@ -298,7 +305,8 @@ def a002_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a003_knn_degree",
     f"""WITH sig AS (
-         SELECT vec_id, embedding, {_duck_signature()} AS s FROM embeddings),
+         SELECT vec_id, embedding, {_duck_signature(n_planes=KNN_PLANES)} AS s
+         FROM embeddings),
        edges AS (
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM sig a JOIN sig b
@@ -321,9 +329,16 @@ def a003_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index-quality audit run before trusting ANN retrieval: a spiky
     histogram means hub buckets (recall rot + join skew), a mass at
     degree 0 means over-partitioned planes. Pair generation is bounded
-    per bucket; the histogram is two partial-agg shuffles."""
+    per bucket with a KNN_PLANES-bit signature (65,536 buckets — bucket
+    headroom grows with the corpus instead of pinning the in-bucket
+    self-join at O(n²/256)); the histogram is two partial-agg
+    shuffles."""
     e = tables(spark, sf_dir)["embeddings"]
-    sig = e.select("vec_id", "embedding", lsh_signature(F.col("embedding")).alias("s"))
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        lsh_signature(F.col("embedding"), n_planes=KNN_PLANES).alias("s"),
+    )
     a = sig.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "s"
     )
