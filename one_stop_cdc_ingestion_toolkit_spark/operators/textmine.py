@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 
 #: Top-N BPE merge candidates reported (a128).
 BPE_TOP = 20
@@ -260,28 +260,28 @@ def a134_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     additional data from a source adds volume but not novelty — the
     signal that reweights c83's mixing or stops ingesting a source.
 
-    Two gram-keyed aggregations (first-seen bucket + per-bucket distinct
-    count) — the shuffle key is a 5-word gram, never the document; the
-    final join is bucket-cardinality sized."""
+    The bucket is derived BEFORE the dedup, so the corpus explodes once
+    into a cached distinct (bucket, gram) frame that both aggregations
+    share: per-bucket gram counts become a plain count (no
+    countDistinct expand) and first-seen is a gram-keyed min — the
+    shuffle key is a 5-word gram, never the document; the final join is
+    bucket-cardinality sized."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
     d = tables(spark, sf_dir)["documents"]
     mx = d.agg((F.max("doc_id") + 1).alias("m"))
-    g = (
-        d.select(
-            "doc_id",
+    gb = track_cache(
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("doc_id") * NOVELTY_BUCKETS / F.col("m"))
+            .cast("int")
+            .alias("bucket"),
             F.explode(word_shingles(F.col("text"), NOVELTY_K)).alias("gram"),
         )
         .distinct()
     )
-    gb = g.crossJoin(F.broadcast(mx)).select(
-        (F.col("doc_id") * NOVELTY_BUCKETS / F.col("m"))
-        .cast("int")
-        .alias("bucket"),
-        "gram",
-    )
     seen = gb.groupBy("gram").agg(F.min("bucket").alias("first_bucket"))
-    per = gb.groupBy("bucket").agg(F.countDistinct("gram").alias("n_grams"))
+    per = gb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_grams"))
     novel = seen.groupBy(F.col("first_bucket").alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_novel")
     )
