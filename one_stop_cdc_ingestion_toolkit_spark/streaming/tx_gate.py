@@ -293,11 +293,18 @@ class TxGate:
             raw.unpersist()
 
     def pending(self) -> dict:
-        """Observability: open transaction ids → buffered record count."""
+        """Observability: open transaction ids → buffered record count.
+        Excludes transactions already released or tombstoned — their rows
+        can linger in the buffer only inside the crash window between a
+        release's state save and the buffer rewrite, and they are not
+        open."""
+        state = self._load_state()
+        closed = set(state["released"]) | set(state["tombstones"])
         buf = self._read_buffer().distinct()
         return {
             r["tx_id"]: r["n"]
             for r in buf.groupBy("tx_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
+            if r["tx_id"] not in closed
         }
