@@ -19,6 +19,7 @@ from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import (
     _DUCK_BANDS_CTE,
+    _DUCK_FIRST_MATCH,
     _DUCK_SIMHASH_CTE,
     HAMMING_MAX,
     simhash_hamming_pairs,
@@ -34,11 +35,12 @@ PREFIX_WORDS = 8
 
 _DUCK_EDGES_CTE = f"""{_DUCK_SIMHASH_CTE}, {_DUCK_BANDS_CTE},
   cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
          AND bit_count(xor(a.fp_lo, b.fp_lo))
-             + bit_count(xor(a.fp_hi, b.fp_hi)) <= {HAMMING_MAX}),
+             + bit_count(xor(a.fp_hi, b.fp_hi)) <= {HAMMING_MAX}
+    WHERE {_DUCK_FIRST_MATCH}),
   edges AS (SELECT id_a, id_b FROM cand)"""
 
 

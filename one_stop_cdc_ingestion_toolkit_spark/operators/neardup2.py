@@ -110,6 +110,20 @@ _DUCK_BANDS_CTE = """
     FROM fp, range(0, 4) i)
 """
 
+#: DuckDB first-matching-band predicate: a colliding pair is emitted
+#: only from its LOWEST matching band (no earlier band also matches), so
+#: no cross-band DISTINCT is needed — mirror of the engine-side rule.
+def _duck_chunk(fp: str, i: int) -> str:
+    half, sh = (f"{fp}_lo", i * 16) if i < 2 else (f"{fp}_hi", (i - 2) * 16)
+    return f"(({half} >> {sh}) & 65535)"
+
+
+_DUCK_FIRST_MATCH = " AND ".join(
+    f"(a.band <= {i} OR {_duck_chunk('a.fp', i)} <> {_duck_chunk('b.fp', i)})"
+    for i in range(3)
+)
+
+
 #: DuckDB Hamming distance between two dual-half fingerprints.
 def _duck_hamming(a: str, b: str) -> str:
     return (
@@ -121,11 +135,12 @@ def _duck_hamming(a: str, b: str) -> str:
     "a001_simhash_hamming_pairs",
     f"""WITH {_DUCK_SIMHASH_CTE}, {_DUCK_BANDS_CTE},
        cand AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 a.fp_lo AS fp_a_lo, a.fp_hi AS fp_a_hi,
                 b.fp_lo AS fp_b_lo, b.fp_hi AS fp_b_hi
          FROM bands a JOIN bands b
-           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id),
+           ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         WHERE {_DUCK_FIRST_MATCH}),
        pairs AS (
          SELECT id_a, id_b,
                 CAST({_duck_hamming('fp_a', 'fp_b')} AS INT) AS hamming
@@ -224,19 +239,29 @@ def simhash_hamming_pairs(
     ham = F.bit_count(
         F.col("fp_a_lo").bitwiseXOR(F.col("fp_b_lo"))
     ) + F.bit_count(F.col("fp_a_hi").bitwiseXOR(F.col("fp_b_hi")))
+
+    # first-matching-band rule: both fingerprints are in hand after the
+    # join, so "no EARLIER band also matched" is a cheap codegen
+    # predicate — each colliding pair is emitted from exactly one band
+    # and the wide cross-band DISTINCT exchange disappears entirely.
+    def _chunk(col: str, i: int):
+        half, sh = (col + "_lo", i * 16) if i < 2 else (col + "_hi", (i - 2) * 16)
+        return F.shiftright(half, sh).bitwiseAND(F.lit(65535))
+
+    first_match = F.lit(True)
+    for i in range(3):
+        first_match = first_match & (
+            (F.col("band") <= i) | (_chunk("fp_a", i) != _chunk("fp_b", i))
+        )
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # verify Hamming BEFORE the cross-band dedup: most band-collisions
-        # fail the radius check, so the distinct (the only wide exchange
-        # on pair rows) sees surviving pairs only — on template-heavy
-        # corpora this shrinks its input by an order of magnitude
+        .filter(first_match)
+        # verify Hamming AFTER the dedup-by-band rule: both are map-side
+        # filters in the same codegen stage, so order only affects
+        # evaluation count, not shuffles
         .filter(ham <= HAMMING_MAX)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        # cross-band dedup only — no global sort: every consumer (a001's
-        # histogram, a020's edge list, a027's orientation) re-shuffles
-        # anyway, so an orderBy here would be a wasted range exchange
-        .distinct()
     )
 
 
