@@ -98,7 +98,11 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def sig_band_rows(sig: DataFrame) -> DataFrame:
-    """(id, band_idx, band_sig) LSH band rows from a signature frame."""
+    """(id, band_idx, band_sig, bands) LSH band rows from a signature
+    frame. ``bands`` carries the doc's FULL band-signature array so the
+    pair join can apply the first-matching-band rule (band_pairs) — a
+    few short strings per row, far cheaper than the cross-band DISTINCT
+    it replaces."""
     return sig.select(
         "id",
         F.array(
@@ -107,7 +111,9 @@ def sig_band_rows(sig: DataFrame) -> DataFrame:
                 for i, (a, b) in enumerate(MINHASH_BANDS)
             ]
         ).alias("bands"),
-    ).select("id", F.posexplode("bands").alias("band_idx", "band_sig"))
+    ).select(
+        "id", F.posexplode("bands").alias("band_idx", "band_sig"), "bands"
+    )
 
 
 def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -119,15 +125,38 @@ def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def band_pairs(bands: DataFrame) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) from band rows: shuffle on
-    (band_idx, band_sig) → self-join inside buckets only."""
-    left = bands.select("band_idx", "band_sig", F.col("id").alias("id_a"))
-    right = bands.select("band_idx", "band_sig", F.col("id").alias("id_b"))
-    return (
-        left.join(right, ["band_idx", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    (band_idx, band_sig) → self-join inside buckets only.
+
+    When the rows carry the full ``bands`` array (sig_band_rows), each
+    pair is emitted from its FIRST matching band via a map-side
+    predicate — no cross-band DISTINCT exchange. Rows without ``bands``
+    (the incremental DedupIndex, which stores one band per row) fall
+    back to the distinct."""
+    has_full = "bands" in bands.columns
+    left = bands.select(
+        "band_idx",
+        "band_sig",
+        F.col("id").alias("id_a"),
+        *([F.col("bands").alias("bands_a")] if has_full else []),
     )
+    right = bands.select(
+        "band_idx",
+        "band_sig",
+        F.col("id").alias("id_b"),
+        *([F.col("bands").alias("bands_b")] if has_full else []),
+    )
+    joined = left.join(right, ["band_idx", "band_sig"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    if not has_full:
+        return joined.select("id_a", "id_b").distinct()
+    first_match = F.lit(True)
+    for i in range(len(MINHASH_BANDS) - 1):
+        first_match = first_match & (
+            (F.col("band_idx") <= i)
+            | (F.col("bands_a")[i] != F.col("bands_b")[i])
+        )
+    return joined.filter(first_match).select("id_a", "id_b")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
