@@ -44,6 +44,7 @@ from one_stop_cdc_ingestion_toolkit_spark.sources.schema_events import (
     apply_schema_changes,
 )
 from one_stop_cdc_ingestion_toolkit_spark.streaming.agg_view import AggView, eager
+from one_stop_cdc_ingestion_toolkit_spark.streaming.join_view import JoinView
 from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import DedupIndex
 from one_stop_cdc_ingestion_toolkit_spark.streaming.search_index import SearchIndex
 from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
@@ -108,6 +109,9 @@ class PipelineSpec:
     #: time-travel depth: how many PRIOR pointer states per table keep
     #: their data on disk (cross-table epoch reads need > 0 to look back)
     snapshot_retain: int = 0
+    #: standing denormalized fact⟕dim views maintained incrementally
+    #: from the change stream (``streaming.join_view.JoinView``)
+    join_views: list = field(default_factory=list)
     options: dict = field(default_factory=dict)
 
     def validate(self) -> None:
@@ -141,6 +145,35 @@ class PipelineSpec:
                     raise ValueError(
                         f"{self.name}.{t.name}: agg view column {c!r} not in schema"
                     )
+        by_name = {t.name: t for t in self.tables}
+        for jv in self.join_views:
+            if jv.fact == jv.dim:
+                raise ValueError(
+                    f"{self.name}: join view fact and dim must differ"
+                )
+            if jv.fact not in by_name or jv.dim not in by_name:
+                raise ValueError(
+                    f"{self.name}: join view references unknown table "
+                    f"({jv.fact!r}, {jv.dim!r})"
+                )
+            dim = by_name[jv.dim]
+            if len(dim.key_cols) != 1:
+                raise ValueError(
+                    f"{self.name}: join view dim {jv.dim!r} must have a "
+                    f"single key column, got {dim.key_cols}"
+                )
+            if jv.join_col not in by_name[jv.fact].row_schema.fieldNames():
+                raise ValueError(
+                    f"{self.name}: join col {jv.join_col!r} not in {jv.fact!r}"
+                )
+            missing = [
+                c for c in jv.dim_cols
+                if c not in dim.row_schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"{self.name}: join view dim cols {missing} not in {jv.dim!r}"
+                )
 
 
 #: raw schema of the change-stream files: one JSON envelope per line with
@@ -209,6 +242,16 @@ class Pipeline:
             for t in spec.tables
             if t.agg_group_cols
         }
+        _by_name = {t.name: t for t in spec.tables}
+        self.join_views: list[JoinView] = [
+            JoinView(
+                self.store,
+                jv,
+                _by_name[jv.fact].key_cols,
+                _by_name[jv.dim].key_cols[0],
+            )
+            for jv in spec.join_views
+        ]
         self.query: StreamingQuery | None = None
 
     # -- batch core (also used directly by tests / backfills) -------------
@@ -326,6 +369,7 @@ class Pipeline:
                         self.store.write(merged, tspec.name)
                     self._apply_view(tspec, delta)
                     self._update_index(tspec, changes)
+                    self._update_join_views(tspec, changes)
                 finally:
                     mine.unpersist()
             # Consistency point: every declared table has now absorbed
@@ -442,6 +486,65 @@ class Pipeline:
             )
         else:
             view.apply(self.spark, delta, applied)
+
+    def _update_join_views(self, tspec: TableSpec, changes: DataFrame) -> None:
+        """Maintain every declared fact⟕dim view this table participates
+        in — O(touched keys) per side, driven by POST-merge state.
+
+        Sync rule: at maintenance time the view's recorded history
+        lengths must match the CURRENT ones except the side just merged
+        (one behind — its write happened inside this batch). Any other
+        shape is a gap (crash between base write and view write, or a
+        view declared over existing tables) and repairs by full rebuild.
+        When one batch touches both sides, each side's pass re-reads the
+        other's post-merge state, so the view converges at the batch
+        boundary regardless of table order."""
+        for jv in self.join_views:
+            is_fact = jv.spec.fact == tspec.name
+            is_dim = jv.spec.dim == tspec.name
+            if not (is_fact or is_dim):
+                continue
+            fact_upto = len(self.store.history(jv.spec.fact))
+            dim_upto = len(self.store.history(jv.spec.dim))
+            expected = {
+                "fact_upto": fact_upto - (1 if is_fact else 0),
+                "dim_upto": dim_upto - (1 if is_dim else 0),
+            }
+            if jv.applied_upto() != expected:
+                jv.rebuild(
+                    self.spark,
+                    self.store.read(self.spark, jv.spec.fact),
+                    self.store.read(self.spark, jv.spec.dim),
+                    fact_upto,
+                    dim_upto,
+                )
+                continue
+            if is_fact:
+                jv.on_fact_batch(
+                    self.spark,
+                    changes.select(*tspec.key_cols).distinct(),
+                    self.store.read(self.spark, jv.spec.fact),
+                    self.store.read(self.spark, jv.spec.dim),
+                    fact_upto,
+                    dim_upto,
+                )
+            else:
+                jv.on_dim_batch(
+                    self.spark,
+                    changes.select(
+                        F.col(tspec.key_cols[0]).alias(jv.spec.join_col)
+                    ).distinct(),
+                    self.store.read(self.spark, jv.spec.dim),
+                    fact_upto,
+                    dim_upto,
+                )
+
+    def read_join_view(self, fact: str, dim: str) -> DataFrame | None:
+        """Query side of a declared fact⟕dim denormalized view."""
+        for jv in self.join_views:
+            if jv.spec.fact == fact and jv.spec.dim == dim:
+                return jv.read(self.spark)
+        return None
 
     def read_agg_view(self, table: str) -> DataFrame | None:
         """Query side of a declared aggregate view (n, sum_*, avg_*)."""
