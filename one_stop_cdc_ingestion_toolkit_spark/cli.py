@@ -353,7 +353,9 @@ def main(argv: list[str] | None = None) -> int:
         if df is None:
             print(f"no such table: {args.table}", file=sys.stderr)
             return 1
-        if not args.raw:
+        if not args.raw and "__deleted" in df.columns:
+            # derived tables (join/agg views, indexes) carry no merge
+            # metadata — show them as-is
             df = snapshot(df)
         df.show(args.n, truncate=False)
         return 0

@@ -64,12 +64,12 @@ def cust_env(op, pos, cust, tier=None, region=None):
     return env("customer", op, pos, cust, before=before, after=after)
 
 
-def _spec(tmp_path):
+def _spec(tmp_path, n_buckets=None):
     return PipelineSpec(
         name="jv",
         source_dir=str(tmp_path / "stream"),
         tables=[
-            TableSpec("orders", ["order_id"], ORDER_SCHEMA),
+            TableSpec("orders", ["order_id"], ORDER_SCHEMA, n_buckets=n_buckets),
             TableSpec("customer", ["cust"], CUST_SCHEMA),
         ],
         sink_dir=str(tmp_path / "lake"),
@@ -114,8 +114,14 @@ def _expect(pipe):
     return _rows(ref)
 
 
-def test_join_view_matches_recompute_per_batch(spark, tmp_path):
-    pipe = Pipeline(spark, _spec(tmp_path))
+import pytest
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_join_view_matches_recompute_per_batch(spark, tmp_path, n_buckets):
+    """Plain and key-bucketed fact store (the 100 TB merge path) must
+    both keep the view equivalent to a full recompute."""
+    pipe = Pipeline(spark, _spec(tmp_path, n_buckets))
     batches = [
         # dim before fact
         [cust_env("r", 1, "ann", "gold", "eu")],
