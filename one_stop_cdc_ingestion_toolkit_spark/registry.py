@@ -14,6 +14,7 @@ from pathlib import Path
 
 from pyspark.sql import types as T
 
+from one_stop_cdc_ingestion_toolkit_spark.streaming.join_view import JoinViewSpec
 from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
     PipelineSpec,
     TableSpec,
@@ -43,6 +44,15 @@ def spec_to_json(spec: PipelineSpec) -> dict:
         "max_files_per_trigger": spec.max_files_per_trigger,
         "database_include": spec.database_include,
         "snapshot_retain": spec.snapshot_retain,
+        "join_views": [
+            {
+                "fact": jv.fact,
+                "dim": jv.dim,
+                "join_col": jv.join_col,
+                "dim_cols": jv.dim_cols,
+            }
+            for jv in spec.join_views
+        ],
         "options": spec.options,
     }
 
@@ -70,6 +80,15 @@ def spec_from_json(doc: dict) -> PipelineSpec:
         max_files_per_trigger=doc.get("max_files_per_trigger"),
         database_include=doc.get("database_include"),
         snapshot_retain=doc.get("snapshot_retain", 0),
+        join_views=[
+            JoinViewSpec(
+                fact=jv["fact"],
+                dim=jv["dim"],
+                join_col=jv["join_col"],
+                dim_cols=jv["dim_cols"],
+            )
+            for jv in doc.get("join_views", [])
+        ],
         options=doc.get("options", {}),
     )
 

@@ -244,3 +244,17 @@ def test_join_view_spec_validation(tmp_path):
     ]
     with pytest.raises(ValueError, match="dim cols"):
         bad.validate()
+
+
+def test_join_view_spec_registry_roundtrip(tmp_path):
+    """A28 discipline: save → reload → validate must preserve join
+    views byte-for-byte."""
+    from one_stop_cdc_ingestion_toolkit_spark.registry import (
+        spec_from_json,
+        spec_to_json,
+    )
+
+    spec = _spec(tmp_path)
+    back = spec_from_json(spec_to_json(spec))
+    back.validate()
+    assert back.join_views == spec.join_views
