@@ -729,6 +729,22 @@ class Pipeline:
             "open_transactions": open_tx,
         }
 
+    def view_status(self) -> dict:
+        """Sync health of every standing view: for each, whether its
+        recorded applied-upto matches the base tables' current pointer
+        history — False means the next batch will repair by rebuild."""
+        out: dict[str, bool] = {}
+        for name, av in self.agg_views.items():
+            out[f"aggview:{name}"] = av.applied_upto() == len(
+                self.store.history(name)
+            )
+        for jv in self.join_views:
+            out[f"joinview:{jv.spec.fact}⟕{jv.spec.dim}"] = jv.in_sync(
+                len(self.store.history(jv.spec.fact)),
+                len(self.store.history(jv.spec.dim)),
+            )
+        return out
+
     def stop(self) -> None:
         if self.query is not None and self.query.isActive:
             self.query.stop()

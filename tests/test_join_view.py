@@ -258,3 +258,23 @@ def test_join_view_spec_registry_roundtrip(tmp_path):
     back = spec_from_json(spec_to_json(spec))
     back.validate()
     assert back.join_views == spec.join_views
+
+
+def test_view_status_reports_sync(spark, tmp_path):
+    import pathlib
+    import shutil
+
+    spec = _spec(tmp_path)
+    pipe = Pipeline(spark, spec)
+    pipe.apply_batch(
+        _raw(
+            spark,
+            [cust_env("r", 1, "ann", "gold", "eu"), order_env("c", 2, 1, "ann", 10)],
+        )
+    )
+    assert pipe.view_status() == {"joinview:orders⟕customer": True}
+    shutil.rmtree(pathlib.Path(spec.sink_dir) / "orders__joinview_customer")
+    assert pipe.view_status() == {"joinview:orders⟕customer": False}
+    # next batch repairs
+    pipe.apply_batch(_raw(spark, [order_env("c", 3, 2, "ann", 20)]))
+    assert pipe.view_status() == {"joinview:orders⟕customer": True}
