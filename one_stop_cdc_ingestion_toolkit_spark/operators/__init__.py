@@ -127,6 +127,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         relational2,
         retrieval,
+        round4,
         selection,
         similarity,
         text,
