@@ -125,10 +125,12 @@ def decode_blobs(
     )
     out_schema = f"{id_col} long{pt_schema}, width int, height int, n_frames int"
 
-    real = pil_available() if use_real is None else use_real
-    decoder = decode_image if real else fake_decode
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resolve the gate INSIDE the task: the codec must be importable
+        # on the EXECUTOR that decodes, not on the driver that planned
+        # (driver/executor environment drift is routine on clusters)
+        real = pil_available() if use_real is None else use_real
+        decoder = decode_image if real else fake_decode
         for pdf in it:
             meta = [decoder(b) for b in pdf[payload_col]]
             out = {id_col: pdf[id_col].values}

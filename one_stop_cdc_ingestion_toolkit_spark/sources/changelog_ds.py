@@ -253,7 +253,11 @@ class ChangelogBatchWriter(DataSourceWriter):
         # names are compared as strings, so zero-padded "load2-<max+1>"
         # style prefixes keep the total order monotonic per directory.
         existing = [os.path.basename(p) for p in _segments(self.path)]
-        run = f"load2-{_next_seq(existing):012d}"
+        # seq gives monotonic order vs existing segments; the uuid tail
+        # keeps CONCURRENT loads (which race the listing and compute the
+        # same seq) from clobbering each other's os.replace targets —
+        # their relative order is arbitrary, but both survive.
+        run = f"load2-{_next_seq(existing):012d}-{uuid.uuid4().hex[:8]}"
         for i, m in enumerate(messages):
             if m is None or m.rows == 0:
                 _abort_task([m])

@@ -219,8 +219,12 @@ class HttpSchemaRegistryClient(SchemaRegistryClient):
             ids = self._t(
                 "GET", f"{self.base_url}/subjects/{subject}/versions", None
             )
-        except KeyError:  # fake transport's 404; urllib raises HTTPError
+        except KeyError:  # in-memory transport's unknown-subject signal
             return []
+        except OSError as exc:  # urllib raises HTTPError (an OSError)
+            if getattr(exc, "code", None) == 404:
+                return []  # Confluent: 40401 subject not found
+            raise
         out = []
         for v in ids:
             doc = self._t(
@@ -235,7 +239,7 @@ class HttpSchemaRegistryClient(SchemaRegistryClient):
             return len(versions)
         if versions:
             self._check(versions[-1], schema, subject)
-        resp = self._t(
+        self._t(
             "POST",
             f"{self.base_url}/subjects/{subject}/versions",
             {
@@ -243,7 +247,10 @@ class HttpSchemaRegistryClient(SchemaRegistryClient):
                 "schema": json.dumps(schema.jsonValue()),
             },
         )
-        return int(resp.get("version", resp.get("id", len(versions) + 1)))
+        # the real Confluent response carries only the GLOBAL schema id,
+        # not the per-subject version — re-read the subject for the
+        # contract value (one GET; registration is rare)
+        return len(self.versions(subject))
 
     def list_subjects(self) -> list[str]:
         return sorted(self._t("GET", f"{self.base_url}/subjects", None))

@@ -126,6 +126,11 @@ class TxGate:
         if os.path.exists(self.state_path):
             with open(self.state_path) as f:
                 state.update(json.load(f))
+        for field in ("released", "tombstones"):
+            state[field] = {
+                t: (v if isinstance(v, dict) else {"batch": v, "mode": "s"})
+                for t, v in state[field].items()
+            }
         return state
 
     def _save_state(self, state: dict) -> None:
@@ -158,16 +163,11 @@ class TxGate:
         return os.path.join(self.release_root, tx_id)
 
     def _read_staged(self, tx_ids: list[str]) -> DataFrame:
-        out = self.spark.createDataFrame(
-            [], T.StructType(BUFFER_SCHEMA.fields[:2])
-        )
-        for t in tx_ids:
-            out = out.unionByName(
-                self.spark.read.schema(
-                    T.StructType(BUFFER_SCHEMA.fields[:2])
-                ).parquet(self._staged_dir(t))
-            )
-        return out
+        # one multi-path relation, not a per-tx union tree (plan depth
+        # and file-listing rounds stay O(1) in transaction count)
+        return self.spark.read.schema(
+            T.StructType(BUFFER_SCHEMA.fields[:2])
+        ).parquet(*[self._staged_dir(t) for t in tx_ids])
 
     # -- the gate ---------------------------------------------------------
 
@@ -183,22 +183,43 @@ class TxGate:
         epoch — the replay detector; direct (non-streaming) callers get
         a monotonic internal sequence instead."""
         state = self._load_state()
+        mode = "s" if batch_id is not None else "d"
         eb = state["seq"] + 1 if batch_id is None else batch_id
         state["seq"] = max(state["seq"], eb)
 
         # 0. GC: a released transaction whose batch is OLDER than this
-        # one is durably applied (foreachBatch ordering) — drop its
-        # staged rows, keep a tombstone for stragglers.
-        gced = [t for t, rb in state["released"].items() if rb < eb]
+        # one IN THE SAME MODE is durably applied (foreachBatch only
+        # starts batch N+1 after N committed; direct calls likewise
+        # complete their merge before returning). A DIRECT call must
+        # never GC a STREAMING release — its seq says nothing about the
+        # stream's checkpoint progress (a backfill run during the
+        # stream's crash window would otherwise delete staged rows the
+        # replay still needs) — hence the mode scoping.
+        gced = [
+            t
+            for t, rb in state["released"].items()
+            if rb["mode"] == mode and rb["batch"] < eb
+        ]
         for t in gced:
             shutil.rmtree(self._staged_dir(t), ignore_errors=True)
             state["tombstones"][t] = state["released"].pop(t)
         if len(state["tombstones"]) > TOMBSTONE_KEEP:
             for t, _ in sorted(
-                state["tombstones"].items(), key=lambda kv: kv[1]
+                state["tombstones"].items(), key=lambda kv: kv[1]["batch"]
             )[: len(state["tombstones"]) - TOMBSTONE_KEEP]:
                 del state["tombstones"][t]
         closed = set(state["released"]) | set(state["tombstones"])
+        if gced:
+            # a crash between a release's state save and its buffer
+            # rewrite leaves the released rows in the buffer; the
+            # tombstone transition is the deterministic moment to purge
+            # them (once per tx — later rewrites never revisit them)
+            buf0 = self._read_buffer()
+            stale = buf0.filter(F.col("tx_id").isin(sorted(closed)))
+            if not stale.isEmpty():
+                self._rewrite_buffer(
+                    buf0.filter(~F.col("tx_id").isin(sorted(closed)))
+                )
 
         val = F.col("value").cast("string")
         tx_id = F.get_json_object(val, "$.transaction.id")
@@ -274,7 +295,7 @@ class TxGate:
                         buf.filter(F.col("tx_id") == t).select(
                             "key", "value"
                         ).write.mode("overwrite").parquet(self._staged_dir(t))
-                        state["released"][t] = eb
+                        state["released"][t] = {"batch": eb, "mode": mode}
                         del state["ended"][t]
                     self._save_state(state)
                     self._rewrite_buffer(
@@ -283,8 +304,13 @@ class TxGate:
 
             # 4. emit staged rows for every tx released IN THIS batch —
             # covers fresh releases and the replay-after-crash case
-            # (released[tx] == eb survives until a later batch GCs it)
-            emit = [t for t, rb in state["released"].items() if rb == eb]
+            # (the released marker survives until a later same-mode
+            # batch GCs it)
+            emit = [
+                t
+                for t, rb in state["released"].items()
+                if rb["mode"] == mode and rb["batch"] == eb
+            ]
             self._save_state(state)
             if emit:
                 return passthrough.unionByName(self._read_staged(emit))

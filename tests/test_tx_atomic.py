@@ -247,3 +247,33 @@ def test_buffer_swap_crash_recovery(spark, tmp_path):
     gate2 = TxGate(spark, base)
     assert gate2.pending() == {"tx-3": 1}, "buffered rows must survive"
     assert not os.path.exists(os.path.join(base, "_txbuf-gone"))
+
+
+def test_direct_call_does_not_gc_streaming_release(spark, tmp_path):
+    """Code-review r4: a DIRECT (batch_id=None) call's internal sequence
+    says nothing about the stream's checkpoint progress, so it must not
+    garbage-collect a streaming batch's staged release — the stream may
+    still replay that batch after a crash."""
+    import os
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.tx_gate import TxGate
+
+    gate = TxGate(spark, str(tmp_path / "g"))
+    b = _raw(
+        spark,
+        [
+            tx_envelope("c", 1, "tx-9", after=person("ann", "a", 1)),
+            boundary("tx-9", event_count=1),
+        ],
+    )
+    assert gate.filter_batch(b, batch_id=5).count() == 1  # stream releases
+    staged = str(tmp_path / "g" / "_txrelease" / "tx-9")
+    assert os.path.exists(staged)
+    # a direct backfill call runs during the stream's crash window
+    gate.filter_batch(_raw(spark, []), batch_id=None)
+    assert os.path.exists(staged), "direct call must not GC stream release"
+    # stream replays its batch: the staged rows are still re-emittable
+    assert gate.filter_batch(b, batch_id=5).distinct().count() == 1
+    # and a LATER stream batch does GC it
+    gate.filter_batch(_raw(spark, []), batch_id=6)
+    assert not os.path.exists(staged)
