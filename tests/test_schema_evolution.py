@@ -225,3 +225,81 @@ def test_http_registry_client_drop_in():
     # unknown subject reads as empty, like the local store
     assert client.versions("nope") == []
     assert client.latest("nope") is None
+
+
+def test_http_registry_client_over_real_socket():
+    """End-to-end over a real TCP socket: an in-process http.server speaks
+    the Confluent subjects/versions protocol and the client uses the
+    DEFAULT stdlib urllib transport — proving the production wire path
+    (request method/headers/body, JSON round-trip, and the HTTPError-404
+    unknown-subject branch) with no transport double involved."""
+    import http.server
+    import json as _json
+    import threading
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        HttpSchemaRegistryClient,
+    )
+
+    subjects: dict[str, list[str]] = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _send(self, code, payload):
+            body = _json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type",
+                             "application/vnd.schemaregistry.v1+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            parts = self.path.strip("/").split("/")
+            if parts == ["subjects"]:
+                return self._send(200, sorted(subjects))
+            if len(parts) == 3 and parts[2] == "versions":
+                if parts[1] not in subjects:
+                    return self._send(
+                        404, {"error_code": 40401,
+                              "message": "Subject not found"})
+                return self._send(
+                    200, list(range(1, len(subjects[parts[1]]) + 1)))
+            if len(parts) == 4 and parts[2] == "versions":
+                return self._send(
+                    200, {"schema": subjects[parts[1]][int(parts[3]) - 1]})
+            return self._send(404, {"error_code": 404, "message": "?"})
+
+        def do_POST(self):
+            parts = self.path.strip("/").split("/")
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            assert self.headers["Content-Type"] == (
+                "application/vnd.schemaregistry.v1+json")
+            vs = subjects.setdefault(parts[1], [])
+            vs.append(body["schema"])
+            return self._send(200, {"id": len(vs)})
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        client = HttpSchemaRegistryClient(
+            f"http://127.0.0.1:{srv.server_address[1]}")
+        v1 = T.StructType([T.StructField("a", T.LongType(), False)])
+        v2 = T.StructType(v1.fields + [T.StructField("b", T.StringType(), True)])
+        assert client.versions("ghost") == []          # real HTTPError 404
+        assert client.register("t-value", v1) == 1
+        assert client.register("t-value", v1) == 1     # idempotent
+        assert client.register("t-value", v2) == 2
+        assert client.versions("t-value") == [v1, v2]
+        assert client.list_subjects() == ["t-value"]
+        with pytest.raises(IncompatibleSchemaError):
+            client.register(
+                "t-value",
+                T.StructType([T.StructField("z", T.LongType(), False)]))
+    finally:
+        srv.shutdown()
+        srv.server_close()
