@@ -281,10 +281,58 @@ def simhash(text: Column, bits: int = 32, hex_offset: int = 0) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def simhash_fps(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    offsets: tuple[int, ...] = (0,),
+    bits: int = 32,
+) -> DataFrame:
+    """(id, fp0[, fp1…]): one 32-bit SimHash per md5-hex window offset,
+    computed as explode-distinct-words → 32 conditional-SUM votes →
+    fingerprint reassembly in the aggregate's result expression.
+
+    This is the fast twin of :func:`simhash` (same numbers, different
+    plan): the Column form folds a 32-lambda ``zip_with`` per WORD —
+    interpreted expression eval — while this shape is one codegen'd
+    explode + a map-side-combinable groupBy whose shuffle rows are
+    (id, 2×32 ints), never text. Votes are integer sums (+1/-1), so the
+    result is order-independent — bit-identical to the fold under any
+    partitioning. All requested offsets share a single md5() call per
+    word. The per-word hash and vote rule mirror the b45/a001 oracle
+    CTEs verbatim."""
+    w = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+        ).alias("__w"),
+    ).withColumn("__md5", F.md5("__w"))
+    for oi, off in enumerate(offsets):
+        w = w.withColumn(
+            f"__h{oi}",
+            F.conv(F.substring("__md5", 1 + off, 8), 16, 10).cast("long"),
+        )
+    aggs = []
+    for oi in range(len(offsets)):
+        h = F.col(f"__h{oi}")
+        fp = None
+        for i in range(bits):
+            vote = F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            )
+            term = F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            fp = term if fp is None else fp + term
+        aggs.append(fp.alias(f"fp{oi}"))
+    return w.groupBy(F.col("__id").alias(id_col)).agg(*aggs)
+
+
 def simhash_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group docs by exact SimHash fingerprint (cheap near-dup bucketing)."""
     return (
-        df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("fp"))
+        simhash_fps(df, id_col, text_col)
+        .select(F.col(id_col).alias("id"), F.col("fp0").alias("fp"))
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("keeper"))
     )

@@ -465,16 +465,22 @@ def a010_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = d.filter(F.size(words) >= SEG_WORDS).select(
         "doc_id", "source", F.explode(digs).alias("dig")
     )
-    df = segs.groupBy("dig").agg(F.count(F.lit(1)).alias("c"))
-    dup = F.when(F.col("c") > 1, 1).otherwise(0)
+    # Pre-aggregate to (source, dig) occurrence counts FIRST: the
+    # segment stream is evaluated once and collapses map-side; the
+    # corpus-wide frequency then derives from this compact frame (a
+    # re-agg, not a second explode), and the join back is digest-table
+    # sized instead of occurrence-stream sized.
+    per_sd = segs.groupBy("source", "dig").agg(F.count(F.lit(1)).alias("m"))
+    per_d = per_sd.groupBy("dig").agg(F.sum("m").alias("c"))
+    dup_m = F.when(F.col("c") > 1, F.col("m")).otherwise(F.lit(0))
     return (
-        segs.join(df, "dig")
+        per_sd.join(per_d, "dig")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_seg"),
-            F.sum(dup).cast("long").alias("n_dup"),
+            F.sum("m").cast("long").alias("n_seg"),
+            F.sum(dup_m).cast("long").alias("n_dup"),
             F.round(
-                F.sum(dup).cast("double") / F.count(F.lit(1)), 4
+                F.sum(dup_m).cast("double") / F.sum("m"), 4
             ).alias("dup_mass"),
         )
         .orderBy("source")

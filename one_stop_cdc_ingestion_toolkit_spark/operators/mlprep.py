@@ -52,11 +52,14 @@ w AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\s+') AS ws
 bx AS (SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i
        FROM w),
 bg AS (SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2 FROM bx),
-cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bg GROUP BY 1, 2),
-cu AS (SELECT w1, COUNT(*) AS nu FROM bg GROUP BY 1),
+g AS (SELECT doc_id, lang, w1, w2, COUNT(*) AS m FROM bg GROUP BY 1, 2, 3, 4),
+cb AS (SELECT w1, w2, SUM(m) AS nb FROM g GROUP BY 1, 2),
+cu AS (SELECT w1, SUM(nb) AS nu FROM cb GROUP BY 1),
 doc AS (SELECT doc_id, any_value(lang) AS lang,
-               AVG(LN(CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE))) AS lp
-        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) GROUP BY doc_id)
+               SUM(CAST(m AS DOUBLE)
+                   * LN(CAST(nb AS DOUBLE) / CAST(nu AS DOUBLE)))
+               / SUM(CAST(m AS DOUBLE)) AS lp
+        FROM g JOIN cb USING (w1, w2) JOIN cu USING (w1) GROUP BY doc_id)
 """
 
 
@@ -65,10 +68,14 @@ def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
     bigram model — a perplexity proxy that needs no external LM (the
     CCNet trick, computed in-corpus).
 
-    One explode (linear in token count), two partial-aggregated counts,
-    two equi-joins on short word keys. Docs with <2 words have no
-    bigrams and drop out — mirrored by the oracle's generate_series
-    upper bound.
+    ONE explode (linear in token count), immediately collapsed to the
+    per-doc bigram MULTISET (doc_id, w1, w2, m) — map-side combinable.
+    The corpus bigram table derives from that compact frame by re-agg
+    (SUM of m), and the unigram table from the bigram table, so the
+    exploded occurrence stream is never evaluated or joined a second
+    time. Per-doc lp is the m-weighted mean, arithmetic mirrored
+    verbatim in the oracle CTE. Docs with <2 words have no bigrams and
+    drop out — mirrored by the oracle's generate_series upper bound.
     """
     d = docs.select(
         "doc_id",
@@ -85,16 +92,26 @@ def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
-    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("nu"))
+    g = bg.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    cb = g.groupBy("w1", "w2").agg(F.sum("m").alias("nb"))
+    cu = cb.groupBy("w1").agg(F.sum("nb").alias("nu"))
+    md = F.col("m").cast("double")
     return (
-        bg.join(cb, ["w1", "w2"])
+        g.join(cb, ["w1", "w2"])
         .join(cu, ["w1"])
         .groupBy("doc_id")
         .agg(
             F.first("lang").alias("lang"),
-            F.avg(
-                F.log(F.col("nb").cast("double") / F.col("nu").cast("double"))
+            (
+                F.sum(
+                    md
+                    * F.log(
+                        F.col("nb").cast("double") / F.col("nu").cast("double")
+                    )
+                )
+                / F.sum(md)
             ).alias("lp"),
         )
     )

@@ -193,10 +193,14 @@ def simhash_hamming_pairs(
     (65,536 buckets per band): bucket count grows with corpus size, so
     in-bucket self-join cost tracks real collision mass instead of the
     fixed 1,024-bucket ceiling the old 32-bit/byte-band shape had."""
-    fp = d.select(
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import simhash_fps
+
+    # both 32-bit halves in ONE explode+agg pass (shared md5 per word);
+    # see simhash_fps for why this beats the per-word lambda fold.
+    fp = simhash_fps(d, id_col, text_col, offsets=(0, 8)).select(
         F.col(id_col).alias("doc_id"),
-        simhash(F.col(text_col)).alias("fp_lo"),
-        simhash(F.col(text_col), hex_offset=8).alias("fp_hi"),
+        F.col("fp0").alias("fp_lo"),
+        F.col("fp1").alias("fp_hi"),
     )
     # the fingerprint costs an explode-words + md5 + 2×32 bit-votes
     # pass over the corpus — persist it so the banded self-join reads it

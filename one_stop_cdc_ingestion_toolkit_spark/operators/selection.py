@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
     minhash_lsh_pairs,
     word_shingles,
@@ -129,28 +129,33 @@ def a140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exactly-representable products, so both engines emit
     bit-identical lambdas.""".format(en=DSIR_TARGET_LANG, B=DSIR_BUCKETS)
     d = tables(spark, sf_dir)["documents"]
-    wn = _word_rows(d, "doc_id", "source", "lang").withColumn(
-        "b", _bucket(F.col("word"), DSIR_BUCKETS)
+    # cached: the exploded word stream feeds the bucket model AND the
+    # per-doc scoring join — one explode instead of two. (At full scale,
+    # recomputing the projection+explode is cheaper than caching a corpus;
+    # there, drop the cache and let the scan run twice.)
+    wn = track_cache(
+        _word_rows(d, "doc_id", "source", "lang").withColumn(
+            "b", _bucket(F.col("word"), DSIR_BUCKETS)
+        )
     )
-    raw = wn.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tg = (
-        wn.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    tot = wn.agg(
-        F.count(F.lit(1)).alias("rt"),
+    # ONE pass over the word stream derives raw AND target bucket counts
+    # (conditional agg); the corpus totals come from the B-row frame, not
+    # another corpus scan. Previous shape aggregated wn three times.
+    counts = wn.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
         F.sum(
             F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("tt"),
+        ).alias("t"),
+    )
+    tot = counts.agg(
+        F.sum("r").alias("rt"), F.sum("t").alias("tt")
     )
     lam = (
-        raw.join(tg, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.log(
-                ((F.coalesce(F.col("t"), F.lit(0)) + 1).cast("double")
+                ((F.col("t") + 1).cast("double")
                  * (F.col("rt") + DSIR_BUCKETS).cast("double"))
                 / ((F.col("r") + 1).cast("double")
                    * (F.col("tt") + DSIR_BUCKETS).cast("double"))

@@ -461,18 +461,26 @@ def a138_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = tables(spark, sf_dir)["documents"]
     pairs = band_pairs(minhash_band_rows(d, "doc_id", "text"))
-    sh = d.select(
-        F.col("doc_id"),
-        F.posexplode(word_shingles(F.col("text"))).alias("pos0", "gram"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    # cached: the positioned shingle stream feeds BOTH sides of the gram
+    # join — one explode instead of two.
+    sh = track_cache(
+        d.select(
+            F.col("doc_id"),
+            F.posexplode(word_shingles(F.col("text"))).alias("pos0", "gram"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
     ga = sh.select(
         F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "gram"
     )
     gb = sh.select(
         F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "gram"
     )
+    # candidate pairs are LSH-bounded (orders of magnitude below the
+    # corpus) → broadcast, so the first gram join is map-side and the
+    # only data-sized shuffle is the (id_b, gram) equi-join. Drop the
+    # hint if a pathological corpus ever overflows the broadcast limit.
     m = (
-        pairs.join(ga, "id_a")
+        ga.join(F.broadcast(pairs), "id_a")
         .join(gb, ["id_b", "gram"])
         .select("id_a", "id_b", "pa", "pb", (F.col("pb") - F.col("pa")).alias("off"))
     )
