@@ -1,4 +1,4 @@
-"""Round-4 extension batch (`g184`–`g186`): leakage-safe temporal
+"""Round-4 extension batch (`a040`–`a042` (né g184–g186)): leakage-safe temporal
 holdout, per-source quantile-normalized quality, and embedding
 distribution-drift audit.
 
@@ -9,14 +9,14 @@ later round's window per PARITY.md "Driver-window rotation".
 
 Scale shapes:
 
-- g184 derives its split boundaries from the global [min, max] event
+- a040 derives its split boundaries from the global [min, max] event
   time with exact integer arithmetic (no floats), broadcast back as one
   row; assignment is a map-side codegen CASE and the report is one
   partial-agg shuffle.
-- g185's normalization is percent_rank PARTITIONED by source — the
+- a041's normalization is percent_rank PARTITIONED by source — the
   window sorts each source's documents independently (never a global
   single-partition sort), and the decile report is one small agg.
-- g186 is a posexplode + (dim, half) partial agg: the shuffle carries
+- a042 is a posexplode + (dim, half) partial agg: the shuffle carries
   EMB_DIM × 2 accumulator rows regardless of corpus size.
 """
 
@@ -31,7 +31,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import register
 from one_stop_cdc_ingestion_toolkit_spark.operators.text import quality_score
 from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import _DUCK_QUALITY
 
-#: g184 temporal-holdout fractions: train < 80% of the observed time
+#: a040 temporal-holdout fractions: train < 80% of the observed time
 #: range, a 10% quarantine gap, test ≥ 90% — the gap absorbs sessions /
 #: documents straddling the boundary so near-boundary leakage cannot
 #: put the same interaction on both sides.
@@ -40,7 +40,7 @@ TEST_FRAC_TENTHS = 9
 
 
 @register(
-    "g184_temporal_split",
+    "a040_temporal_split",
     f"""WITH b AS (
          SELECT epoch_us(MIN(ts)) AS tmin, epoch_us(MAX(ts)) AS tmax
          FROM events),
@@ -61,7 +61,7 @@ TEST_FRAC_TENTHS = 9
               CAST(MAX(us) AS BIGINT) AS max_us
        FROM tagged GROUP BY split ORDER BY split""",
 )
-def g184_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a040_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe temporal holdout over the event stream: train on the
     first 80% of observed time, quarantine the next 10% (the gap bounds
     boundary leakage from sessions straddling the cut), test on the
@@ -97,7 +97,7 @@ def g184_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "g185_quantile_norm_quality",
+    "a041_quantile_norm_quality",
     f"""WITH q AS (
          SELECT source, {_DUCK_QUALITY} AS quality FROM documents),
        pr AS (
@@ -111,7 +111,7 @@ def g184_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
               ROUND(AVG(quality), 4) AS avg_raw_quality
        FROM pr GROUP BY source, decile ORDER BY source, decile""",
 )
-def g185_quantile_norm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a041_quantile_norm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quantile normalization of the quality score: a doc's
     normalized score is its percent_rank WITHIN its source, so "top 10%
     of source X" is comparable to "top 10% of source Y" even when the
@@ -137,7 +137,7 @@ def g185_quantile_norm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "g186_embedding_drift",
+    "a042_embedding_drift",
     """WITH x AS (
          SELECT vec_id % 2 AS half, i.pos,
                 CAST(embedding[i.pos + 1] AS DOUBLE) AS v
@@ -154,7 +154,7 @@ def g185_quantile_norm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
               ROUND(ABS(mean_even - mean_odd), 6) AS drift
        FROM m ORDER BY dim""",
 )
-def g186_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a042_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension embedding drift between the two id-parity halves of
     the corpus — the cheap canary for 'did my embedding distribution
     shift between ingestion waves' (run it between any two real slices
