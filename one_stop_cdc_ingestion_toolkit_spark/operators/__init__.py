@@ -128,6 +128,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational2,
         retrieval,
         round4,
+        round4b,
         selection,
         similarity,
         text,
