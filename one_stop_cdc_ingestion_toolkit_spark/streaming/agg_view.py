@@ -156,8 +156,20 @@ class AggView:
 def eager(df: DataFrame) -> DataFrame:
     """Materialize a (small) DataFrame now, cutting lineage — deltas must
     be computed BEFORE the base-table write prunes the prior generation's
-    files (TableStore retain=0), then folded in after it."""
+    files (TableStore retain=0), then folded in after it. Pair with
+    :func:`release_eager` once the delta is consumed."""
     return df.localCheckpoint(eager=True)
+
+
+def release_eager(df: DataFrame) -> None:
+    """Free an :func:`eager` delta's backing RDD once it is folded into
+    the view. localCheckpoint storage is otherwise reclaimed only when a
+    Python GC drops the last reference AND the JVM ContextCleaner runs —
+    nondeterministic, so a long-lived pipeline would accumulate one
+    checkpoint block-set per batch in the meantime. After this the
+    DataFrame is not recomputable — only call on consumed deltas."""
+    plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+    plan.rdd().unpersist(False)
 
 
 def recompute_reference(

@@ -43,7 +43,11 @@ from one_stop_cdc_ingestion_toolkit_spark.sources.debezium import (
 from one_stop_cdc_ingestion_toolkit_spark.sources.schema_events import (
     apply_schema_changes,
 )
-from one_stop_cdc_ingestion_toolkit_spark.streaming.agg_view import AggView, eager
+from one_stop_cdc_ingestion_toolkit_spark.streaming.agg_view import (
+    AggView,
+    eager,
+    release_eager,
+)
 from one_stop_cdc_ingestion_toolkit_spark.streaming.join_view import JoinView
 from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import DedupIndex
 from one_stop_cdc_ingestion_toolkit_spark.streaming.search_index import SearchIndex
@@ -486,6 +490,10 @@ class Pipeline:
             )
         else:
             view.apply(self.spark, delta, applied)
+            # the eager delta is consumed — free its checkpoint blocks now
+            # instead of waiting on Python GC + ContextCleaner (a pipeline
+            # would otherwise hold one dead block-set per batch in flight)
+            release_eager(delta)
 
     def _update_join_views(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Maintain every declared fact⟕dim view this table participates

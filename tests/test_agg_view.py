@@ -12,6 +12,7 @@ import pytest
 
 from one_stop_cdc_ingestion_toolkit_spark.streaming.agg_view import (
     recompute_reference,
+    release_eager,
     views_equal,
 )
 from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
@@ -148,6 +149,7 @@ def test_rebuild_on_gap(spark, tmp_path):
     # without the view hearing about it (re-write current state directly)
     state = pipe.store.read(spark, "person").localCheckpoint(eager=True)
     pipe.store.write(state, "person")
+    release_eager(state)  # consumed by the write; don't leak its blocks
     assert pipe.agg_views["person"].applied_upto() != len(
         pipe.store.history("person")
     )
