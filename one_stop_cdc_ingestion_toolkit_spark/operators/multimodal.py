@@ -1,9 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the decode step is STUBBED
-(``decode_image`` raises ``NotImplementedError``; ``fake_decode`` is the
-deterministic test double). What IS real and tested end-to-end:
+Decode is real for PNG everywhere (``functions/png_codec.py`` — stdlib
+zlib, no third-party codec needed) and for other formats wherever
+Pillow is installed; payloads outside both raise
+``NotImplementedError`` and ``fake_decode`` remains the deterministic
+test double for codec-free plumbing tests. What IS real and tested
+end-to-end:
 
 - the schema convention (``payload binary`` + ``media_type`` + metadata),
 - the Arrow batch path: ``mapInPandas`` over binary columns, preserving
@@ -39,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.functions import png_codec
 from one_stop_cdc_ingestion_toolkit_spark.operators import register
 
 #: Arrow batch bound for blob processing (rows per batch handed to pandas).
@@ -56,15 +60,22 @@ def pil_available() -> bool:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode via Pillow when available (feature-gated —
-    VERDICT r3 #8): width/height from the decoded header, n_frames for
-    animated formats. Raises ``NotImplementedError`` when no codec
-    library is installed; callers that need determinism without codecs
-    use :func:`fake_decode` (identical output shape and Arrow path)."""
+    """Real image decode: PNG via the dependency-free stdlib codec
+    (``functions/png_codec.py`` — always available), anything else via
+    Pillow when installed (feature-gated — VERDICT r3 #8). Width/height
+    come from the decoded raster, n_frames from animated formats (PNG
+    path is single-frame). Raises ``NotImplementedError`` for formats
+    with no importable codec; callers that need determinism without any
+    codec use :func:`fake_decode` (identical output shape and Arrow
+    path). A *corrupt* PNG raises ``ValueError`` — decode errors must
+    surface, not silently degrade to fake metadata."""
+    if png_codec.is_png(bytes(payload)):
+        img = png_codec.decode_png(payload)
+        return {"width": img.width, "height": img.height, "n_frames": 1}
     if not pil_available():
         raise NotImplementedError(
-            "image decode requires an image codec library (e.g. PIL); "
-            "use fake_decode for deterministic tests"
+            "non-PNG image decode requires an image codec library (e.g. "
+            "PIL); use fake_decode for deterministic tests"
         )
     import io
 
@@ -76,6 +87,11 @@ def decode_image(payload: bytes) -> dict:
             "height": im.height,
             "n_frames": int(getattr(im, "n_frames", 1)),
         }
+
+
+def decodable(payload: bytes) -> bool:
+    """True when :func:`decode_image` has a real codec for this payload."""
+    return png_codec.is_png(bytes(payload)) or pil_available()
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -114,10 +130,12 @@ def decode_blobs(
 
     The decode trio is the only work done in Python; ``passthrough``
     columns are copied into the output batch without per-row Python
-    compute. The decoder is feature-gated: Pillow when importable on the
-    executors, else the deterministic :func:`fake_decode` double —
-    ``use_real`` forces either path (tests pin it so results never
-    depend on the environment).
+    compute. Decoder selection: ``use_real=True`` decodes every payload
+    for real (PNG via the stdlib codec, other formats via Pillow —
+    raises on payloads with no codec), ``use_real=False`` is the
+    deterministic :func:`fake_decode` double, and ``None`` (auto)
+    decides per payload — real where a codec exists, fake elsewhere.
+    Tests pin ``use_real`` so results never depend on the environment.
     """
     pt_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
@@ -126,11 +144,18 @@ def decode_blobs(
     out_schema = f"{id_col} long{pt_schema}, width int, height int, n_frames int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # resolve the gate INSIDE the task: the codec must be importable
-        # on the EXECUTOR that decodes, not on the driver that planned
-        # (driver/executor environment drift is routine on clusters)
-        real = pil_available() if use_real is None else use_real
-        decoder = decode_image if real else fake_decode
+        # resolve the gate INSIDE the task, per payload: the codec must
+        # be importable on the EXECUTOR that decodes, not on the driver
+        # that planned (driver/executor environment drift is routine on
+        # clusters)
+        if use_real is True:
+            decoder = decode_image
+        elif use_real is False:
+            decoder = fake_decode
+        else:
+            decoder = lambda b: (  # noqa: E731
+                decode_image(b) if decodable(b) else fake_decode(b)
+            )
         for pdf in it:
             meta = [decoder(b) for b in pdf[payload_col]]
             out = {id_col: pdf[id_col].values}
@@ -191,14 +216,15 @@ def resize_images(
     target_w: int,
     target_h: int,
 ) -> DataFrame:
-    """Resize plumbing: (id, width, height, payload) → target dims.
+    """Resize: (id, width, height, payload) → target dims.
 
-    The pixel work sits behind the stubbed decoder (a real codec would
-    decode → resample → re-encode inside the same Arrow batch); what is
-    real: the batch contract (binary in, binary out, bounded batch rows),
-    aspect-ratio bookkeeping, and that output payload bytes are a
-    deterministic function of (input payload, target dims) — so a retry
-    or a re-run produces identical shards downstream.
+    PNG payloads are resized for REAL — decode → nearest-neighbor
+    resample → re-encode, all inside the same Arrow batch via the
+    stdlib codec (integer-exact source indexing + fixed encode
+    parameters, so output bytes are a pure function of input bytes and
+    target dims: a retried task produces bit-identical shards). Payloads
+    with no codec keep the deterministic tag+digest stand-in, preserving
+    the same batch contract (binary in, binary out, bounded batch rows).
     """
     out_schema = (
         f"{id_col} long, width int, height int, payload binary"
@@ -208,9 +234,20 @@ def resize_images(
         for pdf in it:
             payloads = []
             for b in pdf[payload_col]:
-                # stub resample: tag + digest keeps bytes deterministic
-                tag = f"resized:{target_w}x{target_h}:".encode()
-                payloads.append(tag + hashlib.md5(bytes(b)).digest())
+                raw = bytes(b)
+                if png_codec.is_png(raw):
+                    small = png_codec.resize_nearest(
+                        png_codec.decode_png(raw), target_w, target_h
+                    )
+                    payloads.append(
+                        png_codec.encode_png(
+                            small.pixels, small.width, small.height, small.channels
+                        )
+                    )
+                else:
+                    # no codec: tag + digest keeps bytes deterministic
+                    tag = f"resized:{target_w}x{target_h}:".encode()
+                    payloads.append(tag + hashlib.md5(raw).digest())
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
