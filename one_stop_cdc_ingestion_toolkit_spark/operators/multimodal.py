@@ -40,6 +40,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.functions import png_codec, wav_codec
@@ -335,3 +336,149 @@ def b52_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return blob_metadata(blobs, "doc_id", "payload").orderBy("doc_id")
+
+
+#: a049: samples per event type (4 × 16-sample windows — small enough
+#: that every type fills it even at sf0.001) and window width in frames.
+AUDIO_N = 64
+AUDIO_WIN = 16
+
+
+@register(
+    "a049_audio_rms",
+    f"""WITH ranked AS (
+         SELECT event_type,
+                CAST(ROUND(value * 10) AS BIGINT) AS s,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY event_id) AS rn
+         FROM events),
+       win AS (
+         SELECT event_type,
+                CAST((rn - 1) // {AUDIO_WIN} AS INT) AS window_idx, s
+         FROM ranked WHERE rn <= {AUDIO_N})
+       SELECT event_type, window_idx,
+              CAST(window_idx * {AUDIO_WIN} AS BIGINT) AS start_ms,
+              ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms,
+              CAST(MAX(ABS(s)) AS INT) AS peak
+       FROM win GROUP BY event_type, window_idx
+       ORDER BY event_type, window_idx""",
+)
+def a049_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-codec round-trip, oracle-checked: per event type, build a
+    deterministic PCM waveform from the first {AUDIO_N} events' values
+    (sample = round(value·10), 16-bit mono @ 1 kHz), push it through
+    ``encode_wav`` → ``decode_wav`` inside ``applyInPandas``, and report
+    per-{AUDIO_WIN}-ms-window integer mean-square sums. The oracle
+    computes the identical window statistics straight from the values —
+    equality proves the codec reproduces every sample bit-for-bit *in
+    the distributed pipeline*, not just in unit tests.
+
+    Scale shape: the per-type sample cap bounds each group; groups are
+    independent (one key shuffle); the sqrt/round runs JVM-side on the
+    exact integer sums so float rounding matches every other query."""
+    ev = tables(spark, sf_dir)["events"]
+    w = W.partitionBy("event_type").orderBy("event_id")
+    lim = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 10).cast("long").alias("s"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= AUDIO_N)
+    )
+
+    def per_type(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from one_stop_cdc_ingestion_toolkit_spark.functions import wav_codec
+
+        pdf = pdf.sort_values("rn")
+        arr = pdf["s"].to_numpy().astype(np.int64).reshape(-1, 1)
+        audio = wav_codec.decode_wav(wav_codec.encode_wav(arr, 1000))
+        mono = audio.samples[:, 0].astype(np.int64)
+        rows = []
+        for wi, start in enumerate(range(0, len(mono), AUDIO_WIN)):
+            seg = mono[start : start + AUDIO_WIN]
+            rows.append(
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "window_idx": wi,
+                    "sq_sum": int((seg * seg).sum()),
+                    "n": len(seg),
+                    "peak": int(np.abs(seg).max()),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    sums = lim.groupBy("event_type").applyInPandas(
+        per_type,
+        "event_type string, window_idx int, sq_sum long, n long, peak int",
+    )
+    return sums.select(
+        "event_type",
+        "window_idx",
+        (F.col("window_idx").cast("long") * AUDIO_WIN).alias("start_ms"),
+        F.round(F.sqrt(F.col("sq_sum").cast("double") / F.col("n")), 6).alias("rms"),
+        "peak",
+    ).orderBy("event_type", "window_idx")
+
+
+#: a050: PNG raster dims (8×4 RGB = 96 bytes of document text).
+PNG_W, PNG_H, PNG_DOCS = 8, 4, 30
+
+
+@register(
+    "a050_png_roundtrip",
+    f"""WITH firstn AS (
+         SELECT doc_id, substr(text, 1, {PNG_W * PNG_H * 3}) AS t
+         FROM documents WHERE doc_id <= {PNG_DOCS}),
+       b AS (
+         SELECT doc_id, t, unnest(generate_series(1, {PNG_W * PNG_H * 3})) AS i
+         FROM firstn)
+       SELECT doc_id, CAST({PNG_W} AS INT) AS width,
+              CAST({PNG_H} AS INT) AS height,
+              CAST(SUM(CASE WHEN i <= length(t)
+                            THEN ascii(substr(t, i, 1)) ELSE 0 END) AS BIGINT)
+                AS pix_sum
+       FROM b GROUP BY doc_id ORDER BY doc_id""",
+)
+def a050_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-codec round-trip, oracle-checked: each document's first
+    {PNG_W}·{PNG_H}·3 text bytes (zero-padded) become an RGB raster,
+    encoded to PNG and decoded back inside ``mapInPandas``; the emitted
+    (width, height, Σ pixel bytes) must equal the oracle's direct
+    byte-sum over the same characters — proving header and pixel
+    fidelity through zlib compress→inflate in the distributed path.
+    Bounded to {PNG_DOCS} docs; payload bytes never leave the batch."""
+    d = tables(spark, sf_dir)["documents"]
+    src = d.filter(F.col("doc_id") <= PNG_DOCS).select("doc_id", "text")
+    n_bytes = PNG_W * PNG_H * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from one_stop_cdc_ingestion_toolkit_spark.functions import png_codec
+
+        for pdf in it:
+            ids, sums = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                pixels = t.encode("utf-8")[:n_bytes].ljust(n_bytes, b"\0")
+                img = png_codec.decode_png(
+                    png_codec.encode_png(pixels, PNG_W, PNG_H, 3)
+                )
+                assert (img.width, img.height) == (PNG_W, PNG_H)
+                ids.append(i)
+                sums.append(sum(img.pixels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    decoded = src.mapInPandas(batches, "doc_id long, pix_sum long")
+    return decoded.select(
+        "doc_id",
+        F.lit(PNG_W).alias("width"),
+        F.lit(PNG_H).alias("height"),
+        "pix_sum",
+    ).orderBy("doc_id")

@@ -50,11 +50,21 @@ def main() -> None:
     rows = [HEADER, "|---|---|---|---|---|"]
     etot = round(sum(engine.values()), 3)
     otot = round(sum(oracle.get(n, 0.0) for n in engine), 3)
+    # the only queries measuring COMPUTE rather than per-query session
+    # overhead are those where DuckDB itself needs >= 0.3s
+    nt = [(n, engine[n], oracle[n]) for n in engine if oracle.get(n, 0.0) >= 0.3]
+    nte = sum(e for _, e, _ in nt)
+    nto = sum(o for _, _, o in nt)
     rows.append(
         f"| total ({len(engine)} queries) | {etot} | {otot} | "
         f"{etot / otot:.1f}x | local[32] sf{bench['sf']}, AQE off at bench "
         "scale (see bench.py); ~0.5 s/query fixed Spark overhead dominates "
-        "at this tiny scale; run-to-run machine variance is ±25% on totals |"
+        f"at this tiny scale ({len(engine) - len(nt)} of {len(engine)} "
+        "oracles finish under 0.3 s); on the "
+        f"{len(nt)} queries where DuckDB itself needs ≥0.3 s — the only "
+        "ones measuring compute rather than session overhead — the ratio "
+        f"is {nte:.1f} s vs {nto:.1f} s = **{nte / nto:.2f}×**; "
+        "run-to-run machine variance is ±25% on totals |"
     )
     for name in sorted(engine):
         e = engine[name]
