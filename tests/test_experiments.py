@@ -70,6 +70,33 @@ def test_assignment_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_arrow_and_hof_assignment_bit_identical(spark):
+    """The Arrow kernel replays `_l2sq`'s IEEE fold order, so both
+    physical paths must emit EXACTLY the same (cid, dist, dist2) —
+    float equality, no tolerance."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        assign_with_runnerup,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_centroids(emb)
+    cols = ["vec_id", "cid", "dist", "dist2"]
+    arrow = {
+        r["vec_id"]: (r["cid"], r["dist"], r["dist2"])
+        for r in assign_with_runnerup(emb, cents, use_arrow=True)
+        .select(cols)
+        .collect()
+    }
+    hof = {
+        r["vec_id"]: (r["cid"], r["dist"], r["dist2"])
+        for r in assign_with_runnerup(emb, cents, use_arrow=False)
+        .select(cols)
+        .collect()
+    }
+    assert arrow == hof and len(arrow) > 0
+
+
 def test_welch_sign_matches_mean_shift(spark):
     """t must be positive exactly when the type's mean exceeds the
     complement mean (same denominator, same ordering)."""
