@@ -881,7 +881,13 @@ def a015_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the logical plan grows without bound. With it, lineage depth
     is constant and total work is O(k·n·d) plus k/KCENTER_CKPT
     materializations; k itself is bounded by the driver round-trips
-    (one collect per round), so keep KCENTER_K ≲ 10³."""
+    (one collect per round), so keep KCENTER_K ≲ 10³.
+
+    Measured note: unlike `assign_clusters` (one k-centroid evaluation
+    → Arrow kernel wins ~2×), this loop chains ONE-centroid updates, so
+    an Arrow path stacks a Python serialization round-trip per round
+    between checkpoints and came out ~30% SLOWER at sf0.1 — the
+    interpreted HOF fold stays the right physical choice here."""
     emb = tables(spark, sf_dir)["embeddings"]
     base = emb.select("vec_id", F.col("embedding").alias("e"))
     first = base.orderBy("vec_id").limit(1).collect()[0]
