@@ -94,6 +94,8 @@ def decode_png(payload: bytes) -> PngImage:
     idat = bytearray()
     for ctype, data in _iter_chunks(payload):
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("png: malformed IHDR chunk")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -112,9 +114,23 @@ def decode_png(payload: bytes) -> PngImage:
         raise ValueError("png: missing IHDR")
     if width == 0 or height == 0:
         raise ValueError("png: zero-dimension image")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: a crafted tiny-IHDR/huge-IDAT payload must not
+    # balloon in executor memory — cap output at the declared raster
+    # size and reject overflow incrementally; zlib errors surface as
+    # the documented ValueError
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+        if len(raw) > expected:
+            # more output than the declared raster — stop BEFORE letting
+            # flush() inflate the rest (flush is unbounded)
+            raise ValueError("png: inflated size mismatch")
+        raw += d.flush()
+    except zlib.error as exc:
+        raise ValueError(f"png: bad deflate stream ({exc})") from exc
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("png: inflated size mismatch")
 
     out = bytearray(stride * height)

@@ -115,6 +115,10 @@ def encode_wav(
     if sample_rate <= 0:
         raise ValueError("wav: sample rate must be positive")
     n_frames, channels = samples.shape
+    lo, hi = (-128, 127) if bits == 8 else (-32768, 32767)
+    if samples.size and (samples.min() < lo or samples.max() > hi):
+        # astype would wrap modularly — silent corruption, so refuse
+        raise ValueError(f"wav: sample out of {bits}-bit range [{lo}, {hi}]")
     if bits == 16:
         body = samples.astype("<i2").tobytes()
     else:

@@ -144,15 +144,22 @@ def assign_clusters(
 
         @pandas_udf("struct<cid:int,dist:double>")
         def best_udf(vs: pd.Series) -> pd.DataFrame:
-            X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-            acc = _dist_grid(X, cents)
-            cid = acc.argmin(axis=1)  # first min = smallest cid on ties
-            return pd.DataFrame(
-                {
-                    "cid": cid.astype("int32"),
-                    "dist": acc[np.arange(len(cid)), cid],
-                }
-            )
+            # NULL vectors assign to (null, null) — like the HOF path,
+            # a null embedding must not kill the job
+            mask = vs.isna().to_numpy()
+            n = len(vs)
+            cid = pd.array([None] * n, dtype="Int32")
+            dist = pd.array([None] * n, dtype="Float64")
+            if (~mask).any():
+                idx = np.flatnonzero(~mask)
+                X = np.array(
+                    [np.asarray(vs.iloc[i], dtype=np.float64) for i in idx]
+                )
+                acc = _dist_grid(X, cents)
+                c = acc.argmin(axis=1)  # first min = smallest cid on ties
+                cid[idx] = c.astype("int32")
+                dist[idx] = acc[np.arange(len(c)), c]
+            return pd.DataFrame({"cid": cid, "dist": dist})
 
         # materialize the struct ONCE, then project fields — guarantees a
         # single UDF evaluation per row regardless of optimizer collapse
@@ -613,17 +620,23 @@ def assign_with_runnerup(
 
         @pandas_udf("struct<cid:int,dist:double,dist2:double>")
         def top2_udf(vs: pd.Series) -> pd.DataFrame:
-            X = np.array([np.asarray(v, dtype=np.float64) for v in vs])
-            acc = _dist_grid(X, cents)
-            order = acc.argsort(axis=1, kind="stable")
-            rows = np.arange(len(order))
-            return pd.DataFrame(
-                {
-                    "cid": order[:, 0].astype("int32"),
-                    "dist": acc[rows, order[:, 0]],
-                    "dist2": acc[rows, order[:, 1]],
-                }
-            )
+            mask = vs.isna().to_numpy()
+            n = len(vs)
+            cid = pd.array([None] * n, dtype="Int32")
+            dist = pd.array([None] * n, dtype="Float64")
+            dist2 = pd.array([None] * n, dtype="Float64")
+            if (~mask).any():
+                idx = np.flatnonzero(~mask)
+                X = np.array(
+                    [np.asarray(vs.iloc[i], dtype=np.float64) for i in idx]
+                )
+                acc = _dist_grid(X, cents)
+                order = acc.argsort(axis=1, kind="stable")
+                rows = np.arange(len(order))
+                cid[idx] = order[:, 0].astype("int32")
+                dist[idx] = acc[rows, order[:, 0]]
+                dist2[idx] = acc[rows, order[:, 1]]
+            return pd.DataFrame({"cid": cid, "dist": dist, "dist2": dist2})
 
         return (
             emb.withColumn("__t", top2_udf(F.col(vec_col)))

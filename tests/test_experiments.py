@@ -97,6 +97,27 @@ def test_arrow_and_hof_assignment_bit_identical(spark):
     assert arrow == hof and len(arrow) > 0
 
 
+def test_arrow_assignment_tolerates_null_vectors(spark):
+    """A null embedding row must yield a null assignment, not kill the
+    job (parity with the HOF path's null propagation)."""
+    from pyspark.sql import functions as F
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.experiments import (
+        assign_clusters,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, None), (3, [1.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in assign_clusters(emb, [[0.0] * 4, [1.0] * 4]).collect()
+    }
+    assert out[2] == (None, None)
+    assert out[1][0] == 0 and out[3][0] == 1
+
+
 def test_welch_sign_matches_mean_shift(spark):
     """t must be positive exactly when the type's mean exceeds the
     complement mean (same denominator, same ordering)."""

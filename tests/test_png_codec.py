@@ -137,6 +137,42 @@ def test_decode_rejects_bad_inputs():
         decode_png(bad)
 
 
+def test_malformed_ihdr_raises_valueerror():
+    """struct/zlib internals must never leak — the contract is ValueError."""
+    bad_ihdr = PNG_SIGNATURE + _chunk(b"IHDR", b"\x00" * 5) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="malformed IHDR"):
+        decode_png(bad_ihdr)
+    # corrupt deflate stream
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    garbage = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\xff\xfe\xfd not deflate")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(garbage)
+    # no IDAT at all (zlib.decompress(b'') used to raise zlib.error)
+    no_idat = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(no_idat)
+
+
+def test_decompression_bomb_bounded():
+    """A tiny-IHDR / huge-inflating-IDAT payload must be rejected without
+    materializing the full inflated output."""
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1 gray → 2 bytes
+    bomb_raw = b"\x00" * (64 * 1024 * 1024)  # 64 MiB of zeros, ~64 KiB deflated
+    payload = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bomb_raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(payload)
+
+
 def test_resize_nearest_exact():
     img = decode_png(_golden_png())
     up = resize_nearest(img, 4, 4)
@@ -194,6 +230,36 @@ def test_decode_blobs_auto_mixes_real_and_fake(spark):
     assert out[1] == (2, 2, 1)  # real decode
     f = fake_decode(b"GIF89a...no codec for this here")
     assert out[3] == (f["width"], f["height"], f["n_frames"])  # fake fallback
+
+
+def test_auto_mode_surfaces_corrupt_png(spark):
+    """A payload that CLAIMS PNG but is corrupt must fail the decode, not
+    silently fake — auto mode's one non-fallback case."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
+        decode_blobs,
+    )
+
+    rows = [(1, PNG_SIGNATURE + b"\x00\x00\x00\x05IHDRxxxxx")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    with pytest.raises(PythonException, match="malformed IHDR"):
+        decode_blobs(df, "doc_id", "payload", use_real=None).collect()
+
+
+def test_resize_falls_back_on_undecodable_png(spark):
+    """Bulk resize must not die on one out-of-envelope blob — it gets the
+    deterministic tag+digest stand-in instead."""
+    import hashlib
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    corrupt = PNG_SIGNATURE + b"\x00\x00\x00\x05IHDRxxxxx"
+    df = spark.createDataFrame([(7, corrupt)], "doc_id long, payload binary")
+    out = resize_images(df, "doc_id", "payload", 4, 4).collect()
+    assert bytes(out[0].payload) == b"resized:4x4:" + hashlib.md5(corrupt).digest()
 
 
 def test_resize_images_real_png_roundtrip(spark):

@@ -113,6 +113,14 @@ def test_decode_rejects_bad_inputs():
         decode_wav(trunc)
 
 
+def test_encode_rejects_out_of_range_samples():
+    """astype would wrap modularly — must refuse instead of corrupting."""
+    with pytest.raises(ValueError, match="out of 16-bit range"):
+        encode_wav(np.array([[40000]]), 8000)
+    with pytest.raises(ValueError, match="out of 8-bit range"):
+        encode_wav(np.array([[200]]), 8000, bits=8)
+
+
 def test_rms_windows_exact():
     a = decode_wav(_golden_wav())  # 1 kHz → 2 ms windows = 2 frames
     w = rms_windows(a, window_ms=2)

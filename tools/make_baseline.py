@@ -54,7 +54,7 @@ def main() -> None:
     # overhead are those where DuckDB itself needs >= 0.3s
     nt = [(n, engine[n], oracle[n]) for n in engine if oracle.get(n, 0.0) >= 0.3]
     nte = sum(e for _, e, _ in nt)
-    nto = sum(o for _, _, o in nt)
+    nto = sum(o for _, _, o in nt) or float("nan")  # no non-trivial oracles
     rows.append(
         f"| total ({len(engine)} queries) | {etot} | {otot} | "
         f"{etot / otot:.1f}x | local[32] sf{bench['sf']}, AQE off at bench "
