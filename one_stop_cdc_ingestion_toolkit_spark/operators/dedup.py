@@ -21,6 +21,7 @@ handles pathological buckets.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -287,20 +288,91 @@ def simhash_fps(
     text_col: str,
     offsets: tuple[int, ...] = (0,),
     bits: int = 32,
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """(id, fp0[, fp1…]): one 32-bit SimHash per md5-hex window offset,
-    computed as explode-distinct-words → 32 conditional-SUM votes →
-    fingerprint reassembly in the aggregate's result expression.
+    """(id, fp0[, fp1…]): one 32-bit SimHash per md5-hex window offset.
 
-    This is the fast twin of :func:`simhash` (same numbers, different
-    plan): the Column form folds a 32-lambda ``zip_with`` per WORD —
-    interpreted expression eval — while this shape is one codegen'd
-    explode + a map-side-combinable groupBy whose shuffle rows are
-    (id, 2×32 ints), never text. Votes are integer sums (+1/-1), so the
-    result is order-independent — bit-identical to the fold under any
-    partitioning. All requested offsets share a single md5() call per
-    word. The per-word hash and vote rule mirror the b45/a001 oracle
-    CTEs verbatim."""
+    Two equivalent physical paths, bit-identical (votes are integer
+    sums of ±1 per distinct word — order-free — and Python's md5/split
+    reproduce the JVM's exactly; asserted by a cross-path equality
+    test):
+
+    - ``use_arrow=True`` (default): a vectorized-batch pandas_udf. The
+      win is not execution but PLAN WEIGHT — the JVM shape's 2×32
+      conditional-SUM aggregate costs ~1.5-4 s of analysis/codegen per
+      fresh query plan (measured: first evaluation 5.2 s, re-execution
+      of the same DataFrame 0.3 s), which every registered query that
+      embeds SimHash re-pays. The UDF plan is tiny and shuffle-FREE
+      (per-row compute; the JVM shape shuffles (id, 64 ints)). Rows
+      with NULL text are dropped to match the explode path.
+    - ``use_arrow=False``: explode-distinct-words → 32 conditional-SUM
+      votes → fingerprint reassembly; one codegen'd explode + a
+      map-side-combinable groupBy. Kept as cross-check and for
+      Arrow-less deployments.
+
+    All offsets share a single md5 per word; the per-word hash and vote
+    rule mirror the b45/a001 oracle CTEs verbatim."""
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        offs = tuple(offsets)
+        fields = ", ".join(f"fp{i}: bigint" for i in range(len(offs)))
+
+        #: per-worker word→hash memo — corpora repeat vocabulary heavily,
+        #: so md5 cost amortizes to ~|vocab| not Σ words; bounded so an
+        #: adversarial vocabulary can't grow executor memory unboundedly
+        _hash_cache: dict[str, tuple[int, ...]] = {}
+        _CACHE_CAP = 1_000_000
+
+        @pandas_udf(f"struct<{fields}>")
+        def fps_udf(texts: pd.Series) -> pd.DataFrame:
+            import hashlib
+            import re
+
+            import numpy as np
+
+            idx = np.arange(bits)
+            out = {
+                f"fp{i}": np.empty(len(texts), dtype=np.int64)
+                for i in range(len(offs))
+            }
+            for r, t in enumerate(texts):
+                # re.split == F.split (limit=-1): BOTH keep leading and
+                # trailing empty strings; dict preserves first-seen
+                # distinct like array_distinct (order is irrelevant to
+                # the vote sums anyway)
+                words = dict.fromkeys(re.split(r"\s+", t.lower()))
+                hs = np.empty((len(words), len(offs)), dtype=np.int64)
+                for k, w in enumerate(words):
+                    hw = _hash_cache.get(w)
+                    if hw is None:
+                        digest = hashlib.md5(w.encode("utf-8")).hexdigest()
+                        hw = tuple(
+                            int(digest[off : off + 8], 16) for off in offs
+                        )
+                        if len(_hash_cache) < _CACHE_CAP:
+                            _hash_cache[w] = hw
+                    hs[k] = hw
+                n = len(words)
+                for j in range(len(offs)):
+                    # votes = 2·(set-bit count) − n, vectorized per doc
+                    setc = ((hs[:, j, None] >> idx) & 1).sum(axis=0)
+                    out[f"fp{j}"][r] = int(
+                        (((2 * setc - n) > 0).astype(np.int64) << idx).sum()
+                    )
+            return pd.DataFrame(out)
+
+        return (
+            df.filter(F.col(text_col).isNotNull())  # explode drops these too
+            .withColumn("__fps", fps_udf(F.col(text_col)))
+            .select(
+                F.col(id_col),
+                *[
+                    F.col(f"__fps.fp{i}").alias(f"fp{i}")
+                    for i in range(len(offs))
+                ],
+            )
+        )
     w = df.select(
         F.col(id_col).alias("__id"),
         F.explode(

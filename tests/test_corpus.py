@@ -126,3 +126,37 @@ def test_est_jaccard_identical_docs_score_one(spark):
     }
     for (a, b), est in out.items():
         assert 0.5 <= est <= 1.0 and est * 8 == int(est * 8), (a, b, est)
+
+
+def test_simhash_arrow_and_jvm_paths_bit_identical(spark):
+    """The Arrow SimHash kernel (default) must reproduce the JVM
+    explode+vote aggregate EXACTLY — same md5 windows, same ±1 votes,
+    same fingerprint bits — including whitespace-edge texts where
+    split() emits empty-string words."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import simhash_fps
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(300)
+    edge = spark.createDataFrame(
+        [
+            (9001, " leading space"),
+            (9002, "trailing space "),
+            (9003, "double  space"),
+            (9004, "MIXED Case Words mixed case words"),
+            (9005, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for frame in (df, edge):
+        a = {
+            r["doc_id"]: (r["fp0"], r["fp1"])
+            for r in simhash_fps(
+                frame, "doc_id", "text", offsets=(0, 8), use_arrow=True
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (r["fp0"], r["fp1"])
+            for r in simhash_fps(
+                frame, "doc_id", "text", offsets=(0, 8), use_arrow=False
+            ).collect()
+        }
+        assert a == b and len(a) > 0

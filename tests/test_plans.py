@@ -78,10 +78,31 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
     # q10: region x region (25 rows) and q46: corpus x broadcast-queries
     # are cross joins BY DESIGN, planned as BroadcastNestedLoopJoin.
     allowed_cross = {"q10_cross_join", "q46_cosine_topk"}
-    # Arrow-batched pandas stages are allowed ONLY where the semantics
-    # genuinely need Python (grouped-map zscore, pandas UDAF); everything
-    # else must stay in codegen — b52 regressed to mapInPandas in r1.
-    allowed_pandas = {"b58_zscore_pandas", "b68_geomean_udaf"}
+    # Arrow-batched pandas stages are allowed in two cases:
+    # (1) semantics genuinely need Python (grouped-map zscore, pandas
+    #     UDAF, the multimodal codecs a049/a050);
+    # (2) a MEASURED Arrow kernel win over the interpreted-HOF or
+    #     heavy-expression JVM shape, with a bit-equality cross-check
+    #     test against the retained JVM path: the k-means assignment
+    #     family (a007/a012/a013 — ~2.3x) and the SimHash fingerprint
+    #     family (a001/b45/a020/a027 — the 2x32-sum aggregate cost
+    #     1.5-4s of plan analysis per query; kernel is plan-light and
+    #     shuffle-free).
+    # Everything else must stay in codegen — b52 regressed to
+    # mapInPandas in r1 and row-at-a-time BatchEvalPython is never OK.
+    allowed_pandas = {
+        "b58_zscore_pandas",
+        "b68_geomean_udaf",
+        "a049_audio_rms",
+        "a050_png_roundtrip",
+        "a007_kmeans_clusters",
+        "a012_simplified_silhouette",
+        "a013_cluster_purity",
+        "a001_simhash_hamming_pairs",
+        "b45_simhash_buckets",
+        "a020_pagerank_neardup",
+        "a027_triangle_census",
+    }
     offenders = []
     for name, spec in sorted(load_all().items()):
         plan = physical_plan(spec.fn(spark, SF_DIR))
