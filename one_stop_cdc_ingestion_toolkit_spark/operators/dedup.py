@@ -75,14 +75,72 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, use_arrow: bool = True
+) -> DataFrame:
     """(id, mh0..mh7) minhash signature per document.
 
-    Plan shape: explode shingles → md5 (whole-stage codegen, not an
-    interpreted array lambda) → groupBy(doc) with 8 min() aggregates —
-    map-side partial agg means the shuffle carries just 8 longs per doc
-    per partition.
+    Two equivalent physical paths, exact-integer identical (Python ints
+    reproduce the JVM long arithmetic — h < 2³², a ≤ 301237, so h·a+b
+    never overflows either; asserted by a cross-path equality test):
+
+    - ``use_arrow=True`` (default): vectorized pandas_udf — shuffle-FREE
+      (the JVM shape shuffles (id, 8 longs) through a groupBy) and
+      plan-light; a per-worker shingle-hash memo amortizes md5 to
+      ~|distinct shingles|. Docs with < SHINGLE_K words drop, exactly
+      like the explode path.
+    - ``use_arrow=False``: explode shingles → md5 → groupBy(doc) with 8
+      min() aggregates (map-side partial agg). Cross-check path and the
+      Arrow-less fallback.
     """
+    if use_arrow:
+        from pyspark.sql.functions import pandas_udf
+
+        fields = ", ".join(f"mh{i}: bigint" for i in range(len(MINHASH_A)))
+        _memo: dict[str, int] = {}
+        _CAP = 1_000_000
+
+        @pandas_udf(f"struct<{fields}>")
+        def sig_udf(texts: pd.Series) -> pd.DataFrame:
+            import hashlib
+            import re
+
+            import numpy as np
+
+            n = len(texts)
+            cols = {
+                f"mh{i}": np.full(n, -1, dtype=np.int64)
+                for i in range(len(MINHASH_A))
+            }
+            a_arr = np.array(MINHASH_A, dtype=np.int64)
+            b_arr = np.array(MINHASH_B, dtype=np.int64)
+            for r, t in enumerate(texts):
+                words = re.split(r"\s+", t.lower())
+                m = len(words) - (SHINGLE_K - 1)
+                if m <= 0:
+                    continue  # no shingles → doc drops (like explode)
+                hs = np.empty(m, dtype=np.int64)
+                for i in range(m):
+                    s = " ".join(words[i : i + SHINGLE_K])
+                    h = _memo.get(s)
+                    if h is None:
+                        h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                        if len(_memo) < _CAP:
+                            _memo[s] = h
+                    hs[i] = h
+                mins = ((hs[:, None] * a_arr + b_arr) % MINHASH_P).min(axis=0)
+                for i in range(len(MINHASH_A)):
+                    cols[f"mh{i}"][r] = mins[i]
+            return pd.DataFrame(cols)
+
+        out = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("__s"))
+        )
+        return out.filter(F.col("__s.mh0") >= 0).select(
+            "id",
+            *[F.col(f"__s.mh{i}").alias(f"mh{i}") for i in range(len(MINHASH_A))],
+        )
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col))).alias("shingle"),

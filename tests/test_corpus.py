@@ -160,3 +160,39 @@ def test_simhash_arrow_and_jvm_paths_bit_identical(spark):
             ).collect()
         }
         assert a == b and len(a) > 0
+
+
+def test_minhash_arrow_and_jvm_paths_identical(spark):
+    """The Arrow MinHash kernel (default) must reproduce the JVM
+    explode+8-min aggregate EXACTLY — same shingles, same md5 window,
+    same (h*a+b)%p mins — including docs below the shingle width, which
+    must DROP on both paths."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    cols = ["id"] + [f"mh{i}" for i in range(8)]
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(300)
+    edge = spark.createDataFrame(
+        [(1, "one two"), (2, "one two three"), (3, " lead two  three four ")],
+        "doc_id long, text string",
+    )
+    for frame in (corpus, edge):
+        a = sorted(
+            tuple(r[c] for c in cols)
+            for r in minhash_signatures(
+                frame, "doc_id", "text", use_arrow=True
+            ).collect()
+        )
+        b = sorted(
+            tuple(r[c] for c in cols)
+            for r in minhash_signatures(
+                frame, "doc_id", "text", use_arrow=False
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+    # the two-word doc dropped on both paths
+    assert {
+        r["id"]
+        for r in minhash_signatures(edge, "doc_id", "text").collect()
+    } == {2, 3}
