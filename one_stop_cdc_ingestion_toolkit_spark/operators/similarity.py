@@ -17,6 +17,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -95,11 +96,65 @@ def _plane_signs(n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> list[list[fl
     ]
 
 
-def lsh_signature(vec: Column, n_planes: int = LSH_PLANES, dim: int = EMB_DIM) -> Column:
+def lsh_signature(
+    vec: Column,
+    n_planes: int = LSH_PLANES,
+    dim: int = EMB_DIM,
+    use_arrow: bool = True,
+) -> Column:
     """Sign-bit signature against MD5-derived hyperplanes (string of sign
-    bits of plane.vec; fold order matches the oracle's list_sum). HOF
-    fold per plane — see :func:`dot` for why unrolling is slower."""
+    bits of plane.vec; fold order matches the oracle's list_sum).
+
+    Two equivalent physical paths (same bits out — the Arrow kernel's
+    numpy loop runs over dimensions in the HOF fold's order, so every
+    projection sees the identical IEEE operation sequence; asserted by
+    a cross-path equality test):
+
+    - ``use_arrow=True`` (default): vectorized pandas_udf — the
+      n_planes interpreted HOF folds (each element evaluation walks an
+      expression tree) dominated every LSH consumer; the kernel is one
+      multiply-add per (row, plane, dim) in C.
+    - ``use_arrow=False``: the per-plane ``zip_with``+``aggregate``
+      fold — cross-check path and Arrow-less fallback (unrolling into
+      a flat expression is even slower; see :func:`dot`).
+
+    Null-vector edge: the Arrow path emits a NULL signature (the row
+    drops out of bucket equi-joins); the JVM fold's when() coerces the
+    null projection to an all-"0" signature — a REAL bucket that would
+    collect every null vector. The Arrow behavior is deliberate.
+    """
     signs = _plane_signs(n_planes, dim)
+    if use_arrow:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        planes = [list(map(float, s)) for s in signs]
+
+        @pandas_udf("string")
+        def sig_udf(vs: pd.Series) -> pd.Series:
+            P = np.asarray(planes, dtype=np.float64)  # p × d
+            out = []
+            null_mask = vs.isna()
+            if (~null_mask).any():
+                idx = np.flatnonzero(~null_mask.to_numpy())
+                X = np.array(
+                    [np.asarray(vs.iloc[i], dtype=np.float64) for i in idx]
+                )
+                # dimension-order fold == the HOF's left-to-right sum
+                acc = np.zeros((X.shape[0], P.shape[0]))
+                for i in range(P.shape[1]):
+                    acc += X[:, i, None] * P[None, :, i]
+                sigs = {
+                    int(r): "".join("1" if v >= 0 else "0" for v in acc[k])
+                    for k, r in enumerate(idx)
+                }
+            else:
+                sigs = {}
+            for i in range(len(vs)):
+                out.append(sigs.get(i))  # None for null vectors
+            return pd.Series(out)
+
+        return sig_udf(vec)
     bits = []
     for p in range(n_planes):
         plane = F.array(*[F.lit(x) for x in signs[p]])

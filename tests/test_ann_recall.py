@@ -84,3 +84,36 @@ def test_multiprobe_candidates_superset(spark):
     cells2 = {(r.v_id, r.cent_id) for r in two.collect()}
     assert cells1 <= cells2
     assert len(cells2) == 2 * len({v for v, _ in cells1})
+
+
+def test_lsh_signature_arrow_and_jvm_bit_identical(spark):
+    """The Arrow signature kernel replays the HOF projection fold order,
+    so both paths must emit the exact same bit strings at every plane
+    count used in the engine (8 for retrieval, 16 for the kNN graph)."""
+    from pyspark.sql import functions as F
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(400)
+    for planes in (8, 16):
+        a = {
+            r["vec_id"]: r["s"]
+            for r in emb.select(
+                "vec_id",
+                lsh_signature(
+                    F.col("embedding"), n_planes=planes, use_arrow=True
+                ).alias("s"),
+            ).collect()
+        }
+        b = {
+            r["vec_id"]: r["s"]
+            for r in emb.select(
+                "vec_id",
+                lsh_signature(
+                    F.col("embedding"), n_planes=planes, use_arrow=False
+                ).alias("s"),
+            ).collect()
+        }
+        assert a == b and len(a) > 0

@@ -116,6 +116,10 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         "a141_cluster_retention",
         "d96_dup_clusters",
         "c91_clean_corpus_stats",  # composes minhash_lsh_pairs
+        # lsh_signature consumers (sign-bit hyperplane kernel)
+        "b54_ann_lsh_topk",
+        "b55_embedding_neardup",
+        "a003_knn_degree",
     }
     offenders = []
     for name, spec in sorted(load_all().items()):
