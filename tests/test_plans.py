@@ -87,9 +87,9 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
     #     family (a007/a012/a013 — ~2.3x) and the SimHash fingerprint
     #     family (a001/b45/a020/a027 — the 2x32-sum aggregate cost
     #     1.5-4s of plan analysis per query; kernel is plan-light and
-    #     shuffle-free), and the MinHash signature family (shuffle-free
-    #     kernel replaces the explode+8-min groupBy: q43 1.35->0.35s,
-    #     q44 3.0->1.0s at sf0.1).
+    #     shuffle-free), the MinHash signature family (shuffle-free
+    #     kernel replaces the explode+8-min groupBy: q43 1.35->0.9s at
+    #     sf0.1), and the LSH sign-bit signature family.
     # Everything else must stay in codegen — b52 regressed to
     # mapInPandas in r1 and row-at-a-time BatchEvalPython is never OK.
     allowed_pandas = {
@@ -104,12 +104,12 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         "b45_simhash_buckets",
         "a020_pagerank_neardup",
         "a027_triangle_census",
-        # minhash_signatures consumers
+        # minhash_signatures consumers (NOT q44 — ngram_jaccard_pairs
+        # is a pure-JVM shingle pipeline with no pandas stage, and the
+        # sweep must keep protecting it)
         "q43_minhash_lsh_pairs",
-        "q44_ngram_jaccard_dups",
         "a004_containment_pairs",
         "a038_semantic_clusters",
-        "a102_lsh_decontaminate",
         "a105_est_jaccard_pairs",
         "a138_span_dedup",
         "a139_lsh_recall_curve",
