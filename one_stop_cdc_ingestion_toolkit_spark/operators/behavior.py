@@ -290,31 +290,33 @@ def a025_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, part), drop degenerate baskets over BASKET_CAP, self-join on
     the order key with ``p1 < p2``, count, global top-k.
 
-    Scale shape: the self-join shuffles BOTH sides on l_orderkey once —
-    pair generation is local within each order's partition, bounded by
-    BASKET_CAP^2 per order. The top-k is TakeOrderedAndProject (per-
-    partition heaps, no global sort materialization). This is the same
-    df-cap discipline as the Jaccard inverted index (VERDICT r1 #6):
-    caps are what keep quadratic candidate generation linear-ish at
-    scale, and the cap is mirrored verbatim in the oracle."""
+    Scale shape: ONE shuffle total — `collect_set` gathers each order's
+    distinct parts (map-side partial sets, basket bounded by the data
+    model), the BASKET_CAP filter and the p1<p2 pair expansion are then
+    LOCAL array ops inside whole-stage codegen (sorted array + nested
+    `transform`/`slice`, ≤ CAP²/2 pairs per order). This replaces the
+    round-3 self-join, which shuffled the (order, part) table twice and
+    paid a sort-merge join for what is a per-group local product. The
+    top-k is TakeOrderedAndProject (per-partition heaps, no global sort
+    materialization). Same df-cap discipline as the Jaccard inverted
+    index (VERDICT r1 #6): caps keep quadratic candidate generation
+    linear-ish at scale, and the cap is mirrored verbatim in the
+    oracle."""
     li = tables(spark, sf_dir)["lineitem"]
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    ok = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("basket"))
-        .filter(F.col("basket") <= BASKET_CAP)
-        .select("l_orderkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts").between(2, BASKET_CAP))
     )
-    capped = items.join(ok, "l_orderkey")
-    a = capped.alias("a")
-    b = capped.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (p1, i) -> "
+                "transform(slice(parts, i + 2, size(parts) - i - 1), "
+                "p2 -> struct(p1, p2))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
     return (
         pairs.groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
