@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import EMB_DIM, cosine
 
 #: Salt for the group-split hash (a112) — versioned so a re-split is an
@@ -95,6 +95,12 @@ def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
     g = bg.groupBy("doc_id", "lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
+    # The multiset feeds THREE consumers (corpus bigram table, unigram
+    # table via re-agg, and the join's probe side); uncached, each one
+    # re-runs the text explode — the most expensive scan in the family.
+    # The cached frame is (doc_id, w1, w2, m) — tokens, not documents —
+    # so at 100 TB it is the compact derivative, not the corpus.
+    g = track_cache(g)
     cb = g.groupBy("w1", "w2").agg(F.sum("m").alias("nb"))
     cu = cb.groupBy("w1").agg(F.sum("nb").alias("nu"))
     md = F.col("m").cast("double")
