@@ -123,6 +123,7 @@ def load_all() -> dict[str, QuerySpec]:
         neardup2,
         pipeline_ops,
         profiling,
+        quantization,
         recursive,
         relational,
         relational2,

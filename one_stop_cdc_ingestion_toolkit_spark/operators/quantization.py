@@ -1,0 +1,331 @@
+"""Embedding-compression audits (`a051`/`a052`/`a054`): int8
+quantization error, Matryoshka truncation recall, and Johnson-
+Lindenstrauss projection distortion.
+
+The operators a 100 TB embedding pipeline runs before committing to a
+storage/serving format: how much cosine fidelity does symmetric int8
+quantization give up, how much top-k recall survives truncating to the
+first d/4 dimensions (Matryoshka-style), and how tightly a ±1 random
+projection preserves pairwise distances (the JL lemma, audited on real
+pairs instead of trusted on faith).
+
+Engine extensions per SURVEY §2.5 (no reference parity — the reference
+is a provisioning CLI, SURVEY §0). All arithmetic follows the
+similarity.py parity discipline: left-to-right HOF folds over doubles so
+the DuckDB oracle's ``list_sum(list_transform(...))`` reproduces results
+bit-for-bit, and md5-derived sign matrices so "random" projections are
+engine-neutral.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+    EMB_DIM,
+    cosine,
+    dot,
+)
+
+#: Matryoshka prefix length (first PREFIX_DIM of EMB_DIM dims).
+PREFIX_DIM = 16
+
+#: JL target dimensionality (64 → 16, scale factor 1/4.0 exact).
+JL_DIM = 16
+
+#: Top-k compared between the full-dim and truncated rankings.
+MK_TOPK = 10
+
+#: Number of query vectors sampled for the recall audit.
+MK_QUERIES = 10
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as a left-to-right fold (the dot()
+    discipline: same order as the oracle's list_sum, bit-identical)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _duck_sqdist(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _duck_dot2(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _duck_cos2(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"({_duck_dot2(a, b, dim)}) / "
+        f"(sqrt({_duck_dot2(a, a, dim)}) * sqrt({_duck_dot2(b, b, dim)}))"
+    )
+
+
+@register(
+    "a051_int8_quant_error",
+    f"""WITH dims AS (
+          SELECT i, MAX(ABS(CAST(embedding[i + 1] AS DOUBLE))) AS mx
+          FROM embeddings CROSS JOIN generate_series(0, {EMB_DIM - 1}) t(i)
+          GROUP BY i),
+        sc AS (SELECT list(mx ORDER BY i) AS s FROM dims),
+        dq AS (
+          SELECT label, embedding,
+                 list_transform(generate_series(0, {EMB_DIM - 1}), i ->
+                   ROUND(CAST(embedding[i + 1] AS DOUBLE) / (s[i + 1] / 127.0))
+                   * (s[i + 1] / 127.0)) AS deq
+          FROM embeddings CROSS JOIN sc),
+        cs AS (SELECT label, {_duck_cos2('embedding', 'deq')} AS c FROM dq)
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(AVG(c), 6) AS avg_cos, ROUND(MIN(c), 6) AS min_cos
+        FROM cs GROUP BY label ORDER BY label""",
+)
+def a051_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-dimension int8 quantization audit: corpus-wide scale
+    s_i = max|x_i| (so codes span the full [-127, 127] range), each
+    vector is quantized (round(x_i/(s_i/127))) and dequantized, and the
+    per-label cosine between original and reconstruction is reported —
+    the number a serving team reads before switching the ANN index to
+    int8 storage (4x smaller, ~0.999 cosine on typical corpora).
+
+    Scale shape: the scale vector is ONE partial-aggregable pass
+    ({EMB_DIM} maxes folded map-side, a single 1-row result), broadcast
+    back; quantize + cosine is a pure projection scan — no shuffle
+    anywhere except the {EMB_DIM}-row scale agg and the final per-label
+    rollup. At 100 TB this is the cheapest full-corpus audit shape there
+    is (2 scans, both codegen)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    scales = emb.agg(
+        F.array(
+            *[
+                F.max(F.abs(F.col("embedding")[i].cast("double")))
+                for i in range(EMB_DIM)
+            ]
+        ).alias("s")
+    )
+    dq = emb.crossJoin(F.broadcast(scales)).withColumn(
+        "deq",
+        F.zip_with(
+            "embedding",
+            "s",
+            lambda x, s: F.round(x.cast("double") / (s / F.lit(127.0)))
+            * (s / F.lit(127.0)),
+        ),
+    )
+    return (
+        dq.withColumn("c", cosine(F.col("embedding"), F.col("deq")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("c"), 6).alias("avg_cos"),
+            F.round(F.min("c"), 6).alias("min_cos"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "a052_matryoshka_recall",
+    f"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                   FROM embeddings WHERE vec_id < {MK_QUERIES}),
+        scored AS (
+          SELECT q_id, vec_id AS c_id,
+                 {_duck_cos2('q_vec', 'embedding')} AS cf,
+                 {_duck_cos2('q_vec', 'embedding', PREFIX_DIM)} AS ct
+          FROM q CROSS JOIN embeddings),
+        ranked AS (
+          SELECT q_id, c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY cf DESC, c_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY ct DESC, c_id) AS rt
+          FROM scored)
+        SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+               ROUND(COUNT(*) / {MK_TOPK}.0, 2) AS recall
+        FROM ranked WHERE rf <= {MK_TOPK} AND rt <= {MK_TOPK}
+        GROUP BY q_id ORDER BY q_id""",
+)
+def a052_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: for each sampled query, how many of
+    the full-{EMB_DIM}-dim cosine top-{MK_TOPK} survive when ranking by
+    only the first {PREFIX_DIM} dims (the MRL serving trick: coarse
+    search on the prefix, rerank on the full vector). recall ≈ 1 means
+    the prefix ranking is safe as a first-pass filter.
+
+    Scale shape: the query side is a broadcast ({MK_QUERIES} rows); the
+    corpus streams through ONE scan computing BOTH cosines per pair
+    (truncation is `slice`, no second pass over the data), then a single
+    window shuffle keyed by q_id ranks both scores together — two
+    row_numbers share one sort-free hash partition each. The full
+    ranking is the brute-force baseline by design (this is an AUDIT of
+    the approximation, so the exact ranking is the point — run it on a
+    sampled corpus slab at 100 TB, never the whole corpus)."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = emb.filter(F.col("vec_id") < MK_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .withColumn("cf", cosine(F.col("q_vec"), F.col("embedding")))
+        .withColumn(
+            "ct",
+            cosine(
+                F.slice(F.col("q_vec"), 1, PREFIX_DIM),
+                F.slice(F.col("embedding"), 1, PREFIX_DIM),
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("c_id"), "cf", "ct")
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("cf").desc(), F.col("c_id"))
+    wt = W.partitionBy("q_id").orderBy(F.col("ct").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rt", F.row_number().over(wt))
+        .filter((F.col("rf") <= MK_TOPK) & (F.col("rt") <= MK_TOPK))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(F.count(F.lit(1)) / MK_TOPK, 2).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+def _jl_signs() -> list[list[float]]:
+    """±1 JL projection matrix, row p component i = sign of md5('j<p>:<i>')
+    — seeded differently from similarity._plane_signs so the projection
+    is independent of the LSH bucketing used to propose pairs."""
+    return [
+        [
+            1.0
+            if hashlib.md5(f"j{p}:{i}".encode()).hexdigest()[0] < "8"
+            else -1.0
+            for i in range(EMB_DIM)
+        ]
+        for p in range(JL_DIM)
+    ]
+
+
+def _duck_jl_proj(p: int, vec: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(0, {EMB_DIM - 1}), "
+        f"i -> (CASE WHEN substr(md5('j{p}:' || i), 1, 1) < '8' "
+        f"THEN 1.0 ELSE -1.0 END) * CAST({vec}[i+1] AS DOUBLE))) / 4.0"
+    )
+
+
+def _duck_jl_vec(vec: str) -> str:
+    els = ", ".join(_duck_jl_proj(p, vec) for p in range(JL_DIM))
+    return f"[{els}]"
+
+
+def _duck_sig(vec: str) -> str:
+    # Mirrors similarity._duck_signature (8 LSH planes, seed '<p>:<i>').
+    bits = [
+        f"(CASE WHEN list_sum(list_transform(generate_series(0, {EMB_DIM - 1}), "
+        f"i -> (CASE WHEN substr(md5('{p}:' || i), 1, 1) < '8' "
+        f"THEN 1.0 ELSE -1.0 END) * CAST({vec}[i+1] AS DOUBLE))) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(8)
+    ]
+    return " || ".join(bits)
+
+
+@register(
+    "a054_jl_distortion",
+    f"""WITH sig AS (
+          SELECT vec_id, embedding, {_duck_sig('embedding')} AS s,
+                 {_duck_jl_vec('embedding')} AS proj
+          FROM embeddings),
+        pairs AS (
+          SELECT sqrt({_duck_sqdist('a.embedding', 'b.embedding')}) AS d64,
+                 sqrt({_duck_sqdist('a.proj', 'b.proj', JL_DIM)}) AS d16
+          FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id),
+        r AS (SELECT d16 / d64 AS ratio FROM pairs WHERE d64 > 0)
+        SELECT FLOOR(ratio * 10) / 10.0 AS ratio_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM r GROUP BY 1 ORDER BY ratio_bin""",
+)
+def a054_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: project {EMB_DIM}-dim
+    embeddings to {JL_DIM} dims with a ±1/sqrt({JL_DIM}) matrix and
+    histogram the pairwise-distance ratio ||proj_a − proj_b|| /
+    ||a − b|| over LSH-proposed candidate pairs. The JL lemma promises
+    ratios concentrated near 1; the histogram shows the actual spread
+    for THIS corpus before anyone swaps the projection into a pipeline.
+
+    Scale shape: projection is one codegen scan ({JL_DIM} folds/row);
+    the pair space is LSH-bucket-bounded (b55's discipline — shuffle key
+    is the 8-bit signature, never all-pairs); the histogram is a
+    {JL_DIM}-bucket-ish rollup. Ratio arithmetic is fold-identical on
+    both engines, so even the bin edges are bit-stable."""
+    emb = tables(spark, sf_dir)["embeddings"]
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    signs = _jl_signs()
+    proj = F.array(
+        *[
+            dot(
+                F.col("embedding"),
+                F.array(*[F.lit(v) for v in signs[p]]),
+            )
+            / F.lit(4.0)
+            for p in range(JL_DIM)
+        ]
+    )
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_signature(F.col("embedding")).alias("s"),
+        proj.alias("proj"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+        "s",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+        "s",
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.sqrt(sqdist(F.col("ea"), F.col("eb"))).alias("d64"),
+            F.sqrt(sqdist(F.col("pa"), F.col("pb"))).alias("d16"),
+        )
+        .filter(F.col("d64") > 0)
+        .select((F.col("d16") / F.col("d64")).alias("ratio"))
+    )
+    return (
+        pairs.groupBy(
+            (F.floor(F.col("ratio") * 10) / 10.0).alias("ratio_bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("ratio_bin")
+    )
