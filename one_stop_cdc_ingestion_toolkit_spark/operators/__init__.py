@@ -130,6 +130,7 @@ def load_all() -> dict[str, QuerySpec]:
         retrieval,
         round4,
         round4b,
+        round4c,
         selection,
         similarity,
         text,
