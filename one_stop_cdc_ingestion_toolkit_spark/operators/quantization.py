@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -225,6 +226,56 @@ def _jl_signs() -> list[list[float]]:
     ]
 
 
+def jl_project(vec: Column, use_arrow: bool = True) -> Column:
+    """The {JL_DIM}-dim projection as ``array<double>``. Two equivalent
+    physical paths (the similarity.lsh_signature discipline — the Arrow
+    kernel accumulates dimension-by-dimension in the HOF fold's
+    left-to-right order, so every projection runs the identical IEEE
+    operation sequence; asserted bit-equal in tests/test_quantization.py):
+
+    - ``use_arrow=True`` (default): one multiply-add per (row, plane,
+      dim) in C — {JL_DIM} interpreted HOF folds per row otherwise
+      dominate a054's runtime.
+    - ``use_arrow=False``: the ``zip_with``+``aggregate`` fold twin,
+      which is also the DuckDB oracle's arithmetic.
+
+    Null vectors project to NULL on both paths (a null embedding has no
+    distance to anything; rows drop out of the pair join upstream)."""
+    signs = _jl_signs()
+    if use_arrow:
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        planes = [list(map(float, s)) for s in signs]
+
+        @pandas_udf("array<double>")
+        def proj_udf(vs: pd.Series) -> pd.Series:
+            P = np.asarray(planes, dtype=np.float64)  # p × d
+            out: list = [None] * len(vs)
+            null_mask = vs.isna()
+            if (~null_mask).any():
+                idx = np.flatnonzero(~null_mask.to_numpy())
+                X = np.array(
+                    [np.asarray(vs.iloc[i], dtype=np.float64) for i in idx]
+                )
+                acc = np.zeros((X.shape[0], P.shape[0]))
+                # dimension-order fold == the HOF's left-to-right sum
+                for i in range(P.shape[1]):
+                    acc += X[:, i, None] * P[None, :, i]
+                acc = acc / 4.0
+                for k, r in enumerate(idx):
+                    out[int(r)] = [float(v) for v in acc[k]]
+            return pd.Series(out)
+
+        return proj_udf(vec)
+    return F.array(
+        *[
+            dot(vec, F.array(*[F.lit(v) for v in signs[p]])) / F.lit(4.0)
+            for p in range(JL_DIM)
+        ]
+    )
+
+
 def _duck_jl_proj(p: int, vec: str) -> str:
     return (
         f"list_sum(list_transform(generate_series(0, {EMB_DIM - 1}), "
@@ -254,11 +305,17 @@ def _duck_sig(vec: str) -> str:
     "a054_jl_distortion",
     f"""WITH sig AS (
           SELECT vec_id, embedding, {_duck_sig('embedding')} AS s,
-                 {_duck_jl_vec('embedding')} AS proj
+                 {_duck_jl_vec('embedding')} AS proj,
+                 {_duck_dot2('embedding', 'embedding')} AS n64,
+                 {_duck_dot2('proj', 'proj', JL_DIM)} AS n16
           FROM embeddings),
         pairs AS (
-          SELECT sqrt({_duck_sqdist('a.embedding', 'b.embedding')}) AS d64,
-                 sqrt({_duck_sqdist('a.proj', 'b.proj', JL_DIM)}) AS d16
+          SELECT sqrt(GREATEST(a.n64 + b.n64
+                      - 2.0 * ({_duck_dot2('a.embedding', 'b.embedding')}), 0.0))
+                   AS d64,
+                 sqrt(GREATEST(a.n16 + b.n16
+                      - 2.0 * ({_duck_dot2('a.proj', 'b.proj', JL_DIM)}), 0.0))
+                   AS d16
           FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id),
         r AS (SELECT d16 / d64 AS ratio FROM pairs WHERE d64 > 0)
         SELECT FLOOR(ratio * 10) / 10.0 AS ratio_bin,
@@ -283,41 +340,54 @@ def a054_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_signature,
     )
 
-    signs = _jl_signs()
-    proj = F.array(
-        *[
-            dot(
-                F.col("embedding"),
-                F.array(*[F.lit(v) for v in signs[p]]),
-            )
-            / F.lit(4.0)
-            for p in range(JL_DIM)
-        ]
-    )
-    sig = emb.select(
+    # squared norms hoisted to the per-VECTOR stage: each pair then needs
+    # one dot fold per distance (sqrt(na² + nb² − 2·a·b)) instead of a
+    # difference fold — half the per-pair compute, and the formula is
+    # mirrored verbatim in the oracle so values stay bit-identical.
+    sig = emb.withColumn("proj", jl_project(F.col("embedding"))).select(
         "vec_id",
         "embedding",
         lsh_signature(F.col("embedding")).alias("s"),
-        proj.alias("proj"),
+        "proj",
+        dot(F.col("embedding"), F.col("embedding")).alias("n64"),
+        dot(F.col("proj"), F.col("proj")).alias("n16"),
     )
     a = sig.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
         F.col("proj").alias("pa"),
+        F.col("n64").alias("na64"),
+        F.col("n16").alias("na16"),
         "s",
     )
     b = sig.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
         F.col("proj").alias("pb"),
+        F.col("n64").alias("nb64"),
+        F.col("n16").alias("nb16"),
         "s",
     )
     pairs = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            F.sqrt(sqdist(F.col("ea"), F.col("eb"))).alias("d64"),
-            F.sqrt(sqdist(F.col("pa"), F.col("pb"))).alias("d16"),
+            F.sqrt(
+                F.greatest(
+                    F.col("na64")
+                    + F.col("nb64")
+                    - F.lit(2.0) * dot(F.col("ea"), F.col("eb")),
+                    F.lit(0.0),
+                )
+            ).alias("d64"),
+            F.sqrt(
+                F.greatest(
+                    F.col("na16")
+                    + F.col("nb16")
+                    - F.lit(2.0) * dot(F.col("pa"), F.col("pb")),
+                    F.lit(0.0),
+                )
+            ).alias("d16"),
         )
         .filter(F.col("d64") > 0)
         .select((F.col("d16") / F.col("d64")).alias("ratio"))

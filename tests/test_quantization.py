@@ -61,6 +61,31 @@ def test_jl_distortion_concentrates_near_one(spark):
         assert 0.0 < r.ratio_bin < 2.0, r
 
 
+def test_jl_project_arrow_matches_jvm_fold_bitwise(spark):
+    """The Arrow kernel and the zip_with/aggregate fold must produce
+    BIT-identical projections (the kernel accumulates in the fold's
+    dimension order, so this is exact equality, not approx)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+    from one_stop_cdc_ingestion_toolkit_spark.operators.quantization import (
+        jl_project,
+    )
+
+    emb = tables(spark, SF_DIR)["embeddings"].limit(50)
+    rows = emb.select(
+        jl_project(F.col("embedding"), use_arrow=True).alias("pa"),
+        jl_project(F.col("embedding"), use_arrow=False).alias("pj"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert len(r.pa) == len(r.pj)
+        for x, y in zip(r.pa, r.pj):
+            assert x == y or (math.isnan(x) and math.isnan(y)), (x, y)
+
+
 def test_jl_distortion_pair_space_is_bucketed(spark):
     """Candidate pairs come from the LSH signature equi-join — the plan
     must contain a real equi-join on the signature and no
