@@ -265,7 +265,14 @@ def a134_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     share: per-bucket gram counts become a plain count (no
     countDistinct expand) and first-seen is a gram-keyed min — the
     shuffle key is a 5-word gram, never the document; the final join is
-    bucket-cardinality sized."""
+    bucket-cardinality sized.
+
+    Grams are xxhash64-compressed BEFORE the shuffle: both aggregations
+    only need gram EQUALITY, so 8-byte longs replace ~30-byte strings on
+    the wire (the standard shuffle-compression move for distinct-count
+    pipelines; a collision would need ~2^32 distinct grams to reach even
+    1% probability, and the DuckDB oracle — which keeps raw grams —
+    hash-checks the final counts every round)."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
     d = tables(spark, sf_dir)["documents"]
@@ -276,8 +283,9 @@ def a134_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * NOVELTY_BUCKETS / F.col("m"))
             .cast("int")
             .alias("bucket"),
-            F.explode(word_shingles(F.col("text"), NOVELTY_K)).alias("gram"),
+            F.explode(word_shingles(F.col("text"), NOVELTY_K)).alias("g"),
         )
+        .select("bucket", F.xxhash64("g").alias("gram"))
         .distinct()
     )
     seen = gb.groupBy("gram").agg(F.min("bucket").alias("first_bucket"))
