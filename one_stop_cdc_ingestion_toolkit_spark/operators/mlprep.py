@@ -82,6 +82,10 @@ def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
         "lang",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),
     )
+    # w1/w2 are xxhash64-compressed before any shuffle: the LM only ever
+    # needs bigram IDENTITY (counts keyed by (w1, w2) and w1), so 8-byte
+    # longs replace word strings on the wire — the a134 discipline; the
+    # raw-string DuckDB oracle hash-checks the resulting lp values.
     bg = d.select(
         "doc_id",
         "lang",
@@ -91,7 +95,12 @@ def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
                 " (w, i) -> struct(w AS w1, ws[i + 1] AS w2))"
             )
         ).alias("p"),
-    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ).select(
+        "doc_id",
+        "lang",
+        F.xxhash64("p.w1").alias("w1"),
+        F.xxhash64("p.w2").alias("w2"),
+    )
     g = bg.groupBy("doc_id", "lang", "w1", "w2").agg(
         F.count(F.lit(1)).alias("m")
     )
