@@ -486,7 +486,9 @@ def a115_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     gx = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), k=COVERAGE_K)).alias("g")
     )
-    flags = gx.groupBy("g").agg(
+    # only gram IDENTITY matters downstream → xxhash64-compress the
+    # shuffle key (the a134 discipline; raw-gram oracle checks the counts)
+    flags = gx.groupBy(F.xxhash64("g").alias("g")).agg(
         F.max(F.col("doc_id") < 5).alias("ie"),
         F.max(F.col("doc_id") >= 5).alias("ic"),
     )

@@ -299,9 +299,17 @@ def c88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
     d = tables(spark, sf_dir)["documents"]
-    grams = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k=DECONTAM_K)).alias("g")
-    ).distinct()
+    # gram IDENTITY is all the semi-join needs → xxhash64-compress before
+    # the distinct (8-byte keys in the broadcast AND the shuffle; the
+    # raw-gram oracle hash-checks the per-doc overlap counts)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), k=DECONTAM_K)).alias("s"),
+        )
+        .select("doc_id", F.xxhash64("s").alias("g"))
+        .distinct()
+    )
     eval_grams = F.broadcast(
         grams.filter(F.col("doc_id") < 5).select("g").distinct()
     )

@@ -433,8 +433,14 @@ def a144_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of documents — candidate generation can never go quadratic in
     corpus size (contrast the df-cap discussion on q44)."""
     d = tables(spark, sf_dir)["documents"]
+    # shingle IDENTITY is all the join/counts need → xxhash64-compress
+    # before the distinct/join shuffles (the a134 discipline; the
+    # raw-shingle oracle hash-checks every containment value)
     sh = (
-        d.select("source", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+        d.select(
+            "source", F.explode(word_shingles(F.col("text"))).alias("s")
+        )
+        .select("source", F.xxhash64("s").alias("shingle"))
         .distinct()
     )
     cnt = sh.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
