@@ -470,12 +470,19 @@ def a138_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     pairs = band_pairs(minhash_band_rows(d, "doc_id", "text"))
     # cached: the positioned shingle stream feeds BOTH sides of the gram
-    # join — one explode instead of two.
+    # join — one explode instead of two. Matching only needs gram
+    # IDENTITY (positions carry the span logic) → xxhash64-compress the
+    # join key before the cache/shuffle (the a134 discipline; the
+    # raw-gram oracle hash-checks every span count).
     sh = track_cache(
         d.select(
             F.col("doc_id"),
-            F.posexplode(word_shingles(F.col("text"))).alias("pos0", "gram"),
-        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+            F.posexplode(word_shingles(F.col("text"))).alias("pos0", "g"),
+        ).select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64("g").alias("gram"),
+        )
     )
     ga = sh.select(
         F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "gram"
