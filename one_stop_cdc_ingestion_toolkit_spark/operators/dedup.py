@@ -262,9 +262,14 @@ def ngram_jaccard_pairs(
     oracle SQL). Residual hot shingles under the cap are handled by AQE
     skew-join splitting.
     """
+    # shingle IDENTITY is all the index needs (df counts, postings join)
+    # → xxhash64-compress before the distinct, so every downstream
+    # shuffle carries 8-byte keys instead of k-word strings (the a134
+    # discipline; the raw-shingle oracle hash-checks every jaccard).
     exploded = (
         df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
+        .select("id", F.explode("sh").alias("s"))
+        .select("id", F.xxhash64("s").alias("shingle"))
         .distinct()
     )
     # df-cap via a count window over the shingle, not groupBy+join: ONE
