@@ -330,11 +330,13 @@ def a054_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios concentrated near 1; the histogram shows the actual spread
     for THIS corpus before anyone swaps the projection into a pipeline.
 
-    Scale shape: projection is one codegen scan ({JL_DIM} folds/row);
-    the pair space is LSH-bucket-bounded (b55's discipline — shuffle key
-    is the 8-bit signature, never all-pairs); the histogram is a
-    {JL_DIM}-bucket-ish rollup. Ratio arithmetic is fold-identical on
-    both engines, so even the bin edges are bit-stable."""
+    Scale shape: projection is one Arrow-kernel scan (bit-equal to the
+    retained {JL_DIM}-fold JVM twin — cross-checked in tests); squared
+    norms are hoisted per-vector so each pair pays ONE dot fold per
+    distance; the pair space is LSH-bucket-bounded (b55's discipline —
+    shuffle key is the 8-bit signature, never all-pairs); the histogram
+    is a tiny rollup. Ratio arithmetic is fold-identical on both
+    engines, so even the bin edges are bit-stable."""
     emb = tables(spark, sf_dir)["embeddings"]
     from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
         lsh_signature,
