@@ -35,6 +35,25 @@ REGISTRY: dict[str, QuerySpec] = {}
 _LIVE_CACHES: list[DataFrame] = []
 
 
+def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a NARROW input ahead of a CPU-heavy
+    per-row stage (shingle explode, signature kernels): a single-file
+    toy corpus arrives as one input split, so without this the whole
+    shingling/minhash stage runs on ONE core while 31 idle.
+
+    At real scale this is a no-op — a 100 TB corpus scans as thousands
+    of splits, well above the session's shuffle parallelism, so the
+    guard (`input partitions * 2 <= target`) never fires and no shuffle
+    is added. When it does fire, the shuffled bytes are only the narrow
+    (id, text) projection of an input that is by construction small
+    (few splits x maxPartitionBytes)."""
+    spark = df.sparkSession
+    target = min_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def track_cache(df: DataFrame) -> DataFrame:
     """``df.persist()`` with session-scoped bookkeeping (see release_caches)."""
     df = df.persist()

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    register,
+    track_cache,
+    widen_narrow_scan,
+)
 
 # MinHash configuration: 8 hash functions, 4 bands x 2 rows.
 # One md5 per shingle gives a 32-bit base hash h; hash i is the affine
@@ -76,7 +80,11 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, use_arrow: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    use_arrow: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """(id, mh0..mh7) minhash signature per document.
 
@@ -97,7 +105,13 @@ def minhash_signatures(
     - ``use_arrow=False``: explode shingles → md5 → groupBy(doc) with 8
       min() aggregates (map-side partial agg). Cross-check path and
       verification twin.
+
+    ``widen=True`` repartitions a narrow scan up to the session's
+    shuffle parallelism first (widen_narrow_scan — no-op at real
+    scale); streaming microbatch callers (DedupIndex) pass False.
     """
+    if widen:
+        df = widen_narrow_scan(df)
     if use_arrow:
         from pyspark.sql.functions import pandas_udf
 
@@ -183,14 +197,20 @@ def sig_band_rows(sig: DataFrame) -> DataFrame:
 
 
 def minhash_band_rows(
-    df: DataFrame, id_col: str, text_col: str, use_arrow: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    use_arrow: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """(id, band_idx, band_sig) LSH band rows — the minhash signature
     exploded into its bands. Shared by the batch pair-finder below and
     the incremental ``streaming.dedup_index.DedupIndex``. ``use_arrow``
     forwards to :func:`minhash_signatures` — a caller whose band rows
     feed a BROADCAST (tiny side) may measure faster on the JVM path."""
-    return sig_band_rows(minhash_signatures(df, id_col, text_col, use_arrow=use_arrow))
+    return sig_band_rows(
+        minhash_signatures(df, id_col, text_col, use_arrow=use_arrow, widen=widen)
+    )
 
 
 def band_pairs(bands: DataFrame) -> DataFrame:
@@ -266,6 +286,7 @@ def ngram_jaccard_pairs(
     # → xxhash64-compress before the distinct, so every downstream
     # shuffle carries 8-byte keys instead of k-word strings (the a134
     # discipline; the raw-shingle oracle hash-checks every jaccard).
+    df = widen_narrow_scan(df)
     exploded = (
         df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
         .select("id", F.explode("sh").alias("s"))
@@ -363,6 +384,7 @@ def simhash_fps(
     offsets: tuple[int, ...] = (0,),
     bits: int = 32,
     use_arrow: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """(id, fp0[, fp1…]): one 32-bit SimHash per md5-hex window offset.
 
@@ -385,7 +407,11 @@ def simhash_fps(
       debugging/verification twin.
 
     All offsets share a single md5 per word; the per-word hash and vote
-    rule mirror the b45/a001 oracle CTEs verbatim."""
+    rule mirror the b45/a001 oracle CTEs verbatim. ``widen=True``
+    repartitions a narrow scan up to the session's shuffle parallelism
+    first (widen_narrow_scan — no-op at real scale)."""
+    if widen:
+        df = widen_narrow_scan(df)
     if use_arrow:
         from pyspark.sql.functions import pandas_udf
 

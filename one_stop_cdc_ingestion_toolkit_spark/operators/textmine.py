@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    register,
+    track_cache,
+    widen_narrow_scan,
+)
 
 #: Top-N BPE merge candidates reported (a128).
 BPE_TOP = 20
@@ -275,7 +279,7 @@ def a134_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks the final counts every round)."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
-    d = tables(spark, sf_dir)["documents"]
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
     mx = d.agg((F.max("doc_id") + 1).alias("m"))
     gb = track_cache(
         d.crossJoin(F.broadcast(mx))
@@ -456,9 +460,13 @@ def a138_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per pair: total matched positions, longest shared span in words,
     and the count of spans ≥ {SPAN_MIN_WORDS} words. Scale: the gram
-    join runs ONLY over candidate pairs (LSH bounds the pair space);
-    shuffle keys are (doc pair, offset) — never whole documents; every
-    stage is codegen + window, no Python."""
+    join runs ONLY over candidate pairs (LSH bounds the pair space) —
+    and so does the positioned explode: the corpus is semi-joined down
+    to the docs that appear in some candidate pair BEFORE any shingle
+    is materialized, so the per-position stream (the one data-sized
+    intermediate) is O(candidate docs), not O(corpus). Shuffle keys
+    are (doc pair, offset) — never whole documents; every stage is
+    codegen + window, no Python."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
         SHINGLE_K,
         band_pairs,
@@ -468,7 +476,16 @@ def a138_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     d = tables(spark, sf_dir)["documents"]
-    pairs = band_pairs(minhash_band_rows(d, "doc_id", "text"))
+    # cached: the pair list is consumed twice (candidate-doc prefilter +
+    # the pair join) — without the cache each broadcast would re-run the
+    # whole minhash pipeline.
+    pairs = track_cache(band_pairs(minhash_band_rows(d, "doc_id", "text")))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    d = d.join(F.broadcast(cand_ids), "doc_id")
     # cached: the positioned shingle stream feeds BOTH sides of the gram
     # join — one explode instead of two. Matching only needs gram
     # IDENTITY (positions carry the span logic) → xxhash64-compress the

@@ -72,7 +72,10 @@ class DedupIndex:
             F.col(self.id_col).alias("id"),
             fingerprint(F.col(self.text_col)).alias("fp"),
         )
-        bands = minhash_band_rows(docs, self.id_col, self.text_col)
+        # widen=False: microbatches are small by construction — the
+        # narrow-scan repartition would add a shuffle per batch for
+        # nothing.
+        bands = minhash_band_rows(docs, self.id_col, self.text_col, widen=False)
         return bands.join(fps, "id").select("id", "fp", "band_idx", "band_sig")
 
     def update(self, spark: SparkSession, touched_state: DataFrame) -> None:
