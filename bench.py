@@ -49,8 +49,11 @@ def main() -> None:
     # Repeats separate plan cost from run-to-run variance (machine load,
     # JIT, GC): per-query time is the MIN across repeats — the standard
     # best-of-n noise floor. r1 flagged q32/q33/q53 at 1.5-2x their own
-    # baseline purely from single-shot variance at sub-2s scale.
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # baseline purely from single-shot variance at sub-2s scale; the r4
+    # host shows CPU-steal spikes that inflate single runs 3-5x, so the
+    # default is min-of-3 (run 1 additionally pays per-plan codegen that
+    # runs 2-3 measure without).
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in queries.items():

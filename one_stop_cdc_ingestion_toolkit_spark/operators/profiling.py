@@ -17,6 +17,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.operators import register
@@ -239,19 +240,24 @@ def a034_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(F.sum("n").alias("total"))
-    exp_rows = [(d, _BENFORD[d]) for d in range(1, 10)]
-    exp_t = spark.createDataFrame(exp_rows, "digit int, benford_pct double")
-    pct = F.col("n").cast("double") / F.col("total")
+    # expectation as an element_at over literal constants (same
+    # 10-decimal literals as the oracle's VALUES table) and the total
+    # as a window over the 9-row aggregate — ONE job, no driver-side
+    # table, no broadcast round-trips. The lit(1) partition is bounded
+    # by construction (digits 1-9).
+    exp_arr = F.array(
+        *[F.lit(float(f"{_BENFORD[d]:.10f}")) for d in range(1, 10)]
+    )
+    benford = F.element_at(exp_arr, F.col("digit"))
+    total = F.sum("n").over(W.partitionBy(F.lit(1)))
+    pct = F.col("n").cast("double") / total
     return (
-        counts.join(F.broadcast(exp_t), "digit")
-        .crossJoin(F.broadcast(tot))
-        .select(
+        counts.select(
             "digit",
             "n",
             F.round(pct, 4).alias("pct"),
-            F.round("benford_pct", 4).alias("benford_pct"),
-            F.round(F.abs(pct - F.col("benford_pct")), 4).alias("abs_dev"),
+            F.round(benford, 4).alias("benford_pct"),
+            F.round(F.abs(pct - benford), 4).alias("abs_dev"),
         )
         .orderBy("digit")
     )

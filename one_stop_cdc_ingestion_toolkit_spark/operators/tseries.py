@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 
 #: minimum active days for a user to have a meaningful curve.
 MIN_ACTIVE_DAYS = 5
@@ -102,7 +102,10 @@ def a035_curve_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
     users = ev.select("user_id").distinct()
-    dense = (
+    # cached: consumed three times (per-user moments, the global curve,
+    # and the z-distance terms) — without it the densify pipeline runs
+    # three times.
+    dense = track_cache(
         users.crossJoin(F.broadcast(days))
         .join(raw, ["user_id", "day"], "left")
         .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n"))
