@@ -33,7 +33,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    register,
+    track_cache,
+    widen_narrow_scan,
+)
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import EMB_DIM, cosine
 
 #: Salt for the group-split hash (a112) — versioned so a re-split is an
@@ -77,7 +81,7 @@ def doc_bigram_logprob(docs: DataFrame) -> DataFrame:
     verbatim in the oracle CTE. Docs with <2 words have no bigrams and
     drop out — mirrored by the oracle's generate_series upper bound.
     """
-    d = docs.select(
+    d = widen_narrow_scan(docs).select(
         "doc_id",
         "lang",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("ws"),

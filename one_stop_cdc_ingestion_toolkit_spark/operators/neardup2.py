@@ -431,12 +431,33 @@ def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote/sub-document case (small A fully inside big B has low Jaccard
     but cont_a ≈ 1); real dedup policies branch on containment. The
     exact intersection is computed ONLY for q43's banded candidates —
-    postings join against a bounded pair list, never corpus²."""
+    postings join against a bounded pair list, never corpus². The
+    shingle explode too: the corpus is semi-joined down to docs that
+    appear in some candidate pair BEFORE shingles materialize, so the
+    per-shingle stream is O(candidate docs), not O(corpus); shingles
+    are xxhash64-compressed ahead of the distinct/join shuffles (the
+    a134 discipline — the raw-shingle oracle hash-checks every
+    containment)."""
     d = tables(spark, sf_dir)["documents"]
-    pairs = minhash_lsh_pairs(d, "doc_id", "text").select("id_a", "id_b")
-    sh = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    ).distinct()
+    # cached: the pair list feeds the candidate-doc prefilter AND the
+    # postings join — uncached, each use re-runs the minhash pipeline.
+    pairs = track_cache(
+        minhash_lsh_pairs(d, "doc_id", "text").select("id_a", "id_b")
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    dc = d.join(F.broadcast(cand_ids), "doc_id")
+    # cached: consumed three times (sizes + both postings sides).
+    sh = track_cache(
+        dc.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+        )
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    register,
+    track_cache,
+    widen_narrow_scan,
+)
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
     minhash_lsh_pairs,
     word_shingles,
@@ -432,11 +436,13 @@ def a144_cross_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle's postings list is bounded by the number of SOURCES, not the
     number of documents — candidate generation can never go quadratic in
     corpus size (contrast the df-cap discussion on q44)."""
-    d = tables(spark, sf_dir)["documents"]
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
     # shingle IDENTITY is all the join/counts need → xxhash64-compress
     # before the distinct/join shuffles (the a134 discipline; the
-    # raw-shingle oracle hash-checks every containment value)
-    sh = (
+    # raw-shingle oracle hash-checks every containment value). Cached:
+    # consumed three times (per-source counts + both join sides) —
+    # uncached, the explode+distinct pipeline would run three times.
+    sh = track_cache(
         d.select(
             "source", F.explode(word_shingles(F.col("text"))).alias("s")
         )
