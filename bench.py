@@ -86,6 +86,36 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
 
+    # The driver records only a ~4KB TAIL of stdout; the full 200-query
+    # line above is ~7KB so its HEAD (metric/value) was cut off in r3/r4
+    # ("parsed": null). Persist the full payload to a repo file, then
+    # print a compact, contract-shaped line LAST so the tail always ends
+    # with parseable JSON: total + per-family sums + the worst offenders.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
+    fams: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = name.split("_", 1)[0][:1]  # a/b/c/d/q prefix family
+        fams[f"family_{fam}_sum"] = round(fams.get(f"family_{fam}_sum", 0.0) + sec, 3)
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    compact = {
+        "metric": "declared_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {**fams, **worst},
+        "sf": float(sf),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "full_payload": "BENCH_LOCAL.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
+
 
 if __name__ == "__main__":
     main()

@@ -48,7 +48,15 @@ def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     (id, text) projection of an input that is by construction small
     (few splits x maxPartitionBytes)."""
     spark = df.sparkSession
-    target = min_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if min_parts is not None:
+        target = min_parts
+    else:
+        # the conf can be non-numeric on some platforms (e.g. "auto"
+        # under vendor AQE forks) — fall back to cluster parallelism
+        try:
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:
         return df.repartition(target)
     return df

@@ -39,6 +39,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import (
     REGISTRY,
     register,
     track_cache,
+    widen_narrow_scan,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (  # noqa: F401
     minhash_lsh_pairs,
@@ -440,7 +441,9 @@ def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment)."""
     d = tables(spark, sf_dir)["documents"]
     # cached: the pair list feeds the candidate-doc prefilter AND the
-    # postings join — uncached, each use re-runs the minhash pipeline.
+    # postings join. minhash_lsh_pairs caches its band rows internally,
+    # so what this outer cache saves is only the band_pairs SELF-JOIN
+    # (the expensive candidate generation), not the signature kernels.
     pairs = track_cache(
         minhash_lsh_pairs(d, "doc_id", "text").select("id_a", "id_b")
     )
@@ -449,7 +452,9 @@ def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    dc = d.join(F.broadcast(cand_ids), "doc_id")
+    # re-widen after the broadcast join (it inherits the narrow scan's
+    # partitioning) so the shingle explode parallelizes
+    dc = widen_narrow_scan(d.join(F.broadcast(cand_ids), "doc_id"))
     # cached: consumed three times (sizes + both postings sides).
     sh = track_cache(
         dc.select(

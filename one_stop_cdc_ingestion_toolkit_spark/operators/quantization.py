@@ -83,7 +83,7 @@ def _duck_cos2(a: str, b: str, dim: int = EMB_DIM) -> str:
 
 
 @register(
-    "a051_int8_quant_error",
+    "a0051_int8_quant_error",
     f"""WITH dims AS (
           SELECT i, MAX(ABS(CAST(embedding[i + 1] AS DOUBLE))) AS mx
           FROM embeddings CROSS JOIN generate_series(0, {EMB_DIM - 1}) t(i)
@@ -145,7 +145,7 @@ def a051_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a052_matryoshka_recall",
+    "a0052_matryoshka_recall",
     f"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                    FROM embeddings WHERE vec_id < {MK_QUERIES}),
         scored AS (
@@ -302,7 +302,7 @@ def _duck_sig(vec: str) -> str:
 
 
 @register(
-    "a054_jl_distortion",
+    "a0054_jl_distortion",
     f"""WITH sig AS (
           SELECT vec_id, embedding, {_duck_sig('embedding')} AS s,
                  {_duck_jl_vec('embedding')} AS proj,

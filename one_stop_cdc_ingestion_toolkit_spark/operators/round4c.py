@@ -52,7 +52,7 @@ VOCAB_SIZES = [1000, 2000, 4000, 8000]
 
 
 @register(
-    "a055_k_anonymity",
+    "a0055_k_anonymity",
     f"""WITH qi AS (
           SELECT c_nationkey, c_mktsegment,
                  CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / {BAL_BAND}) AS BIGINT)
@@ -120,7 +120,7 @@ def a055_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a056_hard_negatives",
+    "a0056_hard_negatives",
     f"""WITH q AS (
           SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
           FROM embeddings WHERE vec_id < {HN_QUERIES}),
@@ -189,7 +189,7 @@ def _vocab_rows() -> str:
 
 
 @register(
-    "a057_vocab_coverage",
+    "a0057_vocab_coverage",
     f"""WITH words AS (
           SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
           FROM documents),

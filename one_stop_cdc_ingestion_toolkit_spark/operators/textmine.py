@@ -485,7 +485,10 @@ def a138_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    d = d.join(F.broadcast(cand_ids), "doc_id")
+    # broadcast-hash-join preserves the stream side's (single-split)
+    # partitioning — re-widen so the posexplode+xxhash64 stage below
+    # parallelizes instead of running on one core
+    d = widen_narrow_scan(d.join(F.broadcast(cand_ids), "doc_id"))
     # cached: the positioned shingle stream feeds BOTH sides of the gram
     # join — one explode instead of two. Matching only needs gram
     # IDENTITY (positions carry the span logic) → xxhash64-compress the

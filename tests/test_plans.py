@@ -123,7 +123,7 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         # jl_project kernel (16 HOF folds/row otherwise; bit-equality
         # cross-check in test_quantization.py) — also an lsh_signature
         # consumer for its candidate pairs
-        "a054_jl_distortion",
+        "a0054_jl_distortion",
     }
     offenders = []
     for name, spec in sorted(load_all().items()):
