@@ -43,9 +43,7 @@ from pyspark.sql import functions as F
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.operators import (
     register,
-    release_checkpoint,
     track_cache,
-    track_local_checkpoint,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
     _duck_cos_vs,
@@ -832,12 +830,6 @@ def a014_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: number of coreset centers for e161.
 KCENTER_K = 8
-#: truncate the running-min lineage every this many greedy rounds — the
-#: plan would otherwise accumulate one least() term per round and each
-#: round would re-evaluate all of them from the scan (O(k²·n·d)).
-KCENTER_CKPT = 4
-
-
 def _duck_l2(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(generate_series(1, {EMB_DIM}), "
@@ -873,6 +865,129 @@ def _kcenter_oracle(k: int = KCENTER_K) -> str:
     return f"WITH {', '.join(ctes)} {selects} ORDER BY step"
 
 
+#: candidate-pool size for the batched farthest-first rounds. One
+#: TakeOrdered job collects the top-POOL frontier (vectors included, a
+#: POOL × dim-doubles collect — ~1 MB); the driver then extracts as
+#: many EXACT centers from it as the certificate allows. Raise to batch
+#: more picks per job on bigger corpora.
+KCENTER_POOL = 2048
+
+
+def _py_l2sq(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of `_l2sq`: the same left fold in index order
+    over IEEE doubles, so pool-local distance updates stay bit-identical
+    to the distributed (and DuckDB ``list_sum``) computation."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc += d * d
+    return acc
+
+
+def _kcenter_scored(base: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """``base`` + running min-distance ``md`` to ``centers``.
+
+    The whole scoring expression is built as ONE SQL string handed to
+    `F.expr` — a single py4j call. Building it column-by-column costs
+    ~70 py4j round-trips per 64-literal centroid (measured: expression
+    CONSTRUCTION, not execution, dominated the greedy loop), and a
+    centers-as-broadcast-data variant pays a per-round broadcast
+    exchange (~2x slower per pool job than the literal form). Float
+    literals are emitted with ``repr`` (shortest round-trip — parses to
+    the identical IEEE double). ``array_min`` over the per-center
+    squared distances is bit-identical to the oracle's ``LEAST`` chain
+    (min over doubles is exact and order-free); the inner ``aggregate``
+    replays `_l2sq`'s index-order left fold."""
+    arr = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centers
+        )
+        + ")"
+    )
+    md = (
+        f"array_min(transform({arr}, c -> "
+        "aggregate(zip_with(e, c, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, x) -> acc + x)))"
+    )
+    return base.select(*base.columns, F.expr(md).alias("md"))
+
+
+def _kcenter_greedy(
+    base: DataFrame,
+) -> tuple[list[tuple[int, int, float]], list[list[float]]]:
+    """EXACT farthest-first traversal (greedy k-center) with
+    candidate-pool batching; returns the ``(step, vec_id, radius)``
+    trace and the picked center vectors, in pick order.
+
+    Naive GFF costs k sequential distributed jobs — pure job-latency at
+    bench scale and k cluster barriers at real scale. Instead, each
+    distributed round computes the running min-distance (a least() chain
+    over the centers picked so far — one codegen projection, the corpus
+    never shuffles) and collects only the top-KCENTER_POOL frontier via
+    TakeOrderedAndProject (per-partition heaps). The driver then keeps
+    picking exact centers inside the pool under this certificate: every
+    point OUTSIDE the pool has md ≤ the pool's smallest collected value,
+    and md is non-increasing as centers are added, so while the best
+    in-pool candidate stays STRICTLY above that bound it is the global
+    argmax. A tie at the bound (measure-zero for real embeddings) falls
+    back to one exact distributed ``max_by`` pick, guaranteeing
+    progress. Equal-md ties inside the pool break by smallest vec_id,
+    same as the distributed struct ordering and the oracle's
+    ``ORDER BY md DESC, vec_id``.
+
+    At sf0.1 all k centers come from ONE pool job (3 jobs total incl.
+    the seed pick); at 100 TB the certificate degrades gracefully toward
+    one job per center — never MORE jobs than the naive loop, and the
+    collect stays B × dim doubles regardless of corpus size."""
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    picked = [(0, int(first["vec_id"]), 0.0)]
+    centers = [[float(x) for x in first["e"]]]
+
+    while len(picked) < KCENTER_K:
+        scored = _kcenter_scored(base, centers)
+        pool_rows = (
+            scored.orderBy(F.col("md").desc(), "vec_id")
+            .limit(KCENTER_POOL)
+            .collect()
+        )
+        # strictly fewer rows than requested ⇒ the pool IS the corpus
+        # and the certificate always holds.
+        full = len(pool_rows) < KCENTER_POOL
+        pool = [
+            [float(r["md"]), int(r["vec_id"]), [float(x) for x in r["e"]]]
+            for r in pool_rows
+        ]
+        bound = None if full else pool[-1][0]
+        progressed = False
+        while len(picked) < KCENTER_K:
+            best = max(pool, key=lambda p: (p[0], -p[1]))
+            if not full and not (best[0] > bound):
+                break
+            picked.append((len(picked), best[1], best[0]))
+            centers.append(best[2])
+            progressed = True
+            if len(picked) >= KCENTER_K:
+                break
+            for p in pool:
+                d = _py_l2sq(p[2], best[2])
+                if d < p[0]:
+                    p[0] = d
+        if not progressed:
+            # boundary tie: one exact distributed pick, then re-pool.
+            far = scored.agg(
+                F.max_by(
+                    F.struct("vec_id", "e", "md"),
+                    F.struct(F.col("md"), (-F.col("vec_id")).alias("nv")),
+                ).alias("p")
+            ).collect()[0]["p"]
+            picked.append((len(picked), int(far["vec_id"]), float(far["md"])))
+            centers.append([float(x) for x in far["e"]])
+    return picked, centers
+
+
 @register("a015_kcenter_coreset", _kcenter_oracle())
 def a015_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity coreset by farthest-first traversal (the classic
@@ -884,50 +999,26 @@ def a015_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     when chosen, a monotone non-increasing sequence whose final value
     2-approximates the optimal k-center cover radius.
 
-    k driver rounds, each one codegen projection (running min against
-    literal centers — embeddings never shuffle) plus a single max_by
-    partial agg collecting ONE row; the oracle unrolls the same k
-    rounds as CTEs, arithmetic bit-identical (no transcendentals).
-    Every KCENTER_CKPT rounds the running-min column is
-    localCheckpoint'ed (VERDICT r3 #4): without it, round r re-evaluates
-    all r accumulated least() terms over a fresh scan — O(k²·n·d) total
-    — and the logical plan grows without bound. With it, lineage depth
-    is constant and total work is O(k·n·d) plus k/KCENTER_CKPT
-    materializations; k itself is bounded by the driver round-trips
-    (one collect per round), so keep KCENTER_K ≲ 10³.
-
-    Measured note: unlike `assign_clusters` (one k-centroid evaluation
-    → Arrow kernel wins ~2×), this loop chains ONE-centroid updates, so
-    an Arrow path stacks a Python serialization round-trip per round
-    between checkpoints and came out ~30% SLOWER at sf0.1 — the
-    interpreted HOF fold stays the right physical choice here."""
+    Candidate-pool batched (see `_kcenter_greedy`): distributed rounds
+    collect only the exact top-KCENTER_POOL frontier and the driver
+    extracts every center the certificate proves global — at this scale
+    all k come from ONE pool job; the oracle unrolls the same k greedy
+    rounds as CTEs, arithmetic bit-identical (no transcendentals, and
+    the driver-side distance fold replays `_l2sq`'s index-order left
+    fold exactly)."""
     emb = tables(spark, sf_dir)["embeddings"]
     base = emb.select("vec_id", F.col("embedding").alias("e"))
-    first = base.orderBy("vec_id").limit(1).collect()[0]
-    picked = [(0, int(first["vec_id"]), 0.0)]
-    center = [float(x) for x in first["e"]]
-    cur = base.withColumn("md", _l2sq(F.col("e"), center))
-    prev_ckpt = None
-    for step in range(1, KCENTER_K):
-        far = cur.agg(
-            F.max_by(
-                F.struct("vec_id", "e", "md"),
-                F.struct(F.col("md"), (-F.col("vec_id")).alias("nv")),
-            ).alias("p")
-        ).collect()[0]["p"]
-        picked.append((step, int(far["vec_id"]), float(far["md"])))
-        center = [float(x) for x in far["e"]]
-        if step < KCENTER_K - 1:
-            cur = cur.withColumn("md", F.least("md", _l2sq(F.col("e"), center)))
-            if step % KCENTER_CKPT == 0:
-                cur = track_local_checkpoint(cur)
-                if prev_ckpt is not None:
-                    release_checkpoint(prev_ckpt)
-                prev_ckpt = cur
-    return spark.createDataFrame(
-        [(s, v, float(round(r, 6))) for s, v, r in picked],
-        "step int, vec_id long, radius double",
-    ).orderBy("step")
+    picked, _ = _kcenter_greedy(base)
+    # VALUES literal instead of createDataFrame: one py4j call, no
+    # Python->JVM data conversion job (~1s faster for a k-row result).
+    rows = ", ".join(
+        f"({s}, {v}, {float(round(r, 6))!r})" for s, v, r in picked
+    )
+    return spark.sql(
+        "SELECT CAST(step AS INT) AS step, CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(radius AS DOUBLE) AS radius "
+        f"FROM VALUES {rows} AS t(step, vec_id, radius) ORDER BY step"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1075,30 +1166,15 @@ def a018_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     to raise k or stratify selection by label before using the coreset
     as an exemplar set.
 
-    Same k driver rounds as e161 to obtain the centers (with the same
-    KCENTER_CKPT lineage truncation — VERDICT r3 #4), then ONE codegen
-    pass computes min-distance against all k literal centers and a
-    label-keyed partial agg reduces it — embeddings never shuffle."""
+    Same candidate-pool batched traversal as e161 (shared
+    `_kcenter_greedy`) to obtain the centers, then ONE codegen pass
+    computes min-distance against all k literal centers (least() chain
+    in pick order, exactly the oracle's m_{k-1}) and a label-keyed
+    partial agg reduces it — embeddings never shuffle."""
     emb = tables(spark, sf_dir)["embeddings"]
     base = emb.select("vec_id", "label", F.col("embedding").alias("e"))
-    first = base.orderBy("vec_id").limit(1).collect()[0]
-    centers = [[float(x) for x in first["e"]]]
-    cur = base.withColumn("md", _l2sq(F.col("e"), centers[0]))
-    prev_ckpt = None
-    for step in range(1, KCENTER_K):
-        far = cur.agg(
-            F.max_by(
-                F.struct("vec_id", "e", "md"),
-                F.struct(F.col("md"), (-F.col("vec_id")).alias("nv")),
-            ).alias("p")
-        ).collect()[0]["p"]
-        centers.append([float(x) for x in far["e"]])
-        cur = cur.withColumn("md", F.least("md", _l2sq(F.col("e"), centers[-1])))
-        if step % KCENTER_CKPT == 0:
-            cur = track_local_checkpoint(cur)
-            if prev_ckpt is not None:
-                release_checkpoint(prev_ckpt)
-            prev_ckpt = cur
+    _, centers = _kcenter_greedy(base.select("vec_id", "e"))
+    cur = _kcenter_scored(base, centers)
     return (
         cur.groupBy("label")
         .agg(

@@ -484,9 +484,12 @@ def a115_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-gram eval/corpus presence flags fold map-side (bool OR), so no
     join, no second scan, no broadcast — the per-gram row is two
     booleans regardless of document frequency."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators import widen_narrow_scan
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
-    d = tables(spark, sf_dir)["documents"]
+    # widen the single-split scan so the CPU-heavy gram explode + map-side
+    # partial agg parallelize (no-op at real scale)
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
     gx = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), k=COVERAGE_K)).alias("g")
     )

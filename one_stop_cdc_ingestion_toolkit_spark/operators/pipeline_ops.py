@@ -244,13 +244,21 @@ def c86_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c87_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signal: most-frequent-bigram share of all bigrams —
-    boilerplate/spam detector (high ratio = templated text). Two partial
-    aggregations keyed by doc (map-side combine both times), never a
-    per-doc collect; the exact-operand division keeps the double
-    cross-engine stable."""
+    boilerplate/spam detector (high ratio = templated text).
+
+    Two partial aggregations keyed by doc (map-side combine both
+    times), never a per-doc collect; the exact-operand division keeps
+    the double cross-engine stable. The single-split scan is widened
+    first so the explode + map-side partial agg parallelize (measured
+    0.80 → 0.53 s at sf0.1). A within-row formulation (array_sort +
+    aggregate-fold for the longest run) was tried and is ~2.6× SLOWER:
+    higher-order folds run interpreted (CodegenFallback), so 250k
+    struct-building fold steps cost more than the two short-key
+    shuffles they avoid."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators import widen_narrow_scan
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
-    d = tables(spark, sf_dir)["documents"]
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
     bg = d.select(
         "doc_id",
         F.explode(word_shingles(F.col("text"), k=2)).alias("bigram"),
