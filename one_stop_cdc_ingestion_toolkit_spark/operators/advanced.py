@@ -252,9 +252,20 @@ def pack_shards(
     for row in per:
         offsets.append((row["__pid"], acc))
         acc += row["s"]
-    off = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "__pid int, __offset long")
-    )
+    if offsets:
+        # VALUES literal: one py4j call, no Python->JVM conversion job
+        # (createDataFrame costs ~1s of fixed overhead per call).
+        vals = ", ".join(f"({p}, {o})" for p, o in offsets)
+        off_df = df.sparkSession.sql(
+            "SELECT CAST(__pid AS INT) AS __pid, "
+            "CAST(__offset AS BIGINT) AS __offset "
+            f"FROM VALUES {vals} AS t(__pid, __offset)"
+        )
+    else:
+        off_df = df.sparkSession.createDataFrame(
+            [], "__pid int, __offset long"
+        )
+    off = F.broadcast(off_df)
     local = (
         W.partitionBy("__pid").orderBy(id_col).rowsBetween(W.unboundedPreceding, -1)
     )

@@ -1,0 +1,100 @@
+"""Deterministic large-scale `documents` fixture generator for the scale
+rehearsal (VERDICT r4 ask #5).
+
+Produces a documents.parquet shaped like the driver fixtures
+(/root/repo/TESTDATA.md: doc_id, text, lang, source, n_chars) at an
+arbitrary multiple of sf0.1's 5,000 docs, with the same dedup-relevant
+structure the engine's near-dup family exercises:
+
+- ~80% independent word-salad docs over the fixtures' small vocabulary,
+- ~8% near-duplicates (a few word substitutions over an earlier doc —
+  LSH candidates with Jaccard well above threshold),
+- ~4% exact duplicates,
+- ~8% span-sharing docs (a long verbatim run copied into fresh salad —
+  a138's case).
+
+Written with pyarrow in 5,000-row row groups so the file carries
+multiple splits (unlike the single-row-group driver fixtures — see
+memory note: single-rowgroup testdata).
+
+Usage: python tools/gen_scale.py OUT_DIR N_DOCS [SEED]
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data a vector join index plan shuffle stage task broadcast cache "
+    "skew limit count"
+).split()
+
+LANGS = ("en", "zh", "de", "fr", "es")
+SOURCES = tuple(f"src{i}" for i in range(10))
+
+
+def gen_documents(n_docs: int, seed: int = 1_234) -> dict[str, list]:
+    rng = random.Random(seed)
+    texts: list[str] = []
+    for i in range(n_docs):
+        kind = rng.random()
+        if i > 100 and kind < 0.08:
+            # near-duplicate: mutate ~10% of an earlier doc's words
+            base = texts[rng.randrange(len(texts))].split()
+            for _ in range(max(1, len(base) // 10)):
+                base[rng.randrange(len(base))] = rng.choice(VOCAB)
+            texts.append(" ".join(base))
+        elif i > 100 and kind < 0.12:
+            # exact duplicate
+            texts.append(texts[rng.randrange(len(texts))])
+        elif i > 100 and kind < 0.20:
+            # span sharer: a 12..25-word verbatim run inside fresh salad
+            donor = texts[rng.randrange(len(texts))].split()
+            span_len = min(len(donor), rng.randint(12, 25))
+            start = rng.randrange(max(1, len(donor) - span_len + 1))
+            span = donor[start : start + span_len]
+            pre = [rng.choice(VOCAB) for _ in range(rng.randint(5, 20))]
+            post = [rng.choice(VOCAB) for _ in range(rng.randint(5, 20))]
+            texts.append(" ".join(pre + span + post))
+        else:
+            n_words = rng.randint(15, 80)
+            texts.append(" ".join(rng.choice(VOCAB) for _ in range(n_words)))
+    return {
+        "doc_id": list(range(n_docs)),
+        "text": texts,
+        "lang": [LANGS[rng.randrange(len(LANGS))] for _ in range(n_docs)],
+        "source": [SOURCES[i % len(SOURCES)] for i in range(n_docs)],
+        "n_chars": [len(t) for t in texts],
+    }
+
+
+def write_documents(out_dir: str, n_docs: int, seed: int = 1_234) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    cols = gen_documents(n_docs, seed)
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "text": pa.array(cols["text"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "source": pa.array(cols["source"], pa.string()),
+            "n_chars": pa.array(cols["n_chars"], pa.int64()),
+        }
+    )
+    path = os.path.join(out_dir, "documents.parquet")
+    pq.write_table(table, path, row_group_size=5_000)
+    return path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 1_234
+    p = write_documents(out, n, seed)
+    print(f"wrote {n} docs -> {p}")

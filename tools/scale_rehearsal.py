@@ -1,0 +1,71 @@
+"""Scale rehearsal for the dedup family (VERDICT r4 ask #5): run the
+near-dup pipeline at 1x / 4x / 10x of the sf0.1 corpus size and check
+that runtime grows ~linearly and the banding/df-cap bounds hold (pair
+count stays orders of magnitude under corpus², no pair blowup).
+
+Usage: python tools/scale_rehearsal.py [--sizes 5000,20000,50000]
+
+Prints a markdown table for the BASELINE.md appendix.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.gen_scale import write_documents  # noqa: E402
+
+QUERIES = (
+    "q43_minhash_lsh_pairs",
+    "q44_ngram_jaccard_dups",
+    "a001_simhash_hamming_pairs",
+    "d96_dup_clusters",
+    "c88_decontaminate",
+)
+
+
+def main() -> None:
+    sizes = [5_000, 20_000, 50_000]
+    for a in sys.argv[1:]:
+        if a.startswith("--sizes"):
+            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
+    import __spark_entry__ as entry_mod
+    from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches
+    from one_stop_cdc_ingestion_toolkit_spark.session import get_session
+
+    spark = get_session("scale-rehearsal")
+    qs = entry_mod.queries()
+
+    dirs = {}
+    for n in sizes:
+        d = f"/tmp/scale_docs_{n}"
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            write_documents(d, n)
+        dirs[n] = d
+
+    # warm
+    qs[QUERIES[0]](spark, dirs[sizes[0]]).count()
+    release_caches()
+
+    print("| query | " + " | ".join(f"{n} docs (s / rows)" for n in sizes) + " |")
+    print("|---|" + "---|" * len(sizes))
+    for q in QUERIES:
+        cells = []
+        for n in sizes:
+            best, rows = float("inf"), 0
+            for _ in range(2):
+                t0 = time.time()
+                rows = qs[q](spark, dirs[n]).count()
+                best = min(best, time.time() - t0)
+                release_caches()
+            cells.append(f"{best:.2f} / {rows}")
+        print(f"| {q} | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()
