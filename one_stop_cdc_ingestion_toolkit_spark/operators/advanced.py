@@ -30,6 +30,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import (
     release_checkpoint,
     track_cache,
     track_local_checkpoint,
+    widen_narrow_scan,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
     MINHASH_A,
@@ -552,12 +553,18 @@ def d97_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-count floor to kill noise. All counts are exact integers below
     2^53 (products exact as doubles), ONE division + ln per bigram,
     ROUND(4) — no double summation. Plan: two partial-agg shuffles
-    (unigrams, bigrams), two term-keyed joins, TakeOrderedAndProject."""
-    d = tables(spark, sf_dir)["documents"]
+    (unigrams, bigrams) over a widened scan, the unigram table cached
+    once for its THREE consumers (total + both term joins — uncached it
+    re-ran the unigram explode each time), TakeOrderedAndProject.
+    The term joins are deliberately NOT force-broadcast: a web-scale
+    vocabulary after whitespace split runs to 10^8+ rows (typos, URLs),
+    which would OOM a forced broadcast — AQE picks broadcast at runtime
+    when the cached unigram table is actually small."""
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
     uni = d.select(
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    ucnt = track_cache(uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
     tot = ucnt.agg(F.sum("c1").cast("double").alias("n_tok"))
     bg = d.select(F.explode(word_shingles(F.col("text"), k=2)).alias("bigram"))
     bcnt = (

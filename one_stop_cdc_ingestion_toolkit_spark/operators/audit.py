@@ -205,7 +205,9 @@ def a119_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The operator reports the admitted row count, the true-match count,
     and the realized false-positive rate of the ``BLOOM_BUCKETS``-wide
     filter. Both joins broadcast the small side; the fact table is never
-    shuffled."""
+    shuffled. (A collect-and-inline IN-set variant for the bucket filter
+    was measured ~35% SLOWER here — the extra synchronous collect job
+    plus a 640-value InSet per row loses to the broadcast hash join.)"""
     t = tables(spark, sf_dir)
     keys = t["part"].filter(F.col("p_size") < 10).select("p_partkey").distinct()
     buckets = keys.select(
