@@ -34,6 +34,28 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: accumulating cached blocks until executor eviction.
 _LIVE_CACHES: list[DataFrame] = []
 
+#: widen_narrow_scan partition-probe memo. ``df.rdd.getNumPartitions()``
+#: forces a full physical-planning pass (~25 ms on a plain scan, ~120 ms
+#: on a join-rooted frame); most widen calls probe the SAME catalog-cached
+#: scan DataFrame every query, so an identity-keyed memo removes the
+#: repeat cost. Keyed by id() with a weakref guard against id reuse after
+#: GC; a frame's input split count is stable for a fixed session conf.
+_WIDEN_MEMO: dict[int, tuple[object, int]] = {}
+
+
+def _input_partitions(df: DataFrame) -> int:
+    import weakref
+
+    hit = _WIDEN_MEMO.get(id(df))
+    if hit is not None and hit[0]() is df:
+        return hit[1]
+    n = df.rdd.getNumPartitions()
+    if len(_WIDEN_MEMO) > 256:  # evict refs whose frame was collected
+        for k in [k for k, (r, _) in _WIDEN_MEMO.items() if r() is None]:
+            del _WIDEN_MEMO[k]
+    _WIDEN_MEMO[id(df)] = (weakref.ref(df), n)
+    return n
+
 
 def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition a NARROW input ahead of a CPU-heavy
@@ -57,7 +79,7 @@ def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
             target = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
             target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    if _input_partitions(df) * 2 <= target:
         return df.repartition(target)
     return df
 
@@ -158,6 +180,7 @@ def load_all() -> dict[str, QuerySpec]:
         round4,
         round4b,
         round4c,
+        round5,
         selection,
         similarity,
         text,

@@ -1,0 +1,299 @@
+"""Round-5 extension batch (`a0001`–`a0003`).
+
+- a0001: image RESIZE — nearest-neighbor downsample of a real decoded
+  PNG raster (the stdlib codec a050 proves), the missing verb in the
+  multimodal set (decode: a050 / b52, feature-extract: a049). The
+  resize runs on actual decoded pixels inside the Arrow batch; the
+  oracle recomputes the kept-pixel sum directly from the source bytes,
+  so a resize that samples the wrong pixels hash-fails.
+- a0002: video FRAME-SAMPLE — every-k-th-frame sampling out of a
+  length-prefixed frame container, the other missing multimodal verb.
+  Real video codecs aren't in this container (documented stub per the
+  build brief); the CONTAINER format, binary plumbing, Arrow batch
+  shape, and stride arithmetic are real and oracle-checked.
+- a0003: cross-lingual duplicate candidates — exact inverted-index
+  pair generation (df-capped, the q44 discipline) restricted to pairs
+  whose documents carry DIFFERENT lang tags: the translation-leak /
+  mislabeled-language audit a multilingual corpus runs before
+  per-language dedup (same family as CCMatrix mining, public).
+
+Naming: the `a000x` prefix sorts these into the driver's 50-name
+correctness window for round 5 (the BASELINE.md rotation note); the six
+`a005x` rotations stay inside the window behind them.
+
+No reference parity (the reference is a provisioning CLI — SURVEY §0);
+engine extensions per SURVEY §2.5.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    register,
+    widen_narrow_scan,
+)
+from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+    NGRAM_DF_CAP,
+    word_shingles,
+)
+from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
+    PNG_DOCS,
+    PNG_H,
+    PNG_W,
+)
+
+#: a0001: nearest-neighbor downsample factor (8×4 → 4×2).
+RESIZE_FACTOR = 2
+
+#: a0002: fake-video container geometry — frame payload size (bytes),
+#: sampling stride (keep frames 0, k, 2k, …), and the doc bound shared
+#: with the other multimodal queries.
+FRAME_BYTES = 24
+FRAME_STEP = 3
+FRAME_DOCS = 40
+
+#: Minimum distinct shared shingles for a cross-lingual duplicate pair.
+CL_MIN_SHARED = 5
+
+
+@register(
+    "a0001_image_resize",
+    f"""WITH firstn AS (
+         SELECT doc_id, substr(text, 1, {PNG_W * PNG_H * 3}) AS t
+         FROM documents WHERE doc_id <= {PNG_DOCS}),
+       b AS (
+         SELECT doc_id, t, unnest(generate_series(1, {PNG_W * PNG_H * 3})) AS i
+         FROM firstn)
+       SELECT doc_id,
+              CAST({PNG_W // RESIZE_FACTOR} AS INT) AS out_w,
+              CAST({PNG_H // RESIZE_FACTOR} AS INT) AS out_h,
+              CAST(SUM(CASE WHEN ((i - 1) // 3) % {PNG_W} % {RESIZE_FACTOR} = 0
+                             AND ((i - 1) // 3) // {PNG_W} % {RESIZE_FACTOR} = 0
+                            THEN CASE WHEN i <= length(t)
+                                      THEN LEAST(ascii(substr(t, i, 1)), 255)
+                                      ELSE 0 END
+                            ELSE 0 END) AS BIGINT) AS pix_sum
+       FROM b GROUP BY doc_id ORDER BY doc_id""",
+)
+def a0001_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize, oracle-checked: each document's first W·H·3 text
+    bytes become an RGB raster, round-trip through the stdlib PNG codec
+    (encode → zlib inflate → unfilter, as a050), then nearest-neighbor
+    downsample by RESIZE_FACTOR on the DECODED pixel array — keeping
+    pixels at even (x, y). The emitted (out_w, out_h, Σ kept pixel
+    bytes) must equal the oracle's direct byte-sum over the source
+    characters at even-pixel positions, proving the resize indexes the
+    raster correctly after decode.
+
+    Scale: pure mapInPandas flatMap over a bounded doc set — payload
+    bytes never leave the Arrow batch, no shuffle; at real scale this
+    is the resize stage of an image-curation pipeline (one pass,
+    partition-local, output rows are metadata + small checksums)."""
+    d = tables(spark, sf_dir)["documents"]
+    src = d.filter(F.col("doc_id") <= PNG_DOCS).select("doc_id", "text")
+    n_bytes = PNG_W * PNG_H * 3
+    out_w, out_h = PNG_W // RESIZE_FACTOR, PNG_H // RESIZE_FACTOR
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from one_stop_cdc_ingestion_toolkit_spark.functions import png_codec
+
+        for pdf in it:
+            ids, sums = [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                pixels = bytes(min(ord(c), 255) for c in t[:n_bytes]).ljust(
+                    n_bytes, b"\0"
+                )
+                img = png_codec.decode_png(
+                    png_codec.encode_png(pixels, PNG_W, PNG_H, 3)
+                )
+                arr = np.frombuffer(bytes(img.pixels), dtype=np.uint8).reshape(
+                    img.height, img.width, 3
+                )
+                small = arr[::RESIZE_FACTOR, ::RESIZE_FACTOR, :]
+                assert small.shape == (out_h, out_w, 3)
+                ids.append(i)
+                sums.append(int(small.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "pix_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    resized = src.mapInPandas(batches, "doc_id long, pix_sum long")
+    return resized.select(
+        "doc_id",
+        F.lit(out_w).alias("out_w"),
+        F.lit(out_h).alias("out_h"),
+        "pix_sum",
+    ).orderBy("doc_id")
+
+
+@register(
+    "a0002_frame_sample",
+    f"""WITH v AS (
+         SELECT doc_id, text,
+                CAST(length(text) // {FRAME_BYTES} AS BIGINT) AS n_frames
+         FROM documents
+         WHERE doc_id <= {FRAME_DOCS} AND length(text) >= {FRAME_BYTES}),
+       b AS (
+         SELECT doc_id, n_frames, text,
+                unnest(generate_series(1, n_frames * {FRAME_BYTES})) AS i
+         FROM v)
+       SELECT doc_id, n_frames,
+              CAST((n_frames + {FRAME_STEP} - 1) // {FRAME_STEP} AS BIGINT)
+                AS n_sampled,
+              CAST(SUM(CASE WHEN ((i - 1) // {FRAME_BYTES}) % {FRAME_STEP} = 0
+                            THEN LEAST(ascii(substr(text, i, 1)), 255)
+                            ELSE 0 END) AS BIGINT) AS frame_sum
+       FROM b GROUP BY doc_id, n_frames ORDER BY doc_id""",
+)
+def a0002_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling, oracle-checked: each document's text bytes
+    are packed into a length-prefixed frame container (4-byte
+    big-endian frame count, then fixed FRAME_BYTES payloads — a real
+    codec's demux is stubbed per the build brief, the container and
+    plumbing are real), the container is parsed back inside the Arrow
+    batch, and every FRAME_STEP-th frame (0, k, 2k, …) is sampled. The
+    emitted (n_frames, n_sampled, Σ sampled-frame bytes) must equal the
+    oracle's direct stride arithmetic over the same characters — a
+    sampler that mis-parses the header or strides wrong hash-fails.
+
+    Scale: mapInPandas flatMap, zero shuffle; frame payloads never
+    leave the batch. At real scale the container bytes arrive as a
+    parquet `binary` column and the same parse/stride logic applies
+    per Arrow batch."""
+    d = tables(spark, sf_dir)["documents"]
+    src = d.filter(
+        (F.col("doc_id") <= FRAME_DOCS)
+        & (F.length("text") >= FRAME_BYTES)
+    ).select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in it:
+            ids, nf, ns, fs = [], [], [], []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                payload = bytes(min(ord(c), 255) for c in t)
+                n_frames = len(payload) // FRAME_BYTES
+                container = struct.pack(">I", n_frames) + payload[
+                    : n_frames * FRAME_BYTES
+                ]
+                # parse back: header then fixed-size frames
+                (hdr_frames,) = struct.unpack(">I", container[:4])
+                assert hdr_frames == n_frames
+                body = container[4:]
+                sampled = [
+                    body[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+                    for f in range(0, hdr_frames, FRAME_STEP)
+                ]
+                ids.append(i)
+                nf.append(n_frames)
+                ns.append(len(sampled))
+                fs.append(sum(sum(fr) for fr in sampled))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_frames": pd.Series(nf, dtype="int64"),
+                    "n_sampled": pd.Series(ns, dtype="int64"),
+                    "frame_sum": pd.Series(fs, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(
+        batches, "doc_id long, n_frames long, n_sampled long, frame_sum long"
+    ).orderBy("doc_id")
+
+
+@register(
+    "a0003_crosslang_dups",
+    f"""WITH sh AS (
+          SELECT DISTINCT doc_id, lang,
+                 unnest(list_transform(generate_series(1, len(words) - 2),
+                        i -> array_to_string(words[i:i+2], ' '))) AS s
+          FROM (SELECT doc_id, lang,
+                       string_split(text, ' ') AS words
+                FROM documents)
+          WHERE len(words) >= 3),
+        kept AS (SELECT s FROM sh GROUP BY s
+                 HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+        ps AS (SELECT sh.doc_id, sh.lang, sh.s FROM sh JOIN kept USING (s)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.lang AS lang_a, b.lang AS lang_b,
+                 COUNT(*) AS n_common
+          FROM ps a JOIN ps b ON a.s = b.s AND a.doc_id < b.doc_id
+          WHERE a.lang <> b.lang
+          GROUP BY 1, 2, 3, 4
+          HAVING COUNT(*) >= {CL_MIN_SHARED})
+        SELECT LEAST(lang_a, lang_b) AS lang_lo,
+               GREATEST(lang_a, lang_b) AS lang_hi,
+               COUNT(*) AS n_pairs,
+               CAST(MAX(n_common) AS BIGINT) AS max_shared
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def a0003_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual duplicate-candidate matrix: document pairs sharing
+    ≥ CL_MIN_SHARED distinct word shingles whose lang tags DIFFER,
+    aggregated per unordered language pair. Hits are translation leaks
+    or language-ID errors — both poison per-language dedup and eval
+    decontamination, so multilingual pipelines run this audit first.
+
+    Plan (the q44 inverted-index discipline): distinct (doc, lang,
+    xxhash64(shingle)) posting list over a widened scan, shingles with
+    document frequency > NGRAM_DF_CAP dropped via ONE count-window on
+    the shingle key (which also co-partitions the self-join that
+    follows — no second shuffle), bucketed self-join emits only
+    co-bucket pairs (never corpus²; the df cap bounds each bucket),
+    lang-inequality filtered BEFORE the pair aggregation, then a
+    partial-agg rollup to the |langs|² matrix. All-integer output."""
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
+    sh = (
+        d.select(
+            "doc_id", "lang", F.explode(word_shingles(F.col("text"))).alias("s")
+        )
+        .select("doc_id", "lang", F.xxhash64("s").alias("s"))
+        .distinct()
+    )
+    kept = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(W.partitionBy("s"))
+    ).filter(F.col("__df") <= NGRAM_DF_CAP)
+    left = kept.select(
+        F.col("s"), F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
+    )
+    right = kept.select(
+        F.col("s"), F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")
+    )
+    pairs = (
+        left.join(right, "s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("lang_a") != F.col("lang_b"))
+        )
+        .groupBy("id_a", "id_b", "lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= CL_MIN_SHARED)
+    )
+    return (
+        pairs.select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+            "n_common",
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("n_common").alias("max_shared"),
+        )
+        .orderBy("lang_lo", "lang_hi")
+    )

@@ -97,6 +97,8 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         "b68_geomean_udaf",
         "a049_audio_rms",
         "a050_png_roundtrip",
+        "a0001_image_resize",
+        "a0002_frame_sample",
         "a007_kmeans_clusters",
         "a012_simplified_silhouette",
         "a013_cluster_purity",

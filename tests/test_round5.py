@@ -1,0 +1,89 @@
+"""Semantic checks for the round-5 batch (a0001–a0003) on hand-built
+fixtures — independent of the oracle-parity sweep, which proves
+Spark ≡ DuckDB but not that both compute the INTENDED numbers."""
+
+from __future__ import annotations
+
+import pytest
+
+from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
+    PNG_H,
+    PNG_W,
+)
+from one_stop_cdc_ingestion_toolkit_spark.operators.round5 import (
+    CL_MIN_SHARED,
+    FRAME_BYTES,
+    FRAME_STEP,
+    RESIZE_FACTOR,
+    a0001_image_resize,
+    a0002_frame_sample,
+    a0003_crosslang_dups,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _docs_dir(spark, tmp_path, rows):
+    path = str(tmp_path / "fix")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{path}/documents.parquet")
+    return path
+
+
+def test_image_resize_keeps_even_pixels(spark, tmp_path):
+    # Text where char at byte index j has code 32 + j % 64: the kept
+    # pixels are exactly those at even (x, y), so the expected sum is
+    # hand-computable without running either engine's SQL.
+    n_bytes = PNG_W * PNG_H * 3
+    text = "".join(chr(32 + (j % 64)) for j in range(n_bytes))
+    rows = [(1, text, "en", "s", 0)]
+    out = a0001_image_resize(spark, _docs_dir(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["out_w"], r["out_h"]) == (
+        PNG_W // RESIZE_FACTOR,
+        PNG_H // RESIZE_FACTOR,
+    )
+    expect = sum(
+        32 + (((py * PNG_W + px) * 3 + c) % 64)
+        for py in range(0, PNG_H, RESIZE_FACTOR)
+        for px in range(0, PNG_W, RESIZE_FACTOR)
+        for c in range(3)
+    )
+    assert r["pix_sum"] == expect
+
+
+def test_frame_sample_stride_math(spark, tmp_path):
+    # 7 frames of FRAME_BYTES 'A' chars (+ a tail remainder that must be
+    # dropped): sampled frames 0, 3, 6 -> 3 frames, sum = 3*24*65.
+    text = "A" * (7 * FRAME_BYTES + 5)
+    short = "B" * (FRAME_BYTES - 1)  # under one frame: excluded
+    rows = [(1, text, "en", "s", 0), (2, short, "en", "s", 0)]
+    out = a0002_frame_sample(spark, _docs_dir(spark, tmp_path, rows)).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert (r["n_frames"], r["n_sampled"]) == (7, 3)
+    assert r["frame_sum"] == 3 * FRAME_BYTES * ord("A")
+    assert FRAME_STEP == 3
+
+
+def test_crosslang_excludes_same_lang_pairs(spark, tmp_path):
+    # Docs 1/2 are identical text with DIFFERENT langs (must pair);
+    # docs 3/4 identical text with the SAME lang (must not appear);
+    # doc 5 shares nothing.
+    dup = " ".join(f"t{i}" for i in range(CL_MIN_SHARED + 3))
+    other = " ".join(f"u{i}" for i in range(CL_MIN_SHARED + 3))
+    rows = [
+        (1, dup, "en", "s", 0),
+        (2, dup, "de", "s", 0),
+        (3, other, "fr", "s", 0),
+        (4, other, "fr", "s", 0),
+        (5, "x y z a b c d e f", "zh", "s", 0),
+    ]
+    out = a0003_crosslang_dups(spark, _docs_dir(spark, tmp_path, rows)).collect()
+    assert [(r["lang_lo"], r["lang_hi"], r["n_pairs"]) for r in out] == [
+        ("de", "en", 1)
+    ]
+    # 8 words -> 6 distinct 3-word shingles shared
+    assert out[0]["max_shared"] == CL_MIN_SHARED + 1
