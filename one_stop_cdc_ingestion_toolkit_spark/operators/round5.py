@@ -62,6 +62,9 @@ FRAME_DOCS = 40
 #: Minimum distinct shared shingles for a cross-lingual duplicate pair.
 CL_MIN_SHARED = 5
 
+#: a0004: pixels in the perceptual-hash raster (PNG_W × PNG_H).
+PHASH_PIXELS = PNG_W * PNG_H
+
 
 @register(
     "a0001_image_resize",
@@ -213,6 +216,98 @@ def a0002_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.mapInPandas(
         batches, "doc_id long, n_frames long, n_sampled long, frame_sum long"
     ).orderBy("doc_id")
+
+
+@register(
+    "a0004_phash_dedup",
+    f"""WITH firstn AS (
+         SELECT doc_id, substr(text, 1, {PHASH_PIXELS * 3}) AS t
+         FROM documents),
+       px AS (
+         SELECT doc_id, t,
+                unnest(generate_series(0, {PHASH_PIXELS - 1})) AS p
+         FROM firstn),
+       g AS (
+         SELECT doc_id, p,
+                (CASE WHEN 3*p+1 <= length(t)
+                      THEN LEAST(ascii(substr(t, 3*p+1, 1)), 255) ELSE 0 END
+               + CASE WHEN 3*p+2 <= length(t)
+                      THEN LEAST(ascii(substr(t, 3*p+2, 1)), 255) ELSE 0 END
+               + CASE WHEN 3*p+3 <= length(t)
+                      THEN LEAST(ascii(substr(t, 3*p+3, 1)), 255) ELSE 0 END)
+                // 3 AS gray
+         FROM px),
+       s AS (SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS sg
+             FROM g GROUP BY doc_id),
+       h AS (
+         SELECT g.doc_id,
+                CAST(SUM(CASE WHEN {PHASH_PIXELS} * gray > sg
+                              THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+                     AS BIGINT) AS phash
+         FROM g JOIN s USING (doc_id) GROUP BY g.doc_id)
+       SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+       FROM h GROUP BY phash HAVING COUNT(*) >= 2 ORDER BY phash""",
+)
+def a0004_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (average-hash) image dedup: every document's
+    first W·H·3 text bytes become an RGB raster, round-trip the stdlib
+    PNG codec, gray each DECODED pixel ((r+g+b)//3), threshold against
+    the raster's mean gray (as the exact integer comparison
+    ``pixels·gray > Σgray``), and pack the bits into a 32-bit aHash;
+    rasters sharing a hash form duplicate-image groups — the standard
+    first-pass dedup an image-curation pipeline runs before expensive
+    embedding dedup. Uniform rasters all hash to 0 (every aHash
+    implementation collides them by design).
+
+    Scale: ONE Arrow-batched decode pass over a widened scan (the hash
+    is 8 bytes/doc), then a hash-keyed partial agg — dedup without any
+    pair join; at 100 TB the shuffle carries (hash, count, min_id)
+    partials only. The oracle recomputes every gray and threshold from
+    the source characters, so a decode or bit-packing slip hash-fails
+    on the full corpus, not a bounded sample."""
+    d = tables(spark, sf_dir)["documents"]
+    n_bytes = PHASH_PIXELS * 3
+    src = widen_narrow_scan(
+        d.select("doc_id", F.substring("text", 1, n_bytes).alias("t"))
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from one_stop_cdc_ingestion_toolkit_spark.functions import png_codec
+
+        weights = (np.int64(1) << np.arange(PHASH_PIXELS, dtype=np.int64))
+        for pdf in it:
+            ids, hs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["t"]):
+                pixels = bytes(min(ord(c), 255) for c in t[:n_bytes]).ljust(
+                    n_bytes, b"\0"
+                )
+                img = png_codec.decode_png(
+                    png_codec.encode_png(pixels, PNG_W, PNG_H, 3)
+                )
+                arr = np.frombuffer(bytes(img.pixels), dtype=np.uint8)
+                gray = arr.reshape(PHASH_PIXELS, 3).astype(np.int64).sum(axis=1) // 3
+                bits = PHASH_PIXELS * gray > gray.sum()
+                ids.append(i)
+                hs.append(int(weights[bits].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    hashed = src.mapInPandas(batches, "doc_id long, phash long")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("phash")
+    )
 
 
 @register(

@@ -99,6 +99,7 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         "a050_png_roundtrip",
         "a0001_image_resize",
         "a0002_frame_sample",
+        "a0004_phash_dedup",
         "a007_kmeans_clusters",
         "a012_simplified_silhouette",
         "a013_cluster_purity",

@@ -18,6 +18,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.round5 import (
     a0001_image_resize,
     a0002_frame_sample,
     a0003_crosslang_dups,
+    a0004_phash_dedup,
 )
 
 pytestmark = pytest.mark.usefixtures("spark")
@@ -66,6 +67,24 @@ def test_frame_sample_stride_math(spark, tmp_path):
     assert (r["n_frames"], r["n_sampled"]) == (7, 3)
     assert r["frame_sum"] == 3 * FRAME_BYTES * ord("A")
     assert FRAME_STEP == 3
+
+
+def test_phash_groups_same_raster(spark, tmp_path):
+    # Docs 1/2 share their first 96 chars (identical raster -> same
+    # aHash, one group of 2); doc 3's raster has a different bit
+    # pattern; doc 4 is uniform (hash 0) but alone, so no group.
+    n = PNG_W * PNG_H * 3
+    img_a = "".join(chr(32 + (j % 64)) for j in range(n))
+    img_b = "".join(chr(32 + ((j * 7) % 59)) for j in range(n))
+    rows = [
+        (1, img_a + " tail one", "en", "s", 0),
+        (2, img_a + " different tail", "de", "s", 0),
+        (3, img_b, "en", "s", 0),
+        (4, "Q" * n, "en", "s", 0),
+    ]
+    out = a0004_phash_dedup(spark, _docs_dir(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    assert (out[0]["n_docs"], out[0]["min_doc"]) == (2, 1)
 
 
 def test_crosslang_excludes_same_lang_pairs(spark, tmp_path):
