@@ -37,6 +37,7 @@ from pyspark.sql.window import Window as W
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.operators import (
     register,
+    track_cache,
     widen_narrow_scan,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
@@ -360,9 +361,17 @@ def a0003_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.xxhash64("s").alias("s"))
         .distinct()
     )
-    kept = sh.withColumn(
-        "__df", F.count(F.lit(1)).over(W.partitionBy("s"))
-    ).filter(F.col("__df") <= NGRAM_DF_CAP)
+    # persist: BOTH self-join sides read this frame — uncached, the whole
+    # explode→distinct→window pipeline ran twice AND the optimizer
+    # broadcast one copy (corpus-sized postings: a 100 TB OOM). Cached,
+    # the sides share one computation and its (s)-hash partitioning, so
+    # the join adds no exchange. (The q44 discipline; tracked for
+    # release between queries.)
+    kept = track_cache(
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("s"))
+        ).filter(F.col("__df") <= NGRAM_DF_CAP)
+    )
     left = kept.select(
         F.col("s"), F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
     )
