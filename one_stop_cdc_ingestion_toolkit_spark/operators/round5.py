@@ -66,6 +66,13 @@ CL_MIN_SHARED = 5
 #: a0004: pixels in the perceptual-hash raster (PNG_W × PNG_H).
 PHASH_PIXELS = PNG_W * PNG_H
 
+#: a0005: KMV sketch size (bottom-k distinct hash values per source)
+#: and the |estimate − exact| tolerance the audit column reports
+#: (≈2.7σ for k=128 at worst-case J=0.5 — a FALSE row is honest sketch
+#: variance, not an error; both engines compute identical booleans).
+KMV_K = 128
+KMV_TOL = 0.12
+
 
 @register(
     "a0001_image_resize",
@@ -308,6 +315,155 @@ def a0004_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy("phash")
+    )
+
+
+@register(
+    "a0005_kmv_overlap",
+    f"""WITH sh AS (
+          SELECT DISTINCT source,
+                 CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT source,
+                       unnest(list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT source, string_split(lower(text), ' ') AS w
+                      FROM documents)
+                WHERE len(w) >= 3)),
+        sk AS (SELECT source, h FROM (
+                 SELECT source, h,
+                        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h)
+                          AS r
+                 FROM sh) WHERE r <= {KMV_K}),
+        p AS (SELECT a.source AS sa, b.source AS sb
+              FROM (SELECT DISTINCT source FROM sh) a
+              JOIN (SELECT DISTINCT source FROM sh) b ON a.source < b.source),
+        u AS (
+          SELECT sa, sb, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+            SELECT p.sa, p.sb, sk.h, 1 AS ia, 0 AS ib
+            FROM p JOIN sk ON sk.source = p.sa
+            UNION ALL
+            SELECT p.sa, p.sb, sk.h, 0 AS ia, 1 AS ib
+            FROM p JOIN sk ON sk.source = p.sb)
+          GROUP BY 1, 2, 3),
+        k AS (SELECT sa, sb, ia, ib,
+                     ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS r
+              FROM u),
+        est AS (SELECT sa, sb,
+                       CAST(SUM(CASE WHEN r <= {KMV_K} AND ia = 1 AND ib = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS m,
+                       CAST(LEAST({KMV_K}, COUNT(*)) AS BIGINT) AS kk
+                FROM k GROUP BY 1, 2),
+        sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+                  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT est.sa AS src_a, est.sb AS src_b,
+               ROUND(est.m / CAST(est.kk AS DOUBLE), 4) AS j_est,
+               ROUND(COALESCE(inter.i, 0)
+                     / CAST(za.n + zb.n - COALESCE(inter.i, 0) AS DOUBLE), 4)
+                 AS j_exact,
+               ABS(est.m / CAST(est.kk AS DOUBLE)
+                   - COALESCE(inter.i, 0)
+                     / CAST(za.n + zb.n - COALESCE(inter.i, 0) AS DOUBLE))
+                 <= {KMV_TOL} AS ok
+        FROM est
+        JOIN sizes za ON za.source = est.sa
+        JOIN sizes zb ON zb.source = est.sb
+        LEFT JOIN inter ON inter.sa = est.sa AND inter.sb = est.sb
+        ORDER BY 1, 2""",
+)
+def a0005_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch estimate of pairwise cross-source
+    vocabulary overlap, audited against the exact Jaccard: per source,
+    keep the KMV_K smallest 60-bit md5 values of its distinct word
+    shingles (a mergeable bottom-k sketch); a pair's estimate is
+    |A_k ∩ B_k ∩ bottom-k(A_k ∪ B_k)| / min(k, |union rows|) — exact
+    when a source's whole set fits the sketch. The matrix tells a dedup
+    planner which source pairs are worth a full cross-dedup pass WITHOUT
+    ever intersecting full vocabularies; `ok` flags estimates outside
+    ±KMV_TOL of truth (honest sketch variance, identically computed by
+    both engines — the audit baseline is this query's own exact column).
+
+    Scale: the sketch build is ONE vocab-derivative shuffle (distinct
+    (source, h)) + a per-source bottom-k window over vocab-sized rows;
+    the estimator then operates on |sources|·k sketch rows only (pair
+    fan-out via a broadcast pair list, never a corpus join). The exact
+    columns exist as the audit baseline; their h-keyed self-join emits
+    ≤ |sources|²/2 rows per shingle (the a144 bound — never quadratic
+    in docs). At 100 TB a planner ships ONLY the k·|sources| sketch
+    rows — the point of the sketch. (A source-bitmask formulation of
+    the exact side was measured SLOWER here: 5.6 s vs 3.1 s — the
+    extra small-stage fan-out outweighs the pair-row savings.)"""
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
+    sh = track_cache(
+        d.select(
+            "source", F.explode(word_shingles(F.col("text"))).alias("s")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    rk = F.row_number().over(W.partitionBy("source").orderBy("h"))
+    sk = track_cache(
+        sh.withColumn("r", rk).filter(F.col("r") <= KMV_K).drop("r")
+    )
+    srcs = sh.select("source").distinct()
+    p = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    rows_a = p.join(
+        F.broadcast(sk.withColumnRenamed("source", "sa")), "sa"
+    ).select("sa", "sb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    rows_b = p.join(
+        F.broadcast(sk.withColumnRenamed("source", "sb")), "sb"
+    ).select("sa", "sb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    u = (
+        rows_a.unionByName(rows_b)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+    )
+    kr = u.withColumn(
+        "r", F.row_number().over(W.partitionBy("sa", "sb").orderBy("h"))
+    )
+    est = kr.groupBy("sa", "sb").agg(
+        F.sum(
+            F.when(
+                (F.col("r") <= KMV_K) & (F.col("ia") == 1) & (F.col("ib") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("m"),
+        F.least(F.lit(KMV_K), F.count(F.lit(1))).alias("kk"),
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("source").alias("sa"), "h")
+        .join(sh.select(F.col("source").alias("sb"), "h"), "h")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j_est = F.col("m") / F.col("kk").cast("double")
+    j_exact = F.coalesce(F.col("i"), F.lit(0)) / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("i"), F.lit(0))
+    ).cast("double")
+    return (
+        est.join(sizes.select(F.col("source").alias("sa"), F.col("n").alias("na")), "sa")
+        .join(sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb")), "sb")
+        .join(inter, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            F.round(j_est, 4).alias("j_est"),
+            F.round(j_exact, 4).alias("j_exact"),
+            (F.abs(j_est - j_exact) <= KMV_TOL).alias("ok"),
+        )
+        .orderBy("src_a", "src_b")
     )
 
 

@@ -19,6 +19,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.round5 import (
     a0002_frame_sample,
     a0003_crosslang_dups,
     a0004_phash_dedup,
+    a0005_kmv_overlap,
 )
 
 pytestmark = pytest.mark.usefixtures("spark")
@@ -85,6 +86,27 @@ def test_phash_groups_same_raster(spark, tmp_path):
     out = a0004_phash_dedup(spark, _docs_dir(spark, tmp_path, rows)).collect()
     assert len(out) == 1
     assert (out[0]["n_docs"], out[0]["min_doc"]) == (2, 1)
+
+
+def test_kmv_overlap_extremes(spark, tmp_path):
+    # srcA and srcB hold identical text (jaccard 1.0 exactly, estimate
+    # exact because the sets fit the sketch); srcC is disjoint (0.0).
+    ta = " ".join(f"t{i}" for i in range(30))
+    tc = " ".join(f"u{i}" for i in range(30))
+    rows = [
+        (1, ta, "en", "srcA", 0),
+        (2, ta, "en", "srcB", 0),
+        (3, tc, "en", "srcC", 0),
+    ]
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in a0005_kmv_overlap(spark, _docs_dir(spark, tmp_path, rows)).collect()
+    }
+    ab = out[("srcA", "srcB")]
+    assert (ab["j_est"], ab["j_exact"], ab["ok"]) == (1.0, 1.0, True)
+    ac = out[("srcA", "srcC")]
+    assert (ac["j_est"], ac["j_exact"], ac["ok"]) == (0.0, 0.0, True)
+    assert len(out) == 3
 
 
 def test_crosslang_excludes_same_lang_pairs(spark, tmp_path):
