@@ -1,7 +1,7 @@
-"""Round-5 extension batch (`a0001`–`a0003`).
+"""Round-5 extension batch (`a0001`–`a0005`).
 
 - a0001: image RESIZE — nearest-neighbor downsample of a real decoded
-  PNG raster (the stdlib codec a050 proves), the missing verb in the
+  PNG raster (the stdlib codec a050 proves), a missing verb in the
   multimodal set (decode: a050 / b52, feature-extract: a049). The
   resize runs on actual decoded pixels inside the Arrow batch; the
   oracle recomputes the kept-pixel sum directly from the source bytes,
@@ -16,6 +16,12 @@
   whose documents carry DIFFERENT lang tags: the translation-leak /
   mislabeled-language audit a multilingual corpus runs before
   per-language dedup (same family as CCMatrix mining, public).
+- a0004: perceptual-hash (aHash) image dedup — duplicate-image groups
+  from a 32-bit average-hash of the decoded raster; dedup with no pair
+  join (8-byte hash per doc, hash-keyed partial agg).
+- a0005: KMV bottom-k sketch — pairwise cross-source vocabulary
+  overlap estimated from mergeable k-minimum-values sketches, audited
+  in-query against the exact jaccard.
 
 Naming: the `a000x` prefix sorts these into the driver's 50-name
 correctness window for round 5 (the BASELINE.md rotation note); the six
