@@ -24,6 +24,9 @@ QUERIES = (
     "a001_simhash_hamming_pairs",
     "d96_dup_clusters",
     "c88_decontaminate",
+    # round-5 additions in the same family (inverted-index / sketch)
+    "a0003_crosslang_dups",
+    "a0005_kmv_overlap",
 )
 
 
