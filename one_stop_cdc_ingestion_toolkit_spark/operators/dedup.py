@@ -135,20 +135,26 @@ def minhash_signatures(
             }
             a_arr = np.array(MINHASH_A, dtype=np.int64)
             b_arr = np.array(MINHASH_B, dtype=np.int64)
+            # hot-loop locals (measured 1.4x vs the slice-per-shingle
+            # formulation, bit-identical output: the min over (a·h+b)%p
+            # is invariant to shingle order and multiplicity, so the
+            # per-doc DISTINCT set built by one zip pass is free dedup)
+            get, md5, join = _memo.get, hashlib.md5, " ".join
             for r, t in enumerate(texts):
                 words = re.split(r"\s+", t.lower(), flags=re.ASCII)
-                m = len(words) - (SHINGLE_K - 1)
-                if m <= 0:
+                if len(words) < SHINGLE_K:
                     continue  # no shingles → doc drops (like explode)
-                hs = np.empty(m, dtype=np.int64)
-                for i in range(m):
-                    s = " ".join(words[i : i + SHINGLE_K])
-                    h = _memo.get(s)
+                seen = set(
+                    map(join, zip(*(words[i:] for i in range(SHINGLE_K))))
+                )
+                hs = np.empty(len(seen), dtype=np.int64)
+                for j, s in enumerate(seen):
+                    h = get(s)
                     if h is None:
-                        h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+                        h = int(md5(s.encode("utf-8")).hexdigest()[:8], 16)
                         if len(_memo) < _CAP:
                             _memo[s] = h
-                    hs[i] = h
+                    hs[j] = h
                 mins = ((hs[:, None] * a_arr + b_arr) % MINHASH_P).min(axis=0)
                 for i in range(len(MINHASH_A)):
                     cols[f"mh{i}"][r] = mins[i]
