@@ -332,7 +332,8 @@ def a0004_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM (SELECT source,
                        unnest(list_transform(generate_series(1, len(w) - 2),
                               i -> array_to_string(w[i:i+2], ' '))) AS s
-                FROM (SELECT source, string_split(lower(text), ' ') AS w
+                FROM (SELECT source,
+                             string_split_regex(lower(text), '\\s+') AS w
                       FROM documents)
                 WHERE len(w) >= 3)),
         sk AS (SELECT source, h FROM (
@@ -480,7 +481,7 @@ def a0005_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  unnest(list_transform(generate_series(1, len(words) - 2),
                         i -> array_to_string(words[i:i+2], ' '))) AS s
           FROM (SELECT doc_id, lang,
-                       string_split(text, ' ') AS words
+                       string_split_regex(lower(text), '\\s+') AS words
                 FROM documents)
           WHERE len(words) >= 3),
         kept AS (SELECT s FROM sh GROUP BY s

@@ -1,4 +1,4 @@
-"""Semantic checks for the round-5 batch (a0001–a0003) on hand-built
+"""Semantic checks for the round-5 batch (a0001–a0005) on hand-built
 fixtures — independent of the oracle-parity sweep, which proves
 Spark ≡ DuckDB but not that both compute the INTENDED numbers."""
 
@@ -128,3 +128,45 @@ def test_crosslang_excludes_same_lang_pairs(spark, tmp_path):
     ]
     # 8 words -> 6 distinct 3-word shingles shared
     assert out[0]["max_shared"] == CL_MIN_SHARED + 1
+
+
+def test_round5_oracles_survive_whitespace_and_case(spark, tmp_path):
+    """Lock in the split/lower conventions (code-review finding): the
+    a0003/a0005 oracles must hash-match Spark on text with tabs,
+    double spaces, and mixed case — not only on the single-space
+    lowercase fixture."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from one_stop_cdc_ingestion_toolkit_spark.oracle import compare
+
+    dup = "Alpha  Beta\tGamma delta EPSILON zeta eta theta"
+    rows = [
+        (1, dup, "en", "srcA", 0),
+        (2, dup.lower(), "de", "srcB", 0),
+        (3, "other  words\tentirely distinct here now ok fine", "fr", "srcA", 0),
+    ]
+    d = _docs_dir(spark, tmp_path, rows)
+    con = duckdb.connect()
+    # Spark writes a directory of part files; DuckDB needs the glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    oracles = entry_mod.oracle_sql()
+    for name, fn in [
+        ("a0003_crosslang_dups", a0003_crosslang_dups),
+        ("a0005_kmv_overlap", a0005_kmv_overlap),
+    ]:
+        sdf = fn(spark, d)
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracles[name])
+        problems = compare(
+            sdf.columns, srows, [c[0] for c in res.description], res.fetchall()
+        )
+        assert not problems, f"{name}: {problems}"
+    # the mixed-case duplicate pair must actually be FOUND cross-lang
+    out = a0003_crosslang_dups(spark, d).collect()
+    assert [(r["lang_lo"], r["lang_hi"], r["n_pairs"]) for r in out] == [
+        ("de", "en", 1)
+    ]
