@@ -53,6 +53,8 @@ def _input_partitions(df: DataFrame) -> int:
     if len(_WIDEN_MEMO) > 256:  # evict refs whose frame was collected
         for k in [k for k, (r, _) in _WIDEN_MEMO.items() if r() is None]:
             del _WIDEN_MEMO[k]
+        if len(_WIDEN_MEMO) > 256:  # all live (unusual): hard-reset so
+            _WIDEN_MEMO.clear()  # the memo cannot grow without bound
     _WIDEN_MEMO[id(df)] = (weakref.ref(df), n)
     return n
 

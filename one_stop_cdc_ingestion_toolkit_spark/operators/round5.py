@@ -119,8 +119,6 @@ def a0001_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w, out_h = PNG_W // RESIZE_FACTOR, PNG_H // RESIZE_FACTOR
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         from one_stop_cdc_ingestion_toolkit_spark.functions import png_codec
 
         for pdf in it:
@@ -132,13 +130,14 @@ def a0001_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = png_codec.decode_png(
                     png_codec.encode_png(pixels, PNG_W, PNG_H, 3)
                 )
-                arr = np.frombuffer(bytes(img.pixels), dtype=np.uint8).reshape(
-                    img.height, img.width, 3
-                )
-                small = arr[::RESIZE_FACTOR, ::RESIZE_FACTOR, :]
-                assert small.shape == (out_h, out_w, 3)
+                # the repo's canonical resampler (src = dst*src_dim//dst_dim
+                # — picks the even pixels for an exact factor-2 downsample);
+                # a numpy striding shortcut would silently diverge from it
+                # on non-divisible dimension changes (code-review finding)
+                small = png_codec.resize_nearest(img, out_w, out_h)
+                assert (small.width, small.height) == (out_w, out_h)
                 ids.append(i)
-                sums.append(int(small.astype(np.int64).sum()))
+                sums.append(sum(small.pixels))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
