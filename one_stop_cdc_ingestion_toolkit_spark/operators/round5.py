@@ -154,6 +154,36 @@ def a0001_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pack_frame_container(payload: bytes) -> bytes:
+    """Length-prefixed frame container: 4-byte big-endian frame count,
+    then ``n_frames`` fixed FRAME_BYTES payloads (tail remainder
+    dropped). The mux half of a0002's demux; also the writer a binary
+    `video` column would be produced with."""
+    import struct
+
+    n_frames = len(payload) // FRAME_BYTES
+    return struct.pack(">I", n_frames) + payload[: n_frames * FRAME_BYTES]
+
+
+def sample_frames(container: bytes, step: int = FRAME_STEP) -> list[bytes]:
+    """Demux + every-``step``-th-frame sample of a packed container.
+    Raises on a header/body length mismatch (truncated container)."""
+    import struct
+
+    (n_frames,) = struct.unpack(">I", container[:4])
+    body = container[4:]
+    if len(body) != n_frames * FRAME_BYTES:
+        raise ValueError(
+            f"frame container truncated: header says {n_frames} frames, "
+            f"body holds {len(body)} bytes"
+        )
+    return [
+        body[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+        for f in range(0, n_frames, step)
+    ]
+
+
+
 @register(
     "a0002_frame_sample",
     f"""WITH v AS (
@@ -195,26 +225,14 @@ def a0002_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in it:
             ids, nf, ns, fs = [], [], [], []
             for i, t in zip(pdf["doc_id"], pdf["text"]):
                 payload = bytes(min(ord(c), 255) for c in t)
-                n_frames = len(payload) // FRAME_BYTES
-                container = struct.pack(">I", n_frames) + payload[
-                    : n_frames * FRAME_BYTES
-                ]
-                # parse back: header then fixed-size frames
-                (hdr_frames,) = struct.unpack(">I", container[:4])
-                assert hdr_frames == n_frames
-                body = container[4:]
-                sampled = [
-                    body[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
-                    for f in range(0, hdr_frames, FRAME_STEP)
-                ]
+                container = pack_frame_container(payload)
+                sampled = sample_frames(container)
                 ids.append(i)
-                nf.append(n_frames)
+                nf.append(len(payload) // FRAME_BYTES)
                 ns.append(len(sampled))
                 fs.append(sum(sum(fr) for fr in sampled))
             yield pd.DataFrame(

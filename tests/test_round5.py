@@ -170,3 +170,50 @@ def test_round5_oracles_survive_whitespace_and_case(spark, tmp_path):
     assert [(r["lang_lo"], r["lang_hi"], r["n_pairs"]) for r in out] == [
         ("de", "en", 1)
     ]
+
+
+def test_frame_container_over_binary_column(spark, tmp_path):
+    """Substantiate a0002's scale claim: the same mux/demux runs over a
+    real parquet `binary` column (the production arrival shape), not
+    only text-derived bytes — and a truncated container is rejected."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.round5 import (
+        pack_frame_container,
+        sample_frames,
+    )
+
+    payloads = {
+        1: bytes(range(7 * FRAME_BYTES + 5)) if FRAME_BYTES * 7 + 5 < 256
+        else bytes((j % 251) for j in range(7 * FRAME_BYTES + 5)),
+        2: bytes((j * 3 % 256) for j in range(2 * FRAME_BYTES)),
+    }
+    rows = [(k, bytearray(pack_frame_container(v))) for k, v in payloads.items()]
+    path = str(tmp_path / "vids")
+    spark.createDataFrame(rows, "doc_id long, video binary").write.parquet(path)
+
+    import pandas as pd
+
+    def demux(it):
+        for pdf in it:
+            out = []
+            for i, blob in zip(pdf["doc_id"], pdf["video"]):
+                frames = sample_frames(bytes(blob))
+                out.append((int(i), len(frames), sum(sum(f) for f in frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_sampled", "frame_sum"])
+
+    got = {
+        r["doc_id"]: (r["n_sampled"], r["frame_sum"])
+        for r in spark.read.parquet(path)
+        .mapInPandas(demux, "doc_id long, n_sampled long, frame_sum long")
+        .collect()
+    }
+    for k, v in payloads.items():
+        frames = sample_frames(pack_frame_container(v))
+        assert got[k] == (len(frames), sum(sum(f) for f in frames))
+    # doc 1: 7 frames -> frames 0,3,6 sampled; doc 2: 2 frames -> frame 0
+    assert got[1][0] == 3 and got[2][0] == 1
+
+    # truncated container must be rejected, not silently mis-sampled
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        sample_frames(pack_frame_container(payloads[1])[:-3])
