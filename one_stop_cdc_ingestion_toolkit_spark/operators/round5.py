@@ -183,7 +183,6 @@ def sample_frames(container: bytes, step: int = FRAME_STEP) -> list[bytes]:
     ]
 
 
-
 @register(
     "a0002_frame_sample",
     f"""WITH v AS (
