@@ -114,6 +114,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("sink_dir")
 
     p = sub.add_parser(
+        "freshness",
+        help="per-table replication lag vs the source clock (max __ts_ms)",
+    )
+    p.add_argument("sink_dir")
+    p.add_argument("--table", action="append", help="limit to TABLE (repeatable)")
+    p.add_argument(
+        "--now-ms",
+        type=int,
+        default=None,
+        help="fixed reference clock (ms) for deterministic reports",
+    )
+
+    p = sub.add_parser(
         "gc-tombstones",
         help="expire tombstones older than the redelivery horizon",
     )
@@ -518,6 +531,25 @@ def main(argv: list[str] | None = None) -> int:
         recs = BucketedTableStore(args.sink_dir).epochs()
         if not recs:
             print("no epochs logged", file=sys.stderr)
+            return 1
+        for r in recs:
+            print(json.dumps(r))
+        return 0
+
+    if args.verb == "freshness":
+        from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import (
+            freshness,
+        )
+
+        spark = get_session("osci-spark")
+        recs = freshness(
+            spark,
+            BucketedTableStore(args.sink_dir),
+            tables=args.table,
+            now_ms=args.now_ms,
+        )
+        if not recs:
+            print("no materialized tables", file=sys.stderr)
             return 1
         for r in recs:
             print(json.dumps(r))

@@ -276,3 +276,28 @@ def test_cli_optimize_table_and_agg_view(spark, tmp_path, capsys):
     assert "sum_age" in out and "avg_age" in out
 
     assert main(["--registry", registry, "agg-view", spec.sink_dir, "nope"]) == 1
+
+
+def test_cli_freshness_verb(spark, tmp_path, capsys):
+    """CLI `freshness`: one JSON line per table against a fixed clock."""
+    import json as _json
+
+    from one_stop_cdc_ingestion_toolkit_spark.cli import main as cli_main
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
+        TableStore,
+    )
+
+    lake = tmp_path / "lake"
+    store = TableStore(lake)
+    store.write(
+        spark.createDataFrame(
+            [(1, 0, 2_000, False)], "id long, __pos long, __ts_ms long, __deleted boolean"
+        ),
+        "t",
+    )
+    rc = cli_main(["freshness", str(lake), "--now-ms", "5000"])
+    assert rc == 0
+    lines = [
+        _json.loads(x) for x in capsys.readouterr().out.splitlines() if x.startswith("{")
+    ]
+    assert lines and lines[0]["table"] == "t" and lines[0]["lag_ms"] == 3_000

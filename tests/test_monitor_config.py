@@ -78,3 +78,36 @@ def test_resolve_file(tmp_path):
 def test_unresolved_raises():
     with pytest.raises(UnresolvedSecretError, match="NO_SUCH_VAR"):
         resolve_value("${env:NO_SUCH_VAR}")
+
+
+def test_freshness_report(spark, tmp_path):
+    """freshness(): live/tombstone split, per-table source high-water,
+    lag vs a FIXED clock, and None (not zero) for non-CDC tables."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import freshness
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
+        TableStore,
+    )
+
+    store = TableStore(tmp_path / "lake")
+    cdc = spark.createDataFrame(
+        [
+            (1, "a", 0, 1_000, False),
+            (2, "b", 1, 5_000, False),
+            (3, "c", 2, 9_000, True),  # tombstone advances the high-water
+        ],
+        "id long, v string, __pos long, __ts_ms long, __deleted boolean",
+    )
+    plain = spark.createDataFrame([(1, "x")], "id long, v string")
+    store.write(cdc, "orders")
+    store.write(plain, "dim")
+
+    recs = {r["table"]: r for r in freshness(spark, store, now_ms=10_000)}
+    o = recs["orders"]
+    assert (o["rows_live"], o["tombstones"]) == (2, 1)
+    assert (o["ts_high_ms"], o["lag_ms"]) == (9_000, 1_000)
+    d = recs["dim"]
+    assert (d["rows_live"], d["tombstones"]) == (1, 0)
+    assert d["ts_high_ms"] is None and d["lag_ms"] is None
+    # table filter
+    only = freshness(spark, store, tables=["orders"], now_ms=10_000)
+    assert [r["table"] for r in only] == ["orders"]
