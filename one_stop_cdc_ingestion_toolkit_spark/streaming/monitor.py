@@ -49,6 +49,10 @@ class PipelineListener(StreamingQueryListener):
                 doc[attr] = getattr(p, attr)
             except Exception:  # noqa: BLE001
                 doc[attr] = None
+        try:  # wall time the batch actually took (capacity_report input)
+            doc["triggerMs"] = (p.durationMs or {}).get("triggerExecution")
+        except Exception:  # noqa: BLE001
+            doc["triggerMs"] = None
         self._append(doc)
 
     def onQueryIdle(self, event) -> None:
@@ -88,6 +92,40 @@ def read_event_log(log_path: str | Path) -> list[dict]:
     if not p.exists():
         return []
     return [json.loads(line) for line in p.read_text().splitlines() if line.strip()]
+
+
+def capacity_report(log_path: str | Path) -> list[dict]:
+    """Right-sizing report from the listener event log — the engine's
+    answer to the reference's fixed `1 MCU × 1 worker` capacity choice
+    (`bin/osci.sh:19-20`): per query, how busy the allotted capacity
+    actually is. For each query name: batches seen, total input rows,
+    rows/sec over the observed span, the max single-batch trigger time,
+    and ``busy_fraction`` = Σ trigger time / observed span. Reading the
+    number: ≳0.8 means batches take about as long as the trigger
+    interval (scale UP before falling behind); ≲0.2 means mostly idle
+    (scale down or lengthen the trigger). Pure log math — no Spark
+    session, no cluster round-trips."""
+    events = [e for e in read_event_log(log_path) if e.get("event") == "progress"]
+    by_name: dict[str, list[dict]] = {}
+    for e in events:
+        by_name.setdefault(e.get("name") or str(e.get("id")), []).append(e)
+    out = []
+    for name, evs in sorted(by_name.items()):
+        rows = sum(int(e.get("numInputRows") or 0) for e in evs)
+        trig = [int(e["triggerMs"]) for e in evs if e.get("triggerMs") is not None]
+        span_s = max(e["ts"] for e in evs) - min(e["ts"] for e in evs)
+        busy = (sum(trig) / 1000.0 / span_s) if (trig and span_s > 0) else None
+        out.append(
+            {
+                "name": name,
+                "n_batches": len(evs),
+                "rows": rows,
+                "rows_per_sec": round(rows / span_s, 3) if span_s > 0 else None,
+                "max_trigger_ms": max(trig) if trig else None,
+                "busy_fraction": round(busy, 4) if busy is not None else None,
+            }
+        )
+    return out
 
 
 def freshness(

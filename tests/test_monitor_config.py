@@ -111,3 +111,34 @@ def test_freshness_report(spark, tmp_path):
     # table filter
     only = freshness(spark, store, tables=["orders"], now_ms=10_000)
     assert [r["table"] for r in only] == ["orders"]
+
+
+def test_capacity_report(tmp_path):
+    """capacity_report: busy fraction, throughput, and per-query split
+    from a synthetic listener log with a fixed clock."""
+    import json as _json
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import (
+        capacity_report,
+    )
+
+    log = tmp_path / "events.jsonl"
+    evs = [
+        # query "hot": 2 batches over 10 s, 9 s busy -> 0.9
+        {"ts": 100.0, "event": "progress", "id": "1", "name": "hot",
+         "numInputRows": 500, "triggerMs": 4500},
+        {"ts": 110.0, "event": "progress", "id": "1", "name": "hot",
+         "numInputRows": 500, "triggerMs": 4500},
+        # query "idle": 2 batches over 100 s, 2 s busy -> 0.02
+        {"ts": 100.0, "event": "progress", "id": "2", "name": "idle",
+         "numInputRows": 10, "triggerMs": 1000},
+        {"ts": 200.0, "event": "progress", "id": "2", "name": "idle",
+         "numInputRows": 10, "triggerMs": 1000},
+        {"ts": 50.0, "event": "started", "id": "1", "name": "hot"},
+    ]
+    log.write_text("\n".join(_json.dumps(e) for e in evs) + "\n")
+    rep = {r["name"]: r for r in capacity_report(log)}
+    hot, idle = rep["hot"], rep["idle"]
+    assert (hot["n_batches"], hot["rows"], hot["rows_per_sec"]) == (2, 1000, 100.0)
+    assert hot["busy_fraction"] == 0.9 and hot["max_trigger_ms"] == 4500
+    assert idle["busy_fraction"] == 0.02
