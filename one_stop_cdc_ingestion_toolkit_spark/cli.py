@@ -127,6 +127,12 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     p = sub.add_parser(
+        "capacity",
+        help="right-sizing report from a pipeline listener event log",
+    )
+    p.add_argument("event_log")
+
+    p = sub.add_parser(
         "gc-tombstones",
         help="expire tombstones older than the redelivery horizon",
     )
@@ -531,6 +537,19 @@ def main(argv: list[str] | None = None) -> int:
         recs = BucketedTableStore(args.sink_dir).epochs()
         if not recs:
             print("no epochs logged", file=sys.stderr)
+            return 1
+        for r in recs:
+            print(json.dumps(r))
+        return 0
+
+    if args.verb == "capacity":
+        from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import (
+            capacity_report,
+        )
+
+        recs = capacity_report(args.event_log)
+        if not recs:
+            print("no progress events in log", file=sys.stderr)
             return 1
         for r in recs:
             print(json.dumps(r))

@@ -301,3 +301,26 @@ def test_cli_freshness_verb(spark, tmp_path, capsys):
         _json.loads(x) for x in capsys.readouterr().out.splitlines() if x.startswith("{")
     ]
     assert lines and lines[0]["table"] == "t" and lines[0]["lag_ms"] == 3_000
+
+
+def test_cli_capacity_verb(tmp_path, capsys):
+    import json as _json
+
+    from one_stop_cdc_ingestion_toolkit_spark.cli import main as cli_main
+
+    log = tmp_path / "ev.jsonl"
+    log.write_text(
+        "\n".join(
+            _json.dumps(
+                {"ts": 100.0 + 10 * i, "event": "progress", "id": "1",
+                 "name": "q", "numInputRows": 100, "triggerMs": 2000}
+            )
+            for i in range(2)
+        )
+        + "\n"
+    )
+    assert cli_main(["capacity", str(log)]) == 0
+    rows = [
+        _json.loads(x) for x in capsys.readouterr().out.splitlines() if x.startswith("{")
+    ]
+    assert rows[0]["name"] == "q" and rows[0]["busy_fraction"] == 0.4
