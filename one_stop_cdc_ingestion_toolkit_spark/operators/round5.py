@@ -135,7 +135,6 @@ def a0001_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # a numpy striding shortcut would silently diverge from it
                 # on non-divisible dimension changes (code-review finding)
                 small = png_codec.resize_nearest(img, out_w, out_h)
-                assert (small.width, small.height) == (out_w, out_h)
                 ids.append(i)
                 sums.append(sum(small.pixels))
             yield pd.DataFrame(
@@ -170,6 +169,10 @@ def sample_frames(container: bytes, step: int = FRAME_STEP) -> list[bytes]:
     Raises on a header/body length mismatch (truncated container)."""
     import struct
 
+    if len(container) < 4:
+        raise ValueError(
+            f"frame container truncated: {len(container)} bytes, header needs 4"
+        )
     (n_frames,) = struct.unpack(">I", container[:4])
     body = container[4:]
     if len(body) != n_frames * FRAME_BYTES:

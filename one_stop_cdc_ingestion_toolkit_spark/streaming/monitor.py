@@ -105,23 +105,52 @@ def capacity_report(log_path: str | Path) -> list[dict]:
     interval (scale UP before falling behind); ≲0.2 means mostly idle
     (scale down or lengthen the trigger). Pure log math — no Spark
     session, no cluster round-trips."""
-    events = [e for e in read_event_log(log_path) if e.get("event") == "progress"]
+    def _num(v) -> float | None:
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+    # defensive over user-supplied logs: drop events without a numeric
+    # ts (they cannot be placed on the span) rather than crashing
+    events = [
+        e
+        for e in read_event_log(log_path)
+        if e.get("event") == "progress" and _num(e.get("ts")) is not None
+    ]
     by_name: dict[str, list[dict]] = {}
     for e in events:
         by_name.setdefault(e.get("name") or str(e.get("id")), []).append(e)
     out = []
     for name, evs in sorted(by_name.items()):
-        rows = sum(int(e.get("numInputRows") or 0) for e in evs)
-        trig = [int(e["triggerMs"]) for e in evs if e.get("triggerMs") is not None]
-        span_s = max(e["ts"] for e in evs) - min(e["ts"] for e in evs)
-        busy = (sum(trig) / 1000.0 / span_s) if (trig and span_s > 0) else None
+        evs.sort(key=lambda e: float(e["ts"]))
+        span_s = float(evs[-1]["ts"]) - float(evs[0]["ts"])
+        # the span covers the N-1 intervals BETWEEN progress events; the
+        # first batch ran before its own event, so its duration and rows
+        # are excluded from the rate numerators (a 2-event log of 9 s
+        # batches 10 s apart would otherwise report busy=1.8)
+        tail = evs[1:]
+        rows_tail = sum(int(_num(e.get("numInputRows")) or 0) for e in tail)
+        trig_all = [
+            int(t) for t in (_num(e.get("triggerMs")) for e in evs) if t is not None
+        ]
+        trig_tail = [
+            int(t) for t in (_num(e.get("triggerMs")) for e in tail) if t is not None
+        ]
+        busy = (
+            sum(trig_tail) / 1000.0 / span_s
+            if (trig_tail and span_s > 0)
+            else None
+        )
         out.append(
             {
                 "name": name,
                 "n_batches": len(evs),
-                "rows": rows,
-                "rows_per_sec": round(rows / span_s, 3) if span_s > 0 else None,
-                "max_trigger_ms": max(trig) if trig else None,
+                "rows": sum(int(_num(e.get("numInputRows")) or 0) for e in evs),
+                "rows_per_sec": round(rows_tail / span_s, 3)
+                if span_s > 0
+                else None,
+                "max_trigger_ms": max(trig_all) if trig_all else None,
                 "busy_fraction": round(busy, 4) if busy is not None else None,
             }
         )
@@ -153,6 +182,21 @@ def freshness(
     for t in names:
         df = store.read(spark, t)
         if df is None:
+            # an explicitly requested table that is missing/dropped is
+            # the MAXIMALLY stale case — flag it, never hide it (a
+            # report row an alert can fire on). Unrequested discovery
+            # mode never reaches here (list_tables only names live
+            # tables).
+            out.append(
+                {
+                    "table": t,
+                    "missing": True,
+                    "rows_live": None,
+                    "tombstones": None,
+                    "ts_high_ms": None,
+                    "lag_ms": None,
+                }
+            )
             continue
         aggs = [F.count(F.lit(1)).alias("rows")]
         has_ts = "__ts_ms" in df.columns

@@ -323,4 +323,4 @@ def test_cli_capacity_verb(tmp_path, capsys):
     rows = [
         _json.loads(x) for x in capsys.readouterr().out.splitlines() if x.startswith("{")
     ]
-    assert rows[0]["name"] == "q" and rows[0]["busy_fraction"] == 0.4
+    assert rows[0]["name"] == "q" and rows[0]["busy_fraction"] == 0.2

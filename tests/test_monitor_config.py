@@ -108,9 +108,11 @@ def test_freshness_report(spark, tmp_path):
     d = recs["dim"]
     assert (d["rows_live"], d["tombstones"]) == (1, 0)
     assert d["ts_high_ms"] is None and d["lag_ms"] is None
-    # table filter
-    only = freshness(spark, store, tables=["orders"], now_ms=10_000)
-    assert [r["table"] for r in only] == ["orders"]
+    # table filter; an explicitly requested MISSING table is flagged,
+    # never silently dropped (it is the maximally stale case)
+    only = freshness(spark, store, tables=["orders", "typo"], now_ms=10_000)
+    assert [r["table"] for r in only] == ["orders", "typo"]
+    assert only[1]["missing"] is True and only[1]["lag_ms"] is None
 
 
 def test_capacity_report(tmp_path):
@@ -139,6 +141,32 @@ def test_capacity_report(tmp_path):
     log.write_text("\n".join(_json.dumps(e) for e in evs) + "\n")
     rep = {r["name"]: r for r in capacity_report(log)}
     hot, idle = rep["hot"], rep["idle"]
-    assert (hot["n_batches"], hot["rows"], hot["rows_per_sec"]) == (2, 1000, 100.0)
-    assert hot["busy_fraction"] == 0.9 and hot["max_trigger_ms"] == 4500
-    assert idle["busy_fraction"] == 0.02
+    # the span covers the ONE interval between the two events, so the
+    # first batch's duration/rows are excluded from the rate numerators
+    assert (hot["n_batches"], hot["rows"], hot["rows_per_sec"]) == (2, 1000, 50.0)
+    assert hot["busy_fraction"] == 0.45 and hot["max_trigger_ms"] == 4500
+    assert idle["busy_fraction"] == 0.01
+
+
+def test_capacity_report_malformed_events(tmp_path):
+    """Events without a numeric ts (hand-edited / foreign logs) are
+    skipped, not crashed on; a busy query cannot exceed 1.0."""
+    import json as _json
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import (
+        capacity_report,
+    )
+
+    log = tmp_path / "ev.jsonl"
+    evs = [
+        {"event": "progress", "name": "q"},  # no ts: dropped
+        {"ts": 0.0, "event": "progress", "name": "q", "numInputRows": 5,
+         "triggerMs": 9000},
+        {"ts": 10.0, "event": "progress", "name": "q", "numInputRows": 5,
+         "triggerMs": 9000},
+        {"ts": "bogus", "event": "progress", "name": "q"},  # non-numeric ts
+    ]
+    log.write_text("\n".join(_json.dumps(e) for e in evs) + "\n")
+    (r,) = capacity_report(log)
+    assert r["n_batches"] == 2 and r["busy_fraction"] == 0.9
+    assert r["busy_fraction"] <= 1.0

@@ -217,3 +217,5 @@ def test_frame_container_over_binary_column(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="truncated"):
         sample_frames(pack_frame_container(payloads[1])[:-3])
+    with _pytest.raises(ValueError, match="truncated"):
+        sample_frames(b"\x00\x00")  # shorter than the 4-byte header
