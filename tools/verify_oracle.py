@@ -5,6 +5,9 @@ DuckDB over the same parquet dir, then compares row count + column names +
 order-insensitive value hash (columns sorted by name, cells normalized).
 
 Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+       python tools/verify_oracle.py [sf_dir] --window
+(--window replays exactly the driver's correctness slice: the first 50
+names in sorted registry order.)
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ from one_stop_cdc_ingestion_toolkit_spark.session import get_session  # noqa: E4
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if "--window" in only:
+        only = set(sorted(entry_mod.queries())[:50])
     spark = get_session("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
