@@ -170,3 +170,25 @@ def test_capacity_report_malformed_events(tmp_path):
     (r,) = capacity_report(log)
     assert r["n_batches"] == 2 and r["busy_fraction"] == 0.9
     assert r["busy_fraction"] <= 1.0
+
+
+def test_freshness_bucketed_layout(spark, tmp_path):
+    """freshness() works identically over the bucketed table layout
+    (BucketedTableStore.read dispatches by layout) — the CLI path."""
+    from pyspark.sql import functions as F
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import freshness
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
+        BucketedTableStore,
+    )
+
+    store = BucketedTableStore(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(1, 0, 3_000, False), (2, 1, 7_000, False)],
+        "id long, __pos long, __ts_ms long, __deleted boolean",
+    ).withColumn("__bucket", (F.col("id") % 2).cast("int"))
+    store.write_buckets(df, "t", buckets=[0, 1])
+
+    (rec,) = freshness(spark, store, now_ms=9_000)
+    assert rec["table"] == "t"
+    assert (rec["rows_live"], rec["ts_high_ms"], rec["lag_ms"]) == (2, 7_000, 2_000)
