@@ -21,9 +21,35 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches  # noq
 from one_stop_cdc_ingestion_toolkit_spark.session import get_session  # noqa: E402
 
 
+def _host_spread() -> float | None:
+    """Per-core CPU-steal probe: max/min wall time of an identical burn
+    loop across 32 processes. ~1 s total. This host shows intermittent
+    steal that inflates Spark totals up to ±50% between sittings while
+    DuckDB stays flat (PARITY.md host-noise note) — reporting the spread
+    alongside the timings lets a reader discount a noisy run: ≤1.4 is a
+    clean window, ≥2 means the totals are not comparable across runs."""
+    try:
+        import multiprocessing as mp
+        import time as _t
+
+        def burn(_):
+            t0 = _t.time()
+            x = 0
+            for i in range(5_000_000):
+                x += i
+            return _t.time() - t0
+
+        with mp.Pool(32) as pool:
+            ts = pool.map(burn, range(32))
+        return round(max(ts) / min(ts), 2)
+    except Exception:  # noqa: BLE001 — a probe must never kill the bench
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spread = _host_spread()
     # Size shuffle partitions to the DATA, not the core count: at bench
     # scale (<=sf0.1, a few MB of shuffle) 32 tasks are pure scheduling
     # overhead — 8 is ~40% faster wall-clock. At real scale, partitions
@@ -81,6 +107,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "host_spread": spread,
     }
     if errors:
         out["errors"] = errors
@@ -109,6 +136,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {**fams, **worst},
         "sf": float(sf),
+        "host_spread": spread,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "full_payload": "BENCH_LOCAL.json",
