@@ -21,6 +21,16 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches  # noq
 from one_stop_cdc_ingestion_toolkit_spark.session import get_session  # noqa: E402
 
 
+def _burn(_arg: int) -> float:
+    # Module-level so mp.Pool can pickle it (a nested function raised
+    # AttributeError and the probe silently reported null in r5).
+    t0 = time.time()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    return time.time() - t0
+
+
 def _host_spread() -> float | None:
     """Per-core CPU-steal probe: max/min wall time of an identical burn
     loop across 32 processes. ~1 s total. This host shows intermittent
@@ -30,19 +40,12 @@ def _host_spread() -> float | None:
     clean window, ≥2 means the totals are not comparable across runs."""
     try:
         import multiprocessing as mp
-        import time as _t
-
-        def burn(_):
-            t0 = _t.time()
-            x = 0
-            for i in range(5_000_000):
-                x += i
-            return _t.time() - t0
 
         with mp.Pool(32) as pool:
-            ts = pool.map(burn, range(32))
+            ts = pool.map(_burn, range(32))
         return round(max(ts) / min(ts), 2)
-    except Exception:  # noqa: BLE001 — a probe must never kill the bench
+    except Exception as exc:  # noqa: BLE001 — a probe must never kill the bench
+        print(f"host_spread probe failed: {type(exc).__name__}: {exc}", file=sys.stderr)
         return None
 
 

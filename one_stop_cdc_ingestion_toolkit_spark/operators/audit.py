@@ -204,31 +204,34 @@ def a119_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The operator reports the admitted row count, the true-match count,
     and the realized false-positive rate of the ``BLOOM_BUCKETS``-wide
-    filter. Both joins broadcast the small side; the fact table is never
-    shuffled. (A collect-and-inline IN-set variant for the bucket filter
-    was measured ~35% SLOWER here — the extra synchronous collect job
-    plus a 640-value InSet per row loses to the broadcast hash join.)"""
+    filter. ONE aggregation builds the whole broadcast structure —
+    bucket → the exact key set hashing into it — so bucket membership
+    IS the bloom admit and array membership IS the exact check: one
+    shuffle + one broadcast join where the r5 shape paid two distincts
+    and two broadcast joins (r6 stage-fusion; the weak-tail ask). The
+    broadcast payload is the same full key set the exact semi-join
+    shipped anyway, just grouped (avg |keys|/BLOOM_BUCKETS per array),
+    and the fact table is still never shuffled. (A collect-and-inline
+    IN-set variant for the bucket filter was measured ~35% SLOWER here —
+    the extra synchronous collect job plus a 640-value InSet per row
+    loses to the broadcast hash join.)"""
     t = tables(spark, sf_dir)
-    keys = t["part"].filter(F.col("p_size") < 10).select("p_partkey").distinct()
-    buckets = keys.select(
+    # p_partkey is part's primary key — the oracle's DISTINCT is a no-op,
+    # so the filtered scan feeds the build aggregation directly.
+    keys = t["part"].filter(F.col("p_size") < 10).select("p_partkey")
+    bucket_keys = keys.groupBy(
         hash_bucket(F.col("p_partkey"), BLOOM_BUCKETS).alias("b")
-    ).distinct()
-    li = t["lineitem"].select("l_orderkey", "l_partkey")
+    ).agg(F.collect_set("p_partkey").alias("ks"))
+    li = t["lineitem"].select("l_partkey")
     pre = li.withColumn("b", hash_bucket(F.col("l_partkey"), BLOOM_BUCKETS)).join(
-        F.broadcast(buckets), "b"
+        F.broadcast(bucket_keys), "b"
     )
-    marked = pre.join(
-        F.broadcast(keys.withColumn("hit", F.lit(True))),
-        pre.l_partkey == keys.p_partkey,
-        "left",
-    )
-    return marked.agg(
+    hit = F.array_contains(F.col("ks"), F.col("l_partkey"))
+    return pre.agg(
         F.count(F.lit(1)).alias("n_pass"),
-        F.count(F.when(F.col("hit"), 1)).alias("n_true"),
+        F.count(F.when(hit, 1)).alias("n_true"),
         F.round(
-            F.count(F.when(F.col("hit").isNull(), 1)).cast("double")
-            / F.count(F.lit(1)),
-            4,
+            F.count(F.when(~hit, 1)).cast("double") / F.count(F.lit(1)), 4
         ).alias("fp_rate"),
     )
 

@@ -210,15 +210,22 @@ def a107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid baseline. Ranks ride doc_id==vec_id (the fixture's shared key
     space). The fusion join touches 2x{LIST_K} rows whatever the corpus
     size; each 1/(k+rank) term is an IEEE-exact division, summed in
-    fixed order, so the emitted doubles are bit-stable across engines."""
+    fixed order, so the emitted doubles are bit-stable across engines.
+
+    Plan shape (r6 stage-fusion, the weak-tail ask): each list is taken
+    by TakeOrderedAndProject — only per-partition top-{LIST_K} rows ever
+    move — then the two bounded lists are UNIONED with a source tag and
+    ranked in ONE window pass (partitionBy src), and the full-outer
+    fusion join is replaced by a groupBy(doc_id) pivot over the same
+    ≤2x{LIST_K} rows: one window + one agg where the r5 shape paid two
+    single-partition windows and a two-sided join shuffle."""
     d = tables(spark, sf_dir)["documents"]
     emb = tables(spark, sf_dir)["embeddings"]
     kw = (
         _bm25_scores(d)
         .orderBy(F.desc("score"), "doc_id")
         .limit(LIST_K)
-        .withColumn("r", F.row_number().over(W.orderBy(F.desc("score"), "doc_id")))
-        .select("doc_id", "r")
+        .select("doc_id", F.col("score").alias("s"), F.lit("kw").alias("src"))
     )
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("q_vec")
@@ -228,11 +235,21 @@ def a107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos", cosine(F.col("embedding"), F.col("q_vec")))
         .orderBy(F.desc("cos"), "vec_id")
         .limit(LIST_K)
-        .withColumn("r", F.row_number().over(W.orderBy(F.desc("cos"), "vec_id")))
-        .select(F.col("vec_id").alias("doc_id"), "r")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("cos").alias("s"),
+            F.lit("vs").alias("src"),
+        )
     )
-    fused = kw.withColumnRenamed("r", "kw_r").join(
-        vs.withColumnRenamed("r", "vec_r"), "doc_id", "full_outer"
+    both = kw.unionByName(vs).withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("src").orderBy(F.desc("s"), "doc_id")
+        ),
+    )
+    fused = both.groupBy("doc_id").agg(
+        F.max(F.when(F.col("src") == "kw", F.col("r"))).alias("kw_r"),
+        F.max(F.when(F.col("src") == "vs", F.col("r"))).alias("vec_r"),
     )
     rrf = F.coalesce(1.0 / (RRF_K + F.col("kw_r")), F.lit(0.0)) + F.coalesce(
         1.0 / (RRF_K + F.col("vec_r")), F.lit(0.0)

@@ -31,10 +31,20 @@ QUERIES = (
 
 
 def main() -> None:
+    # Accept both "--sizes=5000,20000" and "--sizes 5000,20000" (the
+    # docstring's form; previously only '=' parsed and the space form
+    # raised IndexError / silently ignored the value).
     sizes = [5_000, 20_000, 50_000]
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--sizes"):
-            sizes = [int(x) for x in a.split("=", 1)[1].split(",")]
+            if "=" in a:
+                val = a.split("=", 1)[1]
+            elif i + 1 < len(argv):
+                val = argv[i + 1]
+            else:
+                sys.exit("usage: scale_rehearsal.py [--sizes=5000,20000,50000]")
+            sizes = [int(x) for x in val.split(",")]
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
     import __spark_entry__ as entry_mod

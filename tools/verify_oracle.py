@@ -27,10 +27,15 @@ from one_stop_cdc_ingestion_toolkit_spark.session import get_session  # noqa: E4
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    if "--window" in only:
-        only = set(sorted(entry_mod.queries())[:50])
+    # Flags first, positionals after: "verify_oracle.py --window" (sf_dir
+    # omitted) must not treat the flag as a directory, and explicit names
+    # passed alongside --window are unioned with the window, not dropped.
+    argv = [a for a in sys.argv[1:] if a != "--window"]
+    window = "--window" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if window:
+        only |= set(sorted(entry_mod.queries())[:50])
     spark = get_session("verify-oracle")
     con = duckdb.connect()
     for t in TABLES:
