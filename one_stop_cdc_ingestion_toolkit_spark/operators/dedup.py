@@ -280,13 +280,25 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Jaccard over capped word-shingle sets for pairs sharing >=1 shingle.
 
-    Inverted-index join: explode distinct shingles → drop shingles with
-    document frequency > ``df_cap`` (standard inverted-index practice;
-    see NGRAM_DF_CAP) → shuffle on shingle → pair counts → join per-doc
-    set sizes → filter by threshold. Jaccard is exact over the capped
-    shingle universe (sizes are computed AFTER the cap, mirrored in the
-    oracle SQL). Residual hot shingles under the cap are handled by AQE
-    skew-join splitting.
+    Prefix-filtered inverted-index join (AllPairs/PPJoin — Xiao et al.,
+    WWW'08; public algorithm): explode distinct shingles → drop shingles
+    with document frequency > ``df_cap`` (standard inverted-index
+    practice; see NGRAM_DF_CAP) → rank each doc's shingles by GLOBAL
+    rarity (df asc) and index only the first ``sz - ceil(t*sz) + 1``
+    (any pair with J >= t must share a prefix shingle: c >= ceil(t*max
+    (sz_a, sz_b)) since J >= t forces the partner size within [t*sz,
+    sz/t]) → self-join the PREFIX postings only → positional pruning
+    (overlap upper bound 1 + min(sz-pos) must reach the pair's required
+    overlap ceil(t*(sz_a+sz_b)/(1+t))) → verify surviving candidate
+    pairs EXACTLY against per-doc shingle arrays (array_intersect,
+    JVM-side). Jaccard is exact over the capped shingle universe (sizes
+    computed AFTER the cap, mirrored in the oracle SQL) — the prefix
+    filter admits every qualifying pair, so the result is identical to
+    the full join, but the join stream carries only the rare-half
+    postings: on the adversarial small-vocab corpus (r5 scale
+    rehearsal, where EVERY shingle's df grows linearly and sum(df²)
+    quadratically) this cuts the co-posting stream ~8x and keeps
+    wall-clock tracking the OUTPUT pair count rather than sum(df²).
     """
     # shingle IDENTITY is all the index needs (df counts, postings join)
     # → xxhash64-compress before the distinct, so every downstream
@@ -301,39 +313,98 @@ def ngram_jaccard_pairs(
     )
     # df-cap via a count window over the shingle, not groupBy+join: ONE
     # evaluation of the (expensive) shingle pipeline and one shuffle on
-    # shingle — which also co-partitions the self-join below. A join
-    # formulation evaluates `exploded` twice and shuffles twice.
+    # shingle. The df also orders the prefix (rarest-first), so it rides
+    # along instead of being recomputed.
+    t = threshold
+    sh = exploded.withColumn(
+        "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).filter(F.col("__df") <= df_cap)
+    # One shuffle on id computes the per-doc size AND the rarity rank
+    # (ties broken by shingle hash — any consistent GLOBAL total order
+    # keeps the prefix-filter guarantee). The same id-partitioning is
+    # then reused by the verification arrays' groupBy — no exchange.
     sh = (
-        exploded.withColumn(
-            "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        sh.withColumn("sz", F.count(F.lit(1)).over(W.partitionBy("id")))
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("id").orderBy("__df", "shingle")),
         )
-        .filter(F.col("__df") <= df_cap)
         .drop("__df")
     )
-    # persist: referenced three times (sizes + both join sides); without
-    # it the shingle pipeline runs three times. Tracked for release
-    # between queries (operators.release_caches).
+    # persist: referenced three times (both prefix join sides + the
+    # verification arrays). Tracked for release (operators.release_caches).
     sh = track_cache(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # ceil(x - 1e-9): guard against float error flipping an exact integer
+    # boundary upward — a too-SMALL alpha / too-LONG prefix only admits
+    # extra candidates (verification is exact), never loses a pair.
+    prefix = sh.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - 1e-9) + 1
     )
-    return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
-            ),
+    a = prefix.select(
+        "shingle",
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = prefix.select(
+        "shingle",
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    alpha = F.ceil(
+        (F.lit(t) * (F.col("sz_a") + F.col("sz_b"))) / F.lit(1.0 + t) - 1e-9
+    )
+    ubound = 1 + F.least(
+        F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("sz_a", "sz_b") >= alpha)
+            & (ubound >= alpha)
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact verification: per-doc shingle arrays (bounded by df_cap-kept
+    # set sizes) — n_common via JVM-side array_intersect, no corpus-sized
+    # pair stream ever materializes.
+    arrs = sh.groupBy("id").agg(
+        F.max("sz").alias("n_sh"), F.collect_list("shingle").alias("arr")
+    )
+    # Verify-join strategy: the candidate stream is slim (two longs) but
+    # the array side is ~sz*8B per doc — shuffling it through two joins
+    # attaches a full array to every candidate row (GBs on the
+    # adversarial corpus). When the WHOLE array side fits a broadcast
+    # (estimated from the cached postings count — the same runtime-stats
+    # decision AQE makes, but arrs sits behind a cache so Spark cannot
+    # see its size), pin broadcast: verification becomes one map-only
+    # stage over the candidates. Past the threshold (real corpora at
+    # scale) it falls back to shuffle joins.
+    if sh.count() * 9 < (64 << 20):
+        arrs = F.broadcast(arrs)
+    ver = cand.join(
+        arrs.select(
+            F.col("id").alias("id_a"),
+            F.col("n_sh").alias("na"),
+            F.col("arr").alias("arr_a"),
+        ),
+        "id_a",
+    ).join(
+        arrs.select(
+            F.col("id").alias("id_b"),
+            F.col("n_sh").alias("nb"),
+            F.col("arr").alias("arr_b"),
+        ),
+        "id_b",
+    )
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    jac = n_common / (F.col("na") + F.col("nb") - n_common)
+    return (
+        ver.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -527,20 +527,23 @@ def a0003_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     or language-ID errors — both poison per-language dedup and eval
     decontamination, so multilingual pipelines run this audit first.
 
-    Plan (the q44 inverted-index discipline): distinct (doc, lang,
-    xxhash64(shingle)) posting list over a widened scan, shingles with
-    document frequency > NGRAM_DF_CAP dropped via ONE count-window on
-    the shingle key (which also co-partitions the self-join that
-    follows — no second shuffle), bucketed self-join emits only
-    co-bucket pairs (never corpus²; the df cap bounds each bucket),
-    lang-inequality filtered BEFORE the pair aggregation, then a
-    partial-agg rollup to the |langs|² matrix. All-integer output."""
+    Plan (the q44 inverted-index discipline, r6 slim-stream revision):
+    distinct (doc, xxhash64(shingle)) posting list over a widened scan —
+    lang strings are deliberately NOT carried through the heavy join
+    (two longs per row instead of two longs + two strings: ~3x less
+    shuffle on the adversarial small-vocab corpus where the co-posting
+    stream is the whole cost). Shingles with document frequency >
+    NGRAM_DF_CAP dropped via ONE count-window on the shingle key (which
+    also co-partitions the self-join — no second shuffle), self-join →
+    pair counts ≥ CL_MIN_SHARED (a tiny survivor set bounded by the
+    real dup density), then langs are attached by BROADCASTING the
+    survivors against two narrow (doc_id, lang) scans and the
+    lang-inequality filter and |langs|² rollup run on that tiny frame.
+    All-integer heavy path; strings only ever touch survivor rows."""
     d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
     sh = (
-        d.select(
-            "doc_id", "lang", F.explode(word_shingles(F.col("text"))).alias("s")
-        )
-        .select("doc_id", "lang", F.xxhash64("s").alias("s"))
+        d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("s"))
         .distinct()
     )
     # persist: BOTH self-join sides read this frame — uncached, the whole
@@ -554,24 +557,37 @@ def a0003_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__df", F.count(F.lit(1)).over(W.partitionBy("s"))
         ).filter(F.col("__df") <= NGRAM_DF_CAP)
     )
-    left = kept.select(
-        F.col("s"), F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
-    )
-    right = kept.select(
-        F.col("s"), F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")
-    )
+    left = kept.select(F.col("s"), F.col("doc_id").alias("id_a"))
+    right = kept.select(F.col("s"), F.col("doc_id").alias("id_b"))
     pairs = (
         left.join(right, "s")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("lang_a") != F.col("lang_b"))
-        )
-        .groupBy("id_a", "id_b", "lang_a", "lang_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= CL_MIN_SHARED)
     )
+    # survivors are bounded by the corpus's true dup density — broadcast
+    # THEM (never the doc→lang dict, which scales with the corpus) and
+    # decode langs with two narrow column-pruned scans.
+    langs = tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    tagged = (
+        F.broadcast(pairs)
+        .join(
+            langs.select(
+                F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")
+            ),
+            "id_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("lang_a") != F.col("lang_b"))
+    )
     return (
-        pairs.select(
+        tagged.select(
             F.least("lang_a", "lang_b").alias("lang_lo"),
             F.greatest("lang_a", "lang_b").alias("lang_hi"),
             "n_common",
