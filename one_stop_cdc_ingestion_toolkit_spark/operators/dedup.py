@@ -79,6 +79,23 @@ def word_shingles(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 
+def hashed_shingles(text: Column, k: int = SHINGLE_K) -> Column:
+    """Per-document DISTINCT xxhash64'd k-word shingles as an array.
+
+    The dedup family's inverted indexes all start from distinct
+    (doc, shingle-hash) postings. Building that as ``explode(...).
+    distinct()`` pays a corpus-wide shuffle; deduping INSIDE the row
+    (array_distinct over the hashed array, then explode) produces the
+    identical posting set with NO shuffle — per-doc work is bounded by
+    document length, so the map stage scales embarrassingly at 100 TB.
+    Equivalent because the distinct key was (id, hash) anyway: rows from
+    different docs were never merged, and within a doc array_distinct
+    merges exactly what .distinct() merged."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -301,15 +318,14 @@ def ngram_jaccard_pairs(
     wall-clock tracking the OUTPUT pair count rather than sum(df²).
     """
     # shingle IDENTITY is all the index needs (df counts, postings join)
-    # → xxhash64-compress before the distinct, so every downstream
-    # shuffle carries 8-byte keys instead of k-word strings (the a134
-    # discipline; the raw-shingle oracle hash-checks every jaccard).
+    # → xxhash64-compress, and dedup per-doc INSIDE the row
+    # (hashed_shingles): 8-byte keys in every downstream shuffle (the
+    # a134 discipline) and NO corpus-wide distinct shuffle (the r6
+    # array_distinct-before-explode discipline).
     df = widen_narrow_scan(df)
-    exploded = (
-        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col)).alias("sh"))
-        .select("id", F.explode("sh").alias("s"))
-        .select("id", F.xxhash64("s").alias("shingle"))
-        .distinct()
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_shingles(F.col(text_col))).alias("shingle"),
     )
     # df-cap via a count window over the shingle, not groupBy+join: ONE
     # evaluation of the (expensive) shingle pipeline and one shuffle on

@@ -42,6 +42,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import (
     widen_narrow_scan,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (  # noqa: F401
+    hashed_shingles,
     minhash_lsh_pairs,
     simhash,
     word_shingles,
@@ -456,12 +457,13 @@ def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning) so the shingle explode parallelizes
     dc = widen_narrow_scan(d.join(F.broadcast(cand_ids), "doc_id"))
     # cached: consumed three times (sizes + both postings sides).
+    # per-doc dedup inside the row (array_distinct before explode, the
+    # r6 discipline): identical posting set, no distinct shuffle.
     sh = track_cache(
         dc.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+            "doc_id",
+            F.explode(hashed_shingles(F.col("text"))).alias("shingle"),
         )
-        .select("doc_id", F.xxhash64("s").alias("shingle"))
-        .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (

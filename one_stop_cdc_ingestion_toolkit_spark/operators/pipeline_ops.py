@@ -304,19 +304,20 @@ def c88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark suite). The eval side is tiny by construction → broadcast;
     the corpus side is one shingle scan, so at 100 TB this is a
     map-side semi-join with no corpus shuffle before the per-doc count."""
-    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        hashed_shingles,
+    )
 
     d = tables(spark, sf_dir)["documents"]
-    # gram IDENTITY is all the semi-join needs → xxhash64-compress before
-    # the distinct (8-byte keys in the broadcast AND the shuffle; the
-    # raw-gram oracle hash-checks the per-doc overlap counts)
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(word_shingles(F.col("text"), k=DECONTAM_K)).alias("s"),
-        )
-        .select("doc_id", F.xxhash64("s").alias("g"))
-        .distinct()
+    # gram IDENTITY is all the semi-join needs → xxhash64-compress, and
+    # dedup per-doc INSIDE the row (array_distinct before explode, the
+    # r6 discipline): the corpus-wide distinct shuffle — c88's single
+    # biggest stage — disappears; 8-byte keys in the broadcast AND the
+    # remaining (hits-only) shuffle. The raw-gram oracle hash-checks the
+    # per-doc overlap counts.
+    grams = d.select(
+        "doc_id",
+        F.explode(hashed_shingles(F.col("text"), k=DECONTAM_K)).alias("g"),
     )
     eval_grams = F.broadcast(
         grams.filter(F.col("doc_id") < 5).select("g").distinct()

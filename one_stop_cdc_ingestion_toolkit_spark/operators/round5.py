@@ -48,6 +48,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import (
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
     NGRAM_DF_CAP,
+    hashed_shingles,
     word_shingles,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
@@ -541,10 +542,10 @@ def a0003_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang-inequality filter and |langs|² rollup run on that tiny frame.
     All-integer heavy path; strings only ever touch survivor rows."""
     d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
-    sh = (
-        d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
-        .select("doc_id", F.xxhash64("s").alias("s"))
-        .distinct()
+    # per-doc dedup inside the row (array_distinct before explode) — the
+    # r6 discipline: same posting set as explode+distinct, zero shuffle.
+    sh = d.select(
+        "doc_id", F.explode(hashed_shingles(F.col("text"))).alias("s")
     )
     # persist: BOTH self-join sides read this frame — uncached, the whole
     # explode→distinct→window pipeline ran twice AND the optimizer

@@ -267,12 +267,18 @@ class Pipeline:
         has its own envelope row schema) re-parse from memory, not from
         the source; each table's decoded slice is persisted across its
         isEmpty + merge actions."""
+        # persist the SOURCE batch before ANY action: the tx gate below
+        # runs its own actions (boundary collect, buffer writes), and
+        # un-persisted each one re-read the source — the r6 soak's
+        # listener log showed ~2.4x numInputRows per micro-batch.
+        src = raw.persist()
         if self.tx_gate is not None:
             # transaction atomicity: boundary records are consumed, open
             # transactions buffered, committed ones released into THIS
             # batch — so a source transaction lands in one epoch.
-            raw = self.tx_gate.filter_batch(raw, batch_id)
-        raw = raw.persist()
+            raw = self.tx_gate.filter_batch(src, batch_id).persist()
+        else:
+            raw = src
         try:
             # A5: schema-change (DDL) events ride the same stream
             # (``include.schema.changes=true``, the reference's
@@ -383,6 +389,8 @@ class Pipeline:
             self.store.log_epoch([t.name for t in self.spec.tables])
         finally:
             raw.unpersist()
+            if raw is not src:
+                src.unpersist()
 
     def _decode_mismatch(self, row_schema) -> F.Column:
         """Predicate over decoded envelope rows (with ``_raw``): true when

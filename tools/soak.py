@@ -1,0 +1,453 @@
+"""End-to-end streaming soak at bench scale (VERDICT r5 ask #3).
+
+One quickstart-shaped pipeline driven over a GENERATED sf0.1-sized
+changelog: ~200k envelope events across 26 JSON-lines files (one file
+per micro-batch via maxFilesPerTrigger=1), two captured tables (plain
+snapshot store + 16-bucket BucketedTableStore — the 100 TB merge path),
+mixed c/r/u/d with out-of-order and duplicate delivery (A15), one
+BACKWARD-compatible DDL event mid-stream (A5/A6/A11), one transaction
+whose END boundary arrives AFTER a mid-run kill (tx_atomic gate state
+must survive the restart), and a checkpoint restart (A13/A17).
+
+The oracle is maintained IN PYTHON by the generator itself (latest-wins
+by pos per key), independent of any engine code. Asserts at the end:
+
+- final table contents == python oracle for BOTH tables (incl. the
+  column added by the DDL),
+- tombstone counts match the oracle's deleted-key counts,
+- freshness (monitor.freshness) ts_high_ms == the oracle's max applied
+  ts per table, i.e. replication lag returns to zero,
+- the open transaction is held across the kill (status
+  open_transactions==1 mid-run) and applied exactly once after restart,
+- DLQ is empty,
+- capacity_report sees >= 20 micro-batches.
+
+Writes the machine-readable report to SOAK.json at the repo root and
+prints a markdown summary for PARITY.md.
+
+Usage: python tools/soak.py [--events=200000] [--files=26] [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_TS = 1_700_000_000_000
+N_ACCOUNTS = 20_000
+N_EVENT_KEYS = 10_000
+TX_ID = "soak-tx-1"
+
+
+def envelope(op, pos, table, before=None, after=None, tx=None):
+    key_row = after if op != "d" else before
+    key_col = "id" if table == "accounts" else "ev_id"
+    v = {
+        "before": before,
+        "after": after,
+        "op": op,
+        "ts_ms": BASE_TS + pos,
+        "source": {"db": "soak_db", "table": table, "pos": pos, "server_id": 1},
+    }
+    if tx is not None:
+        v["transaction"] = {"id": tx, "total_order": pos}
+    return {"key": str((key_row or {}).get(key_col)), "value": json.dumps(v)}
+
+
+def boundary(tx, status="END", event_count=None):
+    v = {"status": status, "id": tx}
+    if event_count is not None:
+        v["event_count"] = event_count
+    return {"key": None, "value": json.dumps(v)}
+
+
+def ddl_event():
+    """ALTER TABLE accounts ADD COLUMN note VARCHAR NULL — BACKWARD ok."""
+    cols = [
+        ("id", "INT", False),
+        ("name", "VARCHAR", True),
+        ("balance", "BIGINT", True),
+        ("note", "VARCHAR", True),
+    ]
+    return {
+        "key": "soak_db",
+        "value": json.dumps(
+            {
+                "databaseName": "soak_db",
+                "ddl": "ALTER TABLE accounts ADD COLUMN note VARCHAR NULL",
+                "tableChanges": [
+                    {
+                        "type": "ALTER",
+                        "id": '"soak_db"."accounts"',
+                        "table": {
+                            "primaryKeyColumnNames": ["id"],
+                            "columns": [
+                                {"name": n, "typeName": t, "optional": o}
+                                for n, t, o in cols
+                            ],
+                        },
+                    }
+                ],
+            }
+        ),
+    }
+
+
+class Oracle:
+    """Latest-wins-by-pos replica of one table, maintained in python."""
+
+    def __init__(self):
+        self.state: dict[int, tuple[int, dict | None]] = {}  # key -> (pos, row)
+        self.max_ts = 0
+
+    def apply(self, op, pos, key, after):
+        cur = self.state.get(key)
+        if cur is None or pos > cur[0]:
+            self.state[key] = (pos, None if op == "d" else after)
+        self.max_ts = max(self.max_ts, BASE_TS + pos)
+
+    @property
+    def live(self):
+        return {k: r for k, (_, r) in self.state.items() if r is not None}
+
+    @property
+    def tombstones(self):
+        return sum(1 for _, r in self.state.values() if r is None)
+
+
+def generate(n_events: int, n_files: int, rng: random.Random):
+    """Yields (files, acct_oracle, ev_oracle, tx_rows). Files is a list of
+    lists of record dicts; kill point is AFTER file index kill_after."""
+    acct, ev = Oracle(), Oracle()
+    pos = 0
+    files: list[list[dict]] = [[] for _ in range(n_files)]
+    n_accounts = min(N_ACCOUNTS, n_events // 10)  # snapshot = 10% of budget
+
+    def emit(fidx, rec):
+        files[fidx].append(rec)
+
+    # snapshot reads (op='r') for the initial accounts keyspace, files 0-2
+    for i in range(n_accounts):
+        pos += 1
+        row = {"id": i, "name": f"acct-{i}", "balance": i * 10}
+        acct.apply("r", pos, i, row)
+        emit(i * 3 // n_accounts, envelope("r", pos, "accounts", after=row))
+
+    ddl_file = n_files // 2 - 3  # DDL lands at file 10 of 26
+    tx_data_file = n_files // 2 - 1  # tx rows at file 12
+    kill_after = n_files // 2  # kill after file 13
+    tx_end_file = n_files // 2 + 1  # END boundary at file 14
+    emit(ddl_file, ddl_event())
+
+    tx_rows = []
+    for j in range(3):  # one 3-row transaction spanning the kill
+        pos += 1
+        kid = n_accounts + 1_000_000 + j
+        row = {"id": kid, "name": f"tx-{j}", "balance": 777, "note": "txn"}
+        acct.apply("c", pos, kid, row)
+        tx_rows.append((pos, kid, row))
+        emit(tx_data_file, envelope("c", pos, "accounts", after=row, tx=TX_ID))
+    emit(tx_end_file, boundary(TX_ID, event_count=3))
+
+    # churn: remaining budget split between the two tables, assigned to
+    # files MONOTONICALLY in pos order (a changelog is time-ordered
+    # across files; only in-file shuffles and duplicate redelivery are
+    # out of order) — this makes the mid-run freshness lag REAL: the
+    # applied high-water at the kill point trails the source clock by
+    # the not-yet-delivered tail.
+    churn = n_events - n_accounts - 3
+    next_acct_id = n_accounts
+    next_ev_id = 0
+    recent: list[dict] = []
+    for ci in range(churn):
+        pos += 1
+        fidx = 3 + ci * (n_files - 3) // churn
+        after_ddl = fidx > ddl_file
+        if rng.random() < 0.35:
+            # events_tbl (bucketed) churn
+            r = rng.random()
+            if r < 0.5 or next_ev_id == 0:
+                key = next_ev_id
+                next_ev_id += 1
+                op = "c"
+                row = {
+                    "ev_id": key,
+                    "kind": rng.choice(["click", "view", "buy"]),
+                    "amount": rng.randrange(1000),
+                }
+            elif r < 0.85:
+                key = rng.randrange(next_ev_id)
+                op = "u"
+                row = {"ev_id": key, "kind": "upd", "amount": rng.randrange(1000)}
+            else:
+                key = rng.randrange(next_ev_id)
+                op = "d"
+                row = None
+            ev.apply(op, pos, key, row)
+            rec = envelope(
+                op,
+                pos,
+                "events_tbl",
+                before={"ev_id": key, "kind": "x", "amount": 0} if op == "d" else None,
+                after=row,
+            )
+        else:
+            r = rng.random()
+            if r < 0.25:
+                key = next_acct_id
+                next_acct_id += 1
+                op = "c"
+                row = {"id": key, "name": f"acct-{key}", "balance": rng.randrange(10_000)}
+            elif r < 0.85:
+                key = rng.randrange(next_acct_id)
+                op = "u"
+                row = {"id": key, "name": f"acct-{key}", "balance": rng.randrange(10_000)}
+            else:
+                key = rng.randrange(next_acct_id)
+                op = "d"
+                row = None
+            if op != "d" and after_ddl:
+                row = dict(row)
+                row["note"] = rng.choice(["", "vip", "flag", "ok"]) or None
+            acct.apply(op, pos, key, row)
+            rec = envelope(
+                op,
+                pos,
+                "accounts",
+                before={"id": key, "name": "x", "balance": 0} if op == "d" else None,
+                after=row,
+            )
+        emit(fidx, rec)
+        recent.append(rec)
+        # at-least-once: ~1% duplicate redelivery into a LATER file
+        if rng.random() < 0.01:
+            emit(rng.randrange(fidx, n_files), rec)
+        # out-of-order: ~1% swap with a random earlier record in-file
+        if len(files[fidx]) > 2 and rng.random() < 0.01:
+            i = rng.randrange(len(files[fidx]) - 1)
+            files[fidx][i], files[fidx][-1] = files[fidx][-1], files[fidx][i]
+
+    return files, acct, ev, kill_after
+
+
+def write_files(stream_dir, files, lo, hi):
+    """Write files[lo:hi] with strictly increasing mtimes so the file
+    source triggers them in order (DDL-before-data ordering)."""
+    os.makedirs(stream_dir, exist_ok=True)
+    now = time.time() - 3600
+    for i in range(lo, hi):
+        p = os.path.join(stream_dir, f"batch-{i:04d}.json")
+        with open(p, "w") as f:
+            for rec in files[i]:
+                f.write(json.dumps(rec) + "\n")
+        os.utime(p, (now + i, now + i))
+
+
+def main() -> int:
+    n_events, n_files, keep = 200_000, 26, False
+    for a in sys.argv[1:]:
+        if a.startswith("--events="):
+            n_events = int(a.split("=", 1)[1])
+        elif a.startswith("--files="):
+            n_files = int(a.split("=", 1)[1])
+        elif a == "--keep":
+            keep = True
+
+    from pyspark.sql import types as T
+
+    from one_stop_cdc_ingestion_toolkit_spark.session import get_session
+    from one_stop_cdc_ingestion_toolkit_spark.streaming import monitor
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.monitor import (
+        PipelineListener,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
+        Pipeline,
+        PipelineSpec,
+        TableSpec,
+    )
+
+    base = "/tmp/soak_r06"
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "stream")
+    listener_log = os.path.join(base, "listener.jsonl")
+
+    acct_schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("balance", T.LongType(), True),
+        ]
+    )
+    ev_schema = T.StructType(
+        [
+            T.StructField("ev_id", T.IntegerType(), False),
+            T.StructField("kind", T.StringType(), True),
+            T.StructField("amount", T.LongType(), True),
+        ]
+    )
+    spec = PipelineSpec(
+        name="soak",
+        source_dir=stream_dir,
+        tables=[
+            TableSpec("accounts", ["id"], acct_schema),
+            TableSpec("events_tbl", ["ev_id"], ev_schema, n_buckets=16),
+        ],
+        sink_dir=os.path.join(base, "lake"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        max_files_per_trigger=1,
+        options={"tx_atomic": True},
+    )
+
+    print(f"generating {n_events} events across {n_files} files ...")
+    files, acct, ev, kill_after = generate(n_events, n_files, random.Random(42))
+
+    spark = get_session("soak")
+    listener = PipelineListener(listener_log)
+    spark.streams.addListener(listener)
+
+    report: dict = {"n_events": n_events, "n_files": n_files}
+    t_start = time.time()
+
+    # ---- phase 1: files up to the kill point ----
+    write_files(stream_dir, files, 0, kill_after + 1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    status_mid = pipe.status()
+    fresh_mid = monitor.freshness(
+        spark, pipe.store, ["accounts", "events_tbl"], now_ms=acct.max_ts
+    )
+    pipe.stop()  # the mid-run kill: query gone, Pipeline object discarded
+    del pipe
+    t_kill = time.time()
+    print(f"phase 1 done ({kill_after + 1} batches, {t_kill - t_start:.1f}s); "
+          f"open_tx={status_mid['open_transactions']}")
+    assert status_mid["open_transactions"] == 1, status_mid  # tx held open
+
+    fresh_kill = monitor.freshness(
+        spark,
+        __import__(
+            "one_stop_cdc_ingestion_toolkit_spark.streaming.table_store",
+            fromlist=["BucketedTableStore"],
+        ).BucketedTableStore(spec.sink_dir),
+        ["accounts", "events_tbl"],
+        now_ms=acct.max_ts,
+    )
+
+    # ---- phase 2: remaining files + restart from checkpoint ----
+    write_files(stream_dir, files, kill_after + 1, n_files)
+    pipe2 = Pipeline(spark, spec)  # fresh instance, SAME checkpoint
+    pipe2.process_available()
+    t_done = time.time()
+
+    # ---- asserts ----
+    problems = []
+
+    snap = {
+        r["id"]: (r["name"], r["balance"], r["note"])
+        for r in pipe2.read_table("accounts").collect()
+    }
+    want = {
+        k: (row["name"], row["balance"], row.get("note"))
+        for k, row in acct.live.items()
+    }
+    if snap != want:
+        extra = {k: snap[k] for k in list(set(snap) - set(want))[:3]}
+        missing = {k: want[k] for k in list(set(want) - set(snap))[:3]}
+        diff = {
+            k: (snap[k], want[k])
+            for k in list(k for k in snap if k in want and snap[k] != want[k])[:3]
+        }
+        problems.append(
+            f"accounts mismatch: {len(snap)} vs {len(want)} rows; "
+            f"extra={extra} missing={missing} diff={diff}"
+        )
+
+    esnap = {
+        r["ev_id"]: (r["kind"], r["amount"])
+        for r in pipe2.read_table("events_tbl").collect()
+    }
+    ewant = {k: (row["kind"], row["amount"]) for k, row in ev.live.items()}
+    if esnap != ewant:
+        problems.append(f"events_tbl mismatch: {len(esnap)} vs {len(ewant)} rows")
+
+    fresh_end = monitor.freshness(
+        spark, pipe2.store, ["accounts", "events_tbl"], now_ms=acct.max_ts
+    )
+    by_tbl = {f["table"]: f for f in fresh_end}
+    for name, orc in (("accounts", acct), ("events_tbl", ev)):
+        f = by_tbl[name]
+        if f["ts_high_ms"] != orc.max_ts:
+            problems.append(
+                f"{name}: ts_high {f['ts_high_ms']} != oracle {orc.max_ts}"
+            )
+        if f["tombstones"] != orc.tombstones:
+            problems.append(
+                f"{name}: tombstones {f['tombstones']} != {orc.tombstones}"
+            )
+
+    mid_by = {f["table"]: f for f in fresh_mid}
+    if not (mid_by["accounts"]["lag_ms"] or 0) > 0:
+        problems.append(
+            f"mid-run lag not positive: {mid_by['accounts']['lag_ms']}"
+        )
+    dlq = pipe2.read_dlq()
+    dlq_rows = 0 if dlq is None else dlq.count()
+    if dlq_rows:
+        problems.append(f"DLQ not empty: {dlq_rows}")
+    if pipe2.status()["open_transactions"] != 0:
+        problems.append("tx still open after END applied")
+
+    cap = monitor.capacity_report(listener_log)
+    n_batches = sum(c.get("n_batches", 0) for c in cap)
+    if n_batches < 20:
+        problems.append(f"only {n_batches} micro-batches observed")
+
+    pipe2.stop()
+
+    report.update(
+        {
+            "wall_clock_s": round(t_done - t_start, 1),
+            "phase1_s": round(t_kill - t_start, 1),
+            "events_per_s": round(n_events / (t_done - t_start), 1),
+            "accounts_rows": len(snap),
+            "events_tbl_rows": len(esnap),
+            "freshness_mid": fresh_mid,
+            "freshness_post_kill": fresh_kill,
+            "freshness_final": fresh_end,
+            "capacity_report": cap,
+            "dlq_rows": dlq_rows,
+            "open_tx_at_kill": status_mid["open_transactions"],
+            "problems": problems,
+        }
+    )
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "SOAK.json"), "w") as fh:
+        json.dump(report, fh, indent=1, default=str)
+        fh.write("\n")
+
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("capacity_report", "freshness_mid",
+                                   "freshness_post_kill", "freshness_final")},
+                     indent=1))
+    for f in fresh_end:
+        print("freshness:", f)
+    for c in cap:
+        print("capacity:", c)
+    if problems:
+        print("FAIL:", *problems, sep="\n  ")
+        return 1
+    print(f"SOAK PASS: {n_events} events, {n_batches} micro-batches, "
+          f"kill+restart ok, tables == oracle, lag back to zero, DLQ empty")
+    if not keep:
+        shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
