@@ -7,8 +7,11 @@ corpus pipeline does to that lake. Four families, all shuffle-conscious:
 - **Exact** — hash-groupBy on a content digest. One shuffle on the digest.
 - **MinHash + LSH** — shingle → per-seed min-hash → band → bucket self-join.
   The self-join is on band signature (small buckets), never all-pairs.
-- **N-gram Jaccard** — inverted-index join on shingles (pair generation is
-  bounded by shared-shingle postings), exact Jaccard on candidate pairs.
+- **N-gram Jaccard** — PREFIX-FILTERED inverted-index join (AllPairs/
+  PPJoin): only each doc's rarest shingles are indexed, candidates are
+  positionally pruned, and exact Jaccard is verified against per-doc
+  shingle arrays — pair generation is bounded by prefix postings, far
+  below the full shared-shingle postings.
 - **SimHash** — 32-bit fingerprint from word hashes; near-dups share bands
   of the fingerprint.
 

@@ -437,7 +437,7 @@ def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle explode too: the corpus is semi-joined down to docs that
     appear in some candidate pair BEFORE shingles materialize, so the
     per-shingle stream is O(candidate docs), not O(corpus); shingles
-    are xxhash64-compressed ahead of the distinct/join shuffles (the
+    are xxhash64-compressed and per-doc-deduped inside the row (the
     a134 discipline — the raw-shingle oracle hash-checks every
     containment)."""
     d = tables(spark, sf_dir)["documents"]
