@@ -454,44 +454,49 @@ def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # re-widen after the broadcast join (it inherits the narrow scan's
-    # partitioning) so the shingle explode parallelizes
+    # partitioning) so the per-doc shingle hashing parallelizes
     dc = widen_narrow_scan(d.join(F.broadcast(cand_ids), "doc_id"))
-    # cached: consumed three times (sizes + both postings sides).
-    # per-doc dedup inside the row (array_distinct before explode, the
-    # r6 discipline): identical posting set, no distinct shuffle.
-    sh = track_cache(
-        dc.select(
-            "doc_id",
-            F.explode(hashed_shingles(F.col("text"))).alias("shingle"),
-        )
+    # r6: NO posting explode, NO postings join, NO groupBy — each
+    # candidate doc's distinct shingle hashes stay an ARRAY inside the
+    # row (hashed_shingles), and the exact intersection is computed
+    # per candidate pair with JVM-side array_intersect. The array frame
+    # is bounded by the LSH candidate-doc set (never the corpus); when
+    # its size estimate fits a broadcast (<= 2 docs per cached pair,
+    # ~800B of hashed shingles each — the q44 discipline: Spark cannot
+    # see through the cache, so the runtime-stats decision is made
+    # here), verification is one map stage over the pair list; past the
+    # threshold it falls back to shuffle joins.
+    arrs = dc.select(
+        "doc_id", hashed_shingles(F.col("text")).alias("arr")
+    ).withColumn("sz", F.size("arr"))
+    if pairs.count() * 800 < (64 << 20):
+        arrs = F.broadcast(arrs)
+    ver = pairs.join(
+        arrs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("arr").alias("arr_a"),
+            F.col("sz").alias("sz_a"),
+        ),
+        "id_a",
+    ).join(
+        arrs.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("arr").alias("arr_b"),
+            F.col("sz").alias("sz_b"),
+        ),
+        "id_b",
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a"
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
+    # the postings-join formulation only ever emitted pairs sharing >=1
+    # shingle; a band collision without a shared shingle must not appear
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
+        ver.filter(n_common >= 1)
         .select(
             "id_a",
             "id_b",
-            "n_common",
-            F.round(F.col("n_common") / F.col("sz_a").cast("double"), 4).alias(
-                "cont_a"
-            ),
-            F.round(F.col("n_common") / F.col("sz_b").cast("double"), 4).alias(
-                "cont_b"
-            ),
+            n_common.cast("long").alias("n_common"),
+            F.round(n_common / F.col("sz_a").cast("double"), 4).alias("cont_a"),
+            F.round(n_common / F.col("sz_b").cast("double"), 4).alias("cont_b"),
         )
         .orderBy("id_a", "id_b")
     )

@@ -301,32 +301,31 @@ DECONTAM_K = 5  # overlap n-gram width (13 in practice; 5 fits the fixture)
 def c88_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination scan: flag corpus documents sharing any
     ``DECONTAM_K``-gram with the eval set (docs 0-4 stand in for a
-    benchmark suite). The eval side is tiny by construction → broadcast;
-    the corpus side is one shingle scan, so at 100 TB this is a
-    map-side semi-join with no corpus shuffle before the per-doc count."""
+    benchmark suite). The eval side is tiny by construction → it is
+    collected to ONE array row and broadcast-cross-joined; each corpus
+    doc's distinct gram hashes stay an ARRAY inside the row
+    (hashed_shingles, the r6 discipline) and n_overlap is a JVM-side
+    array_intersect size. At 100 TB the corpus side is a single map
+    stage over the scan — no explode, no semi-join shuffle, no groupBy;
+    per-row work is bounded by doc length + |eval grams|. The raw-gram
+    oracle hash-checks the per-doc overlap counts."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
         hashed_shingles,
     )
 
     d = tables(spark, sf_dir)["documents"]
-    # gram IDENTITY is all the semi-join needs → xxhash64-compress, and
-    # dedup per-doc INSIDE the row (array_distinct before explode, the
-    # r6 discipline): the corpus-wide distinct shuffle — c88's single
-    # biggest stage — disappears; 8-byte keys in the broadcast AND the
-    # remaining (hits-only) shuffle. The raw-gram oracle hash-checks the
-    # per-doc overlap counts.
-    grams = d.select(
-        "doc_id",
-        F.explode(hashed_shingles(F.col("text"), k=DECONTAM_K)).alias("g"),
+    garr = hashed_shingles(F.col("text"), k=DECONTAM_K)
+    ev = F.broadcast(
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode(garr).alias("g"))
+        .agg(F.collect_set("g").alias("ev"))
     )
-    eval_grams = F.broadcast(
-        grams.filter(F.col("doc_id") < 5).select("g").distinct()
-    )
+    n_overlap = F.size(F.array_intersect(garr, F.col("ev")))
     return (
-        grams.filter(F.col("doc_id") >= 5)
-        .join(eval_grams, "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        d.filter(F.col("doc_id") >= 5)
+        .crossJoin(ev)
+        .select("doc_id", n_overlap.cast("long").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 1)
         .orderBy("doc_id")
     )
 
