@@ -38,7 +38,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_P,
     SHINGLE_K,
-    minhash_lsh_pairs,
+    minhash_cc_edges,
     word_shingles,
 )
 
@@ -498,9 +498,14 @@ def d96_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash-LSH candidate graph, labeling every involved doc with its
     cluster's min doc_id. The oracle re-derives reachability with a
     recursive CTE — DuckDB can recurse, Spark SQL cannot, so the engine
-    side is the distributed label-propagation loop (connected_components)."""
+    side is the distributed label-propagation loop (connected_components).
+
+    Edge generation collapses identical-signature groups to stars
+    (dedup.minhash_cc_edges) — component-identical to the full band
+    graph the oracle enumerates, but linear instead of quadratic when
+    the corpus carries a hot exact-duplicate cluster."""
     d = tables(spark, sf_dir)["documents"]
-    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    pairs = minhash_cc_edges(d, "doc_id", "text")
     return (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))

@@ -286,6 +286,52 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return band_pairs(bands)
 
 
+def minhash_cc_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Connectivity-equivalent LSH edge set (id_a, id_b) for CLUSTERING
+    consumers (connected components / cluster retention) — NOT for pair
+    queries, whose output is the pair set itself.
+
+    The band self-join emits every pair inside a bucket, so B copies of
+    one boilerplate document (identical text ⇒ identical signature ⇒
+    same bucket in every band) cost B·(B−1)/2 candidate pairs — a
+    quadratic blowup a real 100 TB corpus WILL contain (license
+    headers, scraped templates). Connected components only needs the
+    pairs' connectivity, so this builder collapses each
+    identical-SIGNATURE group to a star before the quadratic stage:
+
+    - one window over the signature (mh0..mh7) labels every doc with
+      its group's min id (``rep``) — linear rows through one shuffle,
+      partial-order-free aggregates (min) so a hot group streams;
+    - star edges (rep, member) replace the group's internal clique;
+    - band rows are built for REPRESENTATIVES ONLY, so the self-join's
+      bucket sizes are bounded by the number of DISTINCT signatures.
+
+    Component equality with the full graph (the d96/a141 recursive-CTE
+    oracles): an identical-signature group is a clique in the full
+    graph (all bands match ⇒ the pair is emitted from band 0), and a
+    star spans exactly that clique; any full-graph edge (member, x)
+    exists in collapsed form as (rep, rep_x) because banding sees only
+    signatures — so every path maps to a collapsed path and back.
+    Node sets match too: a member of a size≥2 group always pairs with
+    its signature twin in the full graph, and a singleton's pairs are
+    exactly its rep-pairs. NOT equivalent for edge-set-dependent
+    semantics (clean_corpus's "drop every id_b" keeps the full graph).
+    """
+    sigcols = [f"mh{i}" for i in range(len(MINHASH_A))]
+    # cached: consumed by the star filter AND both sides of the rep
+    # band self-join (released by operators.release_caches).
+    lab = track_cache(
+        minhash_signatures(df, id_col, text_col).withColumn(
+            "rep", F.min("id").over(W.partitionBy(*sigcols))
+        )
+    )
+    star = lab.filter(F.col("id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("id").alias("id_b")
+    )
+    reps = lab.filter(F.col("id") == F.col("rep")).select("id", *sigcols)
+    return band_pairs(sig_band_rows(reps)).unionByName(star)
+
+
 #: Shingles appearing in more documents than this are dropped from the
 #: inverted index: they cannot distinguish near-duplicates (every doc
 #: shares stopword runs) and they bound pair generation — without a cap

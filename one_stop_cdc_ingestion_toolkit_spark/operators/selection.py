@@ -45,7 +45,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import (
     widen_narrow_scan,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
-    minhash_lsh_pairs,
+    minhash_cc_edges,
     word_shingles,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.text import (
@@ -236,13 +236,15 @@ def a141_cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adds one broadcast-sized join (cluster labels are only the docs that
     appear in any candidate pair) and one cluster-keyed window on top of
     the cluster computation; quality is derived from integer lengths so
-    both engines rank identically."""
+    both engines rank identically. Like d96, edges come from the
+    star-collapsed builder (dedup.minhash_cc_edges) — component-identical
+    to the oracle's full band graph, linear on hot duplicate clusters."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.advanced import (
         connected_components,
     )
 
     d = tables(spark, sf_dir)["documents"]
-    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    pairs = minhash_cc_edges(d, "doc_id", "text")
     labels = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
