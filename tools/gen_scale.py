@@ -40,7 +40,15 @@ LANGS = ("en", "zh", "de", "fr", "es")
 SOURCES = tuple(f"src{i}" for i in range(10))
 
 
-def gen_documents(n_docs: int, seed: int = 1_234) -> dict[str, list]:
+#: One boilerplate template (fixed 40-word VOCAB sequence): ``hot_copies``
+#: identical copies model the 100 TB adversarial input — a license header /
+#: scraped template whose LSH bucket goes quadratic without star collapse.
+HOT_TEXT = " ".join(VOCAB[(i * 7) % len(VOCAB)] for i in range(40))
+
+
+def gen_documents(
+    n_docs: int, seed: int = 1_234, hot_copies: int = 0
+) -> dict[str, list]:
     rng = random.Random(seed)
     texts: list[str] = []
     for i in range(n_docs):
@@ -66,18 +74,22 @@ def gen_documents(n_docs: int, seed: int = 1_234) -> dict[str, list]:
         else:
             n_words = rng.randint(15, 80)
             texts.append(" ".join(rng.choice(VOCAB) for _ in range(n_words)))
+    texts.extend(HOT_TEXT for _ in range(hot_copies))
+    n_total = n_docs + hot_copies
     return {
-        "doc_id": list(range(n_docs)),
+        "doc_id": list(range(n_total)),
         "text": texts,
-        "lang": [LANGS[rng.randrange(len(LANGS))] for _ in range(n_docs)],
-        "source": [SOURCES[i % len(SOURCES)] for i in range(n_docs)],
+        "lang": [LANGS[rng.randrange(len(LANGS))] for _ in range(n_total)],
+        "source": [SOURCES[i % len(SOURCES)] for i in range(n_total)],
         "n_chars": [len(t) for t in texts],
     }
 
 
-def write_documents(out_dir: str, n_docs: int, seed: int = 1_234) -> str:
+def write_documents(
+    out_dir: str, n_docs: int, seed: int = 1_234, hot_copies: int = 0
+) -> str:
     os.makedirs(out_dir, exist_ok=True)
-    cols = gen_documents(n_docs, seed)
+    cols = gen_documents(n_docs, seed, hot_copies)
     table = pa.table(
         {
             "doc_id": pa.array(cols["doc_id"], pa.int64()),
@@ -96,5 +108,6 @@ if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_sf1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 1_234
-    p = write_documents(out, n, seed)
-    print(f"wrote {n} docs -> {p}")
+    hot = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    p = write_documents(out, n, seed, hot)
+    print(f"wrote {n} docs (+{hot} hot copies) -> {p}")

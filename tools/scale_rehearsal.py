@@ -4,6 +4,15 @@ that runtime grows ~linearly and the banding/df-cap bounds hold (pair
 count stays orders of magnitude under corpus², no pair blowup).
 
 Usage: python tools/scale_rehearsal.py [--sizes 5000,20000,50000]
+       python tools/scale_rehearsal.py --hot 2000 [--sizes 20000]
+
+``--hot N`` runs the SKEW rehearsal instead: the clustering consumers
+(d96/a141, whose edge generation star-collapses identical-signature
+groups) on each base corpus with and without N identical copies of one
+boilerplate template appended — the adversarial input whose LSH bucket
+is quadratic (N²/2 pairs) without the collapse. Pair-OUTPUT queries
+(q43/q44) are correctly quadratic there (the answer itself is the pair
+set) and are excluded by design.
 
 Prints a markdown table for the BASELINE.md appendix.
 """
@@ -35,16 +44,23 @@ def main() -> None:
     # docstring's form; previously only '=' parsed and the space form
     # raised IndexError / silently ignored the value).
     sizes = [5_000, 20_000, 50_000]
+    hot = 0
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
-        if a.startswith("--sizes"):
+        if a.startswith("--sizes") or a.startswith("--hot"):
             if "=" in a:
                 val = a.split("=", 1)[1]
             elif i + 1 < len(argv):
                 val = argv[i + 1]
             else:
-                sys.exit("usage: scale_rehearsal.py [--sizes=5000,20000,50000]")
-            sizes = [int(x) for x in val.split(",")]
+                sys.exit(
+                    "usage: scale_rehearsal.py [--sizes=5000,20000,50000]"
+                    " [--hot=2000]"
+                )
+            if a.startswith("--sizes"):
+                sizes = [int(x) for x in val.split(",")]
+            else:
+                hot = int(val)
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "32")
     import __spark_entry__ as entry_mod
@@ -54,26 +70,35 @@ def main() -> None:
     spark = get_session("scale-rehearsal")
     qs = entry_mod.queries()
 
+    queries = ("d96_dup_clusters", "a141_cluster_retention") if hot else QUERIES
+    variants = [(n, h) for n in sizes for h in ((0, hot) if hot else (0,))]
     dirs = {}
-    for n in sizes:
-        d = f"/tmp/scale_docs_{n}"
+    for n, h in variants:
+        d = f"/tmp/scale_docs_{n}" + (f"_hot{h}" if h else "")
         if not os.path.exists(os.path.join(d, "documents.parquet")):
-            write_documents(d, n)
-        dirs[n] = d
+            write_documents(d, n, hot_copies=h)
+        dirs[(n, h)] = d
+
+    def label(n: int, h: int) -> str:
+        return f"{n} docs" + (f" +{h} hot" if h else "")
 
     # warm
-    qs[QUERIES[0]](spark, dirs[sizes[0]]).count()
+    qs[queries[0]](spark, dirs[variants[0]]).count()
     release_caches()
 
-    print("| query | " + " | ".join(f"{n} docs (s / rows)" for n in sizes) + " |")
-    print("|---|" + "---|" * len(sizes))
-    for q in QUERIES:
+    print(
+        "| query | "
+        + " | ".join(f"{label(n, h)} (s / rows)" for n, h in variants)
+        + " |"
+    )
+    print("|---|" + "---|" * len(variants))
+    for q in queries:
         cells = []
-        for n in sizes:
+        for v in variants:
             best, rows = float("inf"), 0
             for _ in range(2):
                 t0 = time.time()
-                rows = qs[q](spark, dirs[n]).count()
+                rows = qs[q](spark, dirs[v]).count()
                 best = min(best, time.time() - t0)
                 release_caches()
             cells.append(f"{best:.2f} / {rows}")
