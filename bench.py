@@ -49,6 +49,33 @@ def _host_spread() -> float | None:
         return None
 
 
+_ORACLE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _oracle_con(sf_dir: str):
+    """DuckDB connection with the same parquet views the driver registers.
+
+    Used by paired mode (below): running each engine query back-to-back
+    with its DuckDB oracle in the SAME process window makes the per-query
+    ratio steal-robust — host CPU-steal inflates both sides of the pair
+    alike, so the ratio survives windows where absolute totals don't
+    (PARITY.md host-noise note; judge ask r6→r7 #2).
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _ORACLE_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,10 +110,30 @@ def main() -> None:
     # default is min-of-3 (run 1 additionally pays per-plan codegen that
     # runs 2-3 measure without).
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # Paired mode (default ON): each engine repeat is immediately followed
+    # by a DuckDB-oracle repeat of the same query in the same process
+    # window, and the reported ratio is min-of-N engine / min-of-N oracle.
+    # CPU-steal on this host inflates whole windows, so a pair measured
+    # inside one window keeps a meaningful ratio even when spread > 1.4
+    # and absolute totals are garbage. SPARK_GRAFT_PAIRED=0 restores the
+    # engine-only bench (halves wall time).
+    paired = os.environ.get("SPARK_GRAFT_PAIRED", "1") not in ("0", "false")
+    oracles = entry_mod.oracle_sql() if paired else {}
+    con = None
+    if paired:
+        try:
+            con = _oracle_con(sf_dir)
+        except Exception as exc:  # noqa: BLE001 — oracle side must not kill the bench
+            print(f"oracle setup failed: {exc}", file=sys.stderr)
+            oracles = {}
     timings: dict[str, float] = {}
+    oracle_timings: dict[str, float] = {}
+    paired_ratio: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in queries.items():
         best = float("inf")
+        obest = float("inf")
+        sql = oracles.get(name)
         # One failing query must NOT kill the whole bench (round 2 lost
         # all numbers to a single AnalysisException): record the error,
         # keep the JSON line coming.
@@ -98,12 +145,31 @@ def main() -> None:
                 # operators that persist() self-join intermediates would
                 # otherwise accumulate cached partitions across the whole run
                 release_caches()
+                if sql and con is not None:
+                    t0 = time.time()
+                    try:
+                        con.execute(sql).fetchall()
+                        obest = min(obest, time.time() - t0)
+                    except Exception as exc:  # noqa: BLE001
+                        errors[f"oracle:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+                        sql = None
             timings[name] = round(best, 3)
+            if obest < float("inf"):
+                oracle_timings[name] = round(obest, 3)
+                paired_ratio[name] = round(best / max(obest, 1e-4), 2)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             release_caches()
 
     total = round(sum(timings.values()), 3)
+    oracle_total = round(sum(oracle_timings.values()), 3)
+    # Contract-grade ratio: paired sums over the queries that have BOTH
+    # sides, each side min-of-N from interleaved windows.
+    paired_total_ratio = (
+        round(sum(timings[n] for n in oracle_timings) / max(oracle_total, 1e-4), 3)
+        if oracle_timings
+        else None
+    )
     out = {
         "metric": "declared_query_wall_clock_total",
         "value": total,
@@ -112,6 +178,11 @@ def main() -> None:
         "sf": float(sf),
         "host_spread": spread,
     }
+    if paired_ratio:
+        out["oracle_queries"] = oracle_timings
+        out["oracle_total"] = oracle_total
+        out["paired_ratio"] = paired_ratio
+        out["paired_total_ratio"] = paired_total_ratio
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
@@ -144,6 +215,11 @@ def main() -> None:
         "n_errors": len(errors),
         "full_payload": "BENCH_LOCAL.json",
     }
+    if paired_total_ratio is not None:
+        compact["paired_total_ratio"] = paired_total_ratio
+        compact["worst_paired_ratio"] = dict(
+            sorted(paired_ratio.items(), key=lambda kv: -kv[1])[:8]
+        )
     sys.stdout.flush()
     print(json.dumps(compact))
 

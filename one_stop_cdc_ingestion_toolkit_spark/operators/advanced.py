@@ -658,9 +658,12 @@ def a038_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluations). Component-identical to the full graph the oracle
     enumerates: an identical-embedding group shares its signature, so
     in-group pairs all evaluate cosine(v, v) — the star keeps exactly
-    the rows that predicate admits (a zero-vector group's NaN fails in
-    both shapes) — and any member↔x edge exists as rep↔rep_x because
-    banding and cosine see only the embedding."""
+    the rows that predicate admits — note cosine(0⃗,0⃗) is NaN, and both
+    Spark and DuckDB order NaN ABOVE every double, so ``NaN >= t`` is
+    TRUE and a zero-vector group links in BOTH shapes (and in the
+    oracle); the invariant is shape-parity, not that NaN fails — and any
+    member↔x edge exists as rep↔rep_x because banding and cosine see
+    only the embedding."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
         cosine,
         lsh_signature,

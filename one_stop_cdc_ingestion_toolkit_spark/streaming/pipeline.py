@@ -272,14 +272,16 @@ class Pipeline:
         # un-persisted each one re-read the source — the r6 soak's
         # listener log showed ~2.4x numInputRows per micro-batch.
         src = raw.persist()
-        if self.tx_gate is not None:
-            # transaction atomicity: boundary records are consumed, open
-            # transactions buffered, committed ones released into THIS
-            # batch — so a source transaction lands in one epoch.
-            raw = self.tx_gate.filter_batch(src, batch_id).persist()
-        else:
-            raw = src
+        raw = src
         try:
+            if self.tx_gate is not None:
+                # transaction atomicity: boundary records are consumed,
+                # open transactions buffered, committed ones released into
+                # THIS batch — so a source transaction lands in one epoch.
+                # Inside the try so the finally's unpersist covers a gate
+                # failure (filter_batch runs actions + buffer-file I/O and
+                # can raise; outside the try both frames leaked).
+                raw = self.tx_gate.filter_batch(src, batch_id).persist()
             # A5: schema-change (DDL) events ride the same stream
             # (``include.schema.changes=true``, the reference's
             # bin/mskc-connector.sh:399). Debezium logs DDL BEFORE the data
