@@ -540,7 +540,17 @@ def a0003_crosslang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     real dup density), then langs are attached by BROADCASTING the
     survivors against two narrow (doc_id, lang) scans and the
     lang-inequality filter and |langs|² rollup run on that tiny frame.
-    All-integer heavy path; strings only ever touch survivor rows."""
+    All-integer heavy path; strings only ever touch survivor rows.
+
+    Growth floor (quantified by tools/a0003_floor.py, BASELINE.md
+    appendix): the ABSOLUTE overlap threshold admits no asymptotic
+    prefix power (prefix length sz−t+1 drops only t−1 postings/doc)
+    and no output-preserving LSH prefilter (a 5-of-45 overlap is
+    J≈0.06). On the fixed-vocab rehearsal the answer itself grows
+    superlinearly (qual pairs 2.61x for 2.5x docs) and this plan's
+    wall grows SLOWER than the answer (2.18x) — the floor is the
+    output size, not the algorithm. Real corpora (growing vocab) stay
+    linear: sum(df²) ≤ NGRAM_DF_CAP · postings."""
     d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
     # per-doc dedup inside the row (array_distinct before explode) — the
     # r6 discipline: same posting set as explode+distinct, zero shuffle.

@@ -71,9 +71,35 @@ class PipelineListener(StreamingQueryListener):
 
 def diagnose(pipeline) -> dict:
     """Error surface for a pipeline (`searchMskcConnectorLogErrors`
-    analogue): state + exception + last progress, no log-grep needed."""
+    analogue): state + exception + last progress + dead-letter depth +
+    schema-registry rejections, no log-grep needed. The reference's
+    only failure diagnosis is grepping connector logs for
+    'error|failed' (A27, bin/mskc-connector.sh:491-499); the engine
+    materializes each failure class where an operator can query it."""
     status = pipeline.status()
-    out = {"state": status.get("state"), "exception": None, "last_progress": None}
+    out = {
+        "state": status.get("state"),
+        "exception": None,
+        "last_progress": None,
+        "dlq_rows": status.get("dlq_rows", 0),
+        "open_transactions": status.get("open_transactions", 0),
+        # (table, error) per rejected DDL — incompatible evolution is
+        # recorded and skipped, never crashes the stream (A11 red path).
+        "schema_rejections": [
+            {"table": t, "error": err}
+            for (t, _v, err) in getattr(pipeline, "schema_log", [])
+            if err
+        ],
+        # sample of quarantine reasons so the operator sees WHY without
+        # reading the table (bounded: reasons are a small enum).
+        "dlq_reasons": [],
+    }
+    if out["dlq_rows"]:
+        dlq = pipeline.read_dlq()
+        if dlq is not None:
+            out["dlq_reasons"] = sorted(
+                r["reason"] for r in dlq.select("reason").distinct().collect()
+            )
     q = pipeline.query
     if q is not None:
         exc = q.exception()
