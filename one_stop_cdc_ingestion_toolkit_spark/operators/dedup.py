@@ -427,11 +427,22 @@ def ngram_jaccard_pairs(
     quadratically) this cuts the co-posting stream ~8x and keeps
     wall-clock tracking the OUTPUT pair count rather than sum(df²).
     """
-    # shingle IDENTITY is all the index needs (df counts, postings join)
-    # → xxhash64-compress, and dedup per-doc INSIDE the row
-    # (hashed_shingles): 8-byte keys in every downstream shuffle (the
-    # a134 discipline) and NO corpus-wide distinct shuffle (the r6
-    # array_distinct-before-explode discipline).
+    sh = _capped_postings(df, id_col, text_col, df_cap)
+    cand = _prefix_candidates(sh, threshold)
+    return _verified_pairs(sh, cand, threshold)
+
+
+def _capped_postings(
+    df: DataFrame, id_col: str, text_col: str, df_cap: int
+) -> DataFrame:
+    """Cached (id, shingle, sz, pos) df-capped posting list — the shared
+    front half of the jaccard pair queries.
+
+    Shingle IDENTITY is all the index needs (df counts, postings join)
+    → xxhash64-compress, and dedup per-doc INSIDE the row
+    (hashed_shingles): 8-byte keys in every downstream shuffle (the
+    a134 discipline) and NO corpus-wide distinct shuffle (the r6
+    array_distinct-before-explode discipline)."""
     df = widen_narrow_scan(df)
     exploded = df.select(
         F.col(id_col).alias("id"),
@@ -441,7 +452,6 @@ def ngram_jaccard_pairs(
     # evaluation of the (expensive) shingle pipeline and one shuffle on
     # shingle. The df also orders the prefix (rarest-first), so it rides
     # along instead of being recomputed.
-    t = threshold
     sh = exploded.withColumn(
         "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
     ).filter(F.col("__df") <= df_cap)
@@ -459,7 +469,13 @@ def ngram_jaccard_pairs(
     )
     # persist: referenced three times (both prefix join sides + the
     # verification arrays). Tracked for release (operators.release_caches).
-    sh = track_cache(sh)
+    return track_cache(sh)
+
+
+def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered candidate pairs (id_a < id_b)
+    from a (id, shingle, sz, pos) posting frame (see ngram_jaccard_pairs
+    for the algorithm citation and guarantee)."""
     # ceil(x - 1e-9): guard against float error flipping an exact integer
     # boundary upward — a too-SMALL alpha / too-LONG prefix only admits
     # extra candidates (verification is exact), never loses a pair.
@@ -484,7 +500,7 @@ def ngram_jaccard_pairs(
     ubound = 1 + F.least(
         F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
     )
-    cand = (
+    return (
         a.join(b, "shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
@@ -494,9 +510,12 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # Exact verification: per-doc shingle arrays (bounded by df_cap-kept
-    # set sizes) — n_common via JVM-side array_intersect, no corpus-sized
-    # pair stream ever materializes.
+
+
+def _verified_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, jaccard) — candidates verified EXACTLY against
+    per-doc shingle arrays (n_common via JVM-side array_intersect, no
+    corpus-sized pair stream ever materializes)."""
     arrs = sh.groupBy("id").agg(
         F.max("sz").alias("n_sh"), F.collect_list("shingle").alias("arr")
     )
@@ -532,6 +551,83 @@ def ngram_jaccard_pairs(
         ver.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def jaccard_pairs_collapsed(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5,
+    df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """q44's pair set in COLLAPSED (linear-space) form — the ngram
+    analog of minhash_pairs_collapsed (judge ask r7 #3).
+
+    Jaccard depends only on a doc's CAPPED shingle set, so docs with
+    identical capped sets are interchangeable: in-group pairs all have
+    J = 1 ≥ t, and any cross pair (x, y) has exactly the jaccard of its
+    representatives. df counts are computed on the FULL corpus first
+    (they define the capped universe — collapsing before the df window
+    would change which shingles survive), which is one linear shuffle;
+    only the quadratic stages (prefix self-join + verification) run on
+    REPRESENTATIVES. Output: ``rel='member'`` membership stars
+    (jaccard 1.0) + ``rel='pair'`` rep-level verified pairs with both
+    group sizes; expanding reproduces q44's pair set exactly
+    (test_scale_bounds::test_collapsed_jaccard_reconstructs_q44).
+
+    Skew note: a duplicate group of B > df_cap copies caps out (every
+    in-group shingle has df ≥ B) and drops from q44 ENTIRELY — the
+    df-cap already bounds q44's per-group blowup at cap²/2 pairs. The
+    collapse converts that residual quadratic (up to ~500k pairs per
+    boilerplate group at the default cap) into O(B) membership rows,
+    which is why the reconstruction test plants B=400 (< cap), the
+    regime where the clique is real."""
+    sh = _capped_postings(df, id_col, text_col, df_cap)
+    # group key = the capped shingle set; the leading xxhash64 makes the
+    # window sort compare LONGS (the a038 discipline), falling back to
+    # array comparison only on hash-equal runs.
+    lab = track_cache(
+        sh.groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("shingle")).alias("arr"),
+            F.max("sz").alias("n_sh"),
+        )
+        .withColumn("__h", F.xxhash64("arr"))
+        .withColumn("rep", F.min("id").over(W.partitionBy("__h", "arr")))
+        .withColumn("gsz", F.count(F.lit(1)).over(W.partitionBy("__h", "arr")))
+    )
+    members = lab.filter(F.col("id") != F.col("rep")).select(
+        F.lit("member").alias("rel"),
+        F.col("rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("gsz").alias("size_a"),
+        F.col("gsz").alias("size_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    reps = lab.filter(F.col("id") == F.col("rep"))
+    # postings restricted to representatives: pos/sz are per-doc, so the
+    # prefix-filter guarantee holds unchanged on the subset.
+    rep_sh = sh.join(reps.select("id"), "id", "semi")
+    pairs = _verified_pairs(
+        rep_sh, _prefix_candidates(rep_sh, threshold), threshold
+    )
+    sz = reps.select("id", "gsz")
+    rep_pairs = (
+        pairs.join(
+            sz.select(F.col("id").alias("id_a"), F.col("gsz").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("id").alias("id_b"), F.col("gsz").alias("size_b")),
+            "id_b",
+        )
+        .select(
+            F.lit("pair").alias("rel"),
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            "jaccard",
+        )
+    )
+    return members.unionByName(rep_pairs)
 
 
 def simhash(text: Column, bits: int = 32, hex_offset: int = 0) -> Column:
@@ -847,6 +943,61 @@ def a147_minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q44_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     return ngram_jaccard_pairs(d, "doc_id", "text", 0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "a148_jaccard_pairs_collapsed",
+    f"""WITH w AS (
+          SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+          FROM documents
+        ),
+        sh0 AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(generate_series(1, len(words) - {SHINGLE_K - 1}),
+                        i -> array_to_string(words[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+          FROM w WHERE len(words) >= {SHINGLE_K}
+        ),
+        rare AS (
+          SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= {NGRAM_DF_CAP}
+        ),
+        sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        arrs AS (
+          SELECT doc_id, list_sort(list(shingle)) AS arr FROM sh GROUP BY doc_id
+        ),
+        grp AS (
+          SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY arr) AS rep,
+                 COUNT(*) OVER (PARTITION BY arr) AS gsz
+          FROM arrs
+        ),
+        reps AS (SELECT doc_id, gsz FROM grp WHERE doc_id = rep),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          JOIN reps ra ON ra.doc_id = a.doc_id
+          JOIN reps rb ON rb.doc_id = b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT 'member' AS rel, rep AS id_a, doc_id AS id_b,
+               gsz AS size_a, gsz AS size_b, CAST(1.0 AS DOUBLE) AS jaccard
+        FROM grp WHERE doc_id <> rep
+        UNION ALL
+        SELECT 'pair' AS rel, id_a, id_b, ra.gsz AS size_a, rb.gsz AS size_b,
+               ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        JOIN reps ra ON ra.doc_id = id_a
+        JOIN reps rb ON rb.doc_id = id_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ORDER BY rel, id_a, id_b""",
+)
+def a148_jaccard_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tables(spark, sf_dir)["documents"]
+    return jaccard_pairs_collapsed(d, "doc_id", "text", 0.5).orderBy(
+        "rel", "id_a", "id_b"
+    )
 
 
 @register(
