@@ -856,7 +856,7 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a147_minhash_pairs_collapsed",
+    "a0006_minhash_pairs_collapsed",
     f"""WITH w AS (
           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
           FROM documents
@@ -903,7 +903,7 @@ def q43_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN reps sb ON sb.doc_id = id_b
         ORDER BY rel, id_a, id_b""",
 )
-def a147_minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0006_minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     return minhash_pairs_collapsed(d, "doc_id", "text").orderBy(
         "rel", "id_a", "id_b"
@@ -946,7 +946,7 @@ def q44_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "a148_jaccard_pairs_collapsed",
+    "a0007_jaccard_pairs_collapsed",
     f"""WITH w AS (
           SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
           FROM documents
@@ -993,7 +993,7 @@ def q44_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         ORDER BY rel, id_a, id_b""",
 )
-def a148_jaccard_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a0007_jaccard_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tables(spark, sf_dir)["documents"]
     return jaccard_pairs_collapsed(d, "doc_id", "text", 0.5).orderBy(
         "rel", "id_a", "id_b"

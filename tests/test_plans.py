@@ -111,7 +111,7 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         # is a pure-JVM shingle pipeline with no pandas stage, and the
         # sweep must keep protecting it)
         "q43_minhash_lsh_pairs",
-        "a147_minhash_pairs_collapsed",  # q43's collapsed production shape
+        "a0006_minhash_pairs_collapsed",  # q43's collapsed production shape
         "a004_containment_pairs",
         "a038_semantic_clusters",
         "a105_est_jaccard_pairs",

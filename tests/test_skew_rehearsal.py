@@ -1,5 +1,5 @@
 """Mechanized hot-duplicate SKEW rehearsal (judge ask r7 #6): the
-BASELINE.md appendix table — d96/a141/a038/a147 wall-clock flat under a
+BASELINE.md appendix table — d96/a141/a038/a0006 wall-clock flat under a
 B=10k hot duplicate cluster — asserted in the suite so future edits
 cannot silently regress the star collapse.
 
@@ -82,7 +82,7 @@ def _interleaved_min(fn_flat, fn_hot, n=3):
 @pytest.mark.slow
 @pytest.mark.parametrize(
     "qname", ["d96_dup_clusters", "a141_cluster_retention",
-              "a147_minhash_pairs_collapsed"]
+              "a0006_minhash_pairs_collapsed"]
 )
 def test_hot_duplicate_wall_stays_flat(spark, corpora, qname):
     """B=10k identical boilerplate docs on a 20k corpus: the collapsed

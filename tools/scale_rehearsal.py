@@ -8,12 +8,12 @@ Usage: python tools/scale_rehearsal.py [--sizes 5000,20000,50000]
 
 ``--hot N`` runs the SKEW rehearsal instead: the clustering consumers
 (d96/a141, whose edge generation star-collapses identical-signature
-groups) and the collapsed-output pair query (a147) on each base corpus
+groups) and the collapsed-output pair query (a0006) on each base corpus
 with and without N identical copies of one boilerplate template
 appended — the adversarial input whose LSH bucket is quadratic (N²/2
 pairs) without the collapse. Pair-OUTPUT queries (q43/q44) are
 correctly quadratic there (the answer itself is the pair set) and are
-excluded by design; a147 IS their linear-space production shape.
+excluded by design; a0006 IS their linear-space production shape.
 
 Prints a markdown table for the BASELINE.md appendix.
 """
@@ -73,7 +73,7 @@ def main() -> None:
 
     queries = (
         ("d96_dup_clusters", "a141_cluster_retention",
-         "a147_minhash_pairs_collapsed")
+         "a0006_minhash_pairs_collapsed")
         if hot
         else QUERIES
     )
