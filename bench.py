@@ -150,6 +150,11 @@ def main() -> None:
                     try:
                         con.execute(sql).fetchall()
                         obest = min(obest, time.time() - t0)
+                        # long oracle runs (a0054 is ~36 s at sf0.1) are
+                        # not noise-sensitive — skip their re-runs so a
+                        # full paired sitting fits inside a calm window
+                        if obest > 5.0:
+                            sql = None
                     except Exception as exc:  # noqa: BLE001
                         errors[f"oracle:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
                         sql = None
