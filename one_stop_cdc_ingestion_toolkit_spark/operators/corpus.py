@@ -234,10 +234,10 @@ def a102_lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signatures are BROADCAST — the corpus-side scan+signature
     pipeline runs shuffle-free except the signature groupBy, and no
     corpus-vs-corpus join ever happens (contrast q43, which self-joins).
-    Both band-row calls pin ``use_arrow=False``: measured at sf0.1 the
-    JVM signature path is ~15% faster for this broadcast-feeding shape
-    (the Arrow stage delays broadcast materialization) — the per-site
-    measured-choice policy the plan-sweep allowlist documents."""
+    Both band-row calls pin ``use_arrow=False`` — first measured here
+    (~15% faster for this broadcast-feeding shape), and since r7 the
+    JVM explode path is the family-wide default anyway (2.1-2.3x once
+    word_shingles' zip_with fix landed; see minhash_signatures)."""
     d = tables(spark, sf_dir)["documents"]
     corpus = d.filter(F.col("source") != EVAL_SOURCE)
     eval_docs = d.filter(F.col("source") == EVAL_SOURCE)

@@ -104,7 +104,7 @@ def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    use_arrow: bool = True,
+    use_arrow: bool = False,
     widen: bool = True,
 ) -> DataFrame:
     """(id, mh0..mh7) minhash signature per document.
@@ -118,14 +118,20 @@ def minhash_signatures(
     shingle sets into one signature row, the per-row kernel emits one
     row each.
 
-    - ``use_arrow=True`` (default): vectorized pandas_udf — shuffle-FREE
-      (the JVM shape shuffles (id, 8 longs) through a groupBy) and
-      plan-light; a per-task shingle-hash memo amortizes md5 to
-      ~|distinct shingles per partition|. Docs with < SHINGLE_K words drop, exactly
-      like the explode path.
-    - ``use_arrow=False``: explode shingles → md5 → groupBy(doc) with 8
-      min() aggregates (map-side partial agg). Cross-check path and
-      verification twin.
+    - ``use_arrow=False`` (default since r7): explode shingles → md5 →
+      groupBy(doc) with 8 min() aggregates. All codegen; the partial
+      agg combines map-side so the shuffle is (id, 8 longs) per doc.
+      Re-measured r7 interleaved min-of-N: 0.41 s vs Arrow's 0.83 s at
+      sf0.1 (5k docs) and 0.95 s vs 2.32 s at 50k — the r5 measurement
+      that picked Arrow (q43 1.35→0.9 s) predates the ``word_shingles``
+      zip_with fix, which made this explode pipeline ~16x cheaper and
+      flipped the winner. Unlike SimHash (whose word memo hits a small
+      repeating vocabulary, so its Arrow kernel IS faster and stays),
+      the 3-word shingle space barely repeats: the Python-side md5 memo
+      never amortizes and the kernel pays ~1 μs/shingle in Python.
+    - ``use_arrow=True``: vectorized pandas_udf — shuffle-free,
+      per-task shingle-hash memo. Kept as the cross-check twin and for
+      shuffle-averse microbatch callers.
 
     ``widen=True`` repartitions a narrow scan up to the session's
     shuffle parallelism first (widen_narrow_scan — no-op at real
@@ -227,14 +233,14 @@ def minhash_band_rows(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    use_arrow: bool = True,
+    use_arrow: bool = False,
     widen: bool = True,
 ) -> DataFrame:
     """(id, band_idx, band_sig) LSH band rows — the minhash signature
     exploded into its bands. Shared by the batch pair-finder below and
     the incremental ``streaming.dedup_index.DedupIndex``. ``use_arrow``
-    forwards to :func:`minhash_signatures` — a caller whose band rows
-    feed a BROADCAST (tiny side) may measure faster on the JVM path."""
+    forwards to :func:`minhash_signatures` (JVM explode default since
+    r7 — see its docstring for the re-measurement)."""
     return sig_band_rows(
         minhash_signatures(df, id_col, text_col, use_arrow=use_arrow, widen=widen)
     )

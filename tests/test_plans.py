@@ -87,9 +87,12 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
     #     family (a007/a012/a013 — ~2.3x) and the SimHash fingerprint
     #     family (a001/b45/a020/a027 — the 2x32-sum aggregate cost
     #     1.5-4s of plan analysis per query; kernel is plan-light and
-    #     shuffle-free), the MinHash signature family (shuffle-free
-    #     kernel replaces the explode+8-min groupBy: q43 1.35->0.9s at
-    #     sf0.1), and the LSH sign-bit signature family.
+    #     shuffle-free), and the LSH sign-bit signature family. The
+    #     MinHash signature family moved BACK to the JVM explode shape
+    #     in r7 (re-measured 2.1-2.3x faster once word_shingles' zip_with
+    #     fix landed; shingles barely repeat so the Arrow kernel's md5
+    #     memo never amortizes) — those queries are now protected
+    #     pure-JVM plans, not allowlisted.
     # Everything else must stay in codegen — b52 regressed to
     # mapInPandas in r1 and row-at-a-time BatchEvalPython is never OK.
     allowed_pandas = {
@@ -107,19 +110,6 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         "b45_simhash_buckets",
         "a020_pagerank_neardup",
         "a027_triangle_census",
-        # minhash_signatures consumers (NOT q44 — ngram_jaccard_pairs
-        # is a pure-JVM shingle pipeline with no pandas stage, and the
-        # sweep must keep protecting it)
-        "q43_minhash_lsh_pairs",
-        "a0006_minhash_pairs_collapsed",  # q43's collapsed production shape
-        "a004_containment_pairs",
-        "a038_semantic_clusters",
-        "a105_est_jaccard_pairs",
-        "a138_span_dedup",
-        "a139_lsh_recall_curve",
-        "a141_cluster_retention",
-        "d96_dup_clusters",
-        "c91_clean_corpus_stats",  # composes minhash_lsh_pairs
         # lsh_signature consumers (sign-bit hyperplane kernel)
         "b54_ann_lsh_topk",
         "b55_embedding_neardup",
