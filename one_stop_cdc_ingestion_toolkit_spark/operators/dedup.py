@@ -518,13 +518,24 @@ def _prefix_candidates(sh: DataFrame, t: float) -> DataFrame:
     )
 
 
-def _verified_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+def _verified_pairs(
+    sh: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    arrs: DataFrame | None = None,
+) -> DataFrame:
     """(id_a, id_b, jaccard) — candidates verified EXACTLY against
     per-doc shingle arrays (n_common via JVM-side array_intersect, no
-    corpus-sized pair stream ever materializes)."""
-    arrs = sh.groupBy("id").agg(
-        F.max("sz").alias("n_sh"), F.collect_list("shingle").alias("arr")
-    )
+    corpus-sized pair stream ever materializes).
+
+    ``arrs``: optional precomputed (id, n_sh, arr) frame — a caller that
+    already aggregated per-doc arrays (jaccard_pairs_collapsed builds
+    them for its collapse windows) passes it to skip this groupBy
+    entirely; element order inside arr is irrelevant (array_intersect)."""
+    if arrs is None:
+        arrs = sh.groupBy("id").agg(
+            F.max("sz").alias("n_sh"), F.collect_list("shingle").alias("arr")
+        )
     # Verify-join strategy: the candidate stream is slim (two longs) but
     # the array side is ~sz*8B per doc — shuffling it through two joins
     # attaches a full array to every candidate row (GBs on the
@@ -612,7 +623,17 @@ def jaccard_pairs_collapsed(
     # prefix-filter guarantee holds unchanged on the subset.
     rep_sh = sh.join(reps.select("id"), "id", "semi")
     pairs = _verified_pairs(
-        rep_sh, _prefix_candidates(rep_sh, threshold), threshold
+        rep_sh,
+        _prefix_candidates(rep_sh, threshold),
+        threshold,
+        # lab already aggregated each doc's capped shingle set for the
+        # collapse windows — reuse it (restricted to reps) instead of a
+        # second collect_list groupBy over the rep postings: one fewer
+        # exchange, and at scale the verify side reads the collapse's
+        # already-materialized cache instead of re-shuffling postings.
+        # (Wall is a WASH at bench scale — alternating process A/B read
+        # old 2.92/3.23 s vs new 3.21/2.56 s — kept for the plan.)
+        arrs=reps.select("id", "n_sh", "arr"),
     )
     sz = reps.select("id", "gsz")
     rep_pairs = (
