@@ -81,6 +81,13 @@ def widen_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
             target = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
             target = spark.sparkContext.defaultParallelism
+        # Widening to defaultParallelism (32) instead of the session's
+        # shuffle sizing (8 in the bench) was tried in r7 and REJECTED:
+        # three interleaved passes over the 10 heaviest text queries at
+        # sf0.1 read NEW 12.6/13.6/14.1 s vs OLD 14.0/13.9/14.2 s — a
+        # wash; at this corpus size the widened stage's per-task
+        # overhead eats the extra cores. Shuffle sizing stays the one
+        # parallelism knob.
     if _input_partitions(df) * 2 <= target:
         return df.repartition(target)
     return df
