@@ -49,10 +49,10 @@ def _host_spread() -> float | None:
         return None
 
 
-_ORACLE_TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+# the canonical fixture-table list — single source of truth in the
+# catalog module (a table added there but not here would silently break
+# only the paired-oracle views, per review r7)
+from one_stop_cdc_ingestion_toolkit_spark.catalog import TABLES as _ORACLE_TABLES  # noqa: E402
 
 
 def _oracle_con(sf_dir: str):
@@ -209,6 +209,10 @@ def main() -> None:
         fam = name.split("_", 1)[0][:1]  # a/b/c/d/q prefix family
         fams[f"family_{fam}_sum"] = round(fams.get(f"family_{fam}_sum", 0.0) + sec, 3)
     worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    # engine failures and oracle-side failures are different contracts:
+    # a DuckDB dialect error must not read as an engine query failure in
+    # the compact line the driver tails (review r7).
+    n_engine_errors = sum(1 for k in errors if not k.startswith("oracle:"))
     compact = {
         "metric": "declared_query_wall_clock_total",
         "value": total,
@@ -217,7 +221,8 @@ def main() -> None:
         "sf": float(sf),
         "host_spread": spread,
         "n_queries": len(timings),
-        "n_errors": len(errors),
+        "n_errors": n_engine_errors,
+        "n_oracle_errors": len(errors) - n_engine_errors,
         "full_payload": "BENCH_LOCAL.json",
     }
     if paired_total_ratio is not None:

@@ -339,6 +339,55 @@ def minhash_cc_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return band_pairs(sig_band_rows(reps)).unionByName(star)
 
 
+def _collapsed_form(
+    lab: DataFrame,
+    rep_pairs: DataFrame,
+    member_extra: dict[str, Column] | None = None,
+    pair_extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared output scaffolding of the ``*_pairs_collapsed`` variants
+    (one place so the collapse shape cannot drift between them — review
+    r7): ``rel='member'`` stars from a labeled frame carrying
+    (id, rep, gsz) + ``rel='pair'`` rep-level pairs with both group
+    sizes attached.
+
+    ``member_extra``: constant columns for member rows (e.g. jaccard
+    1.0); ``pair_extra_cols``: computed columns already on ``rep_pairs``
+    to carry through (e.g. the verified jaccard). Size lookups are slim
+    (id, long) joins on the already-shuffled pair stream; NOT
+    broadcast-pinned — at 100 TB the rep count is corpus-sized (most
+    docs are unique), so the planner must stay free to shuffle."""
+    extra = member_extra or {}
+    members = lab.filter(F.col("id") != F.col("rep")).select(
+        F.lit("member").alias("rel"),
+        F.col("rep").alias("id_a"),
+        F.col("id").alias("id_b"),
+        F.col("gsz").alias("size_a"),
+        F.col("gsz").alias("size_b"),
+        *[c.alias(n) for n, c in extra.items()],
+    )
+    sz = lab.filter(F.col("id") == F.col("rep")).select("id", "gsz")
+    pairs = (
+        rep_pairs.join(
+            sz.select(F.col("id").alias("id_a"), F.col("gsz").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sz.select(F.col("id").alias("id_b"), F.col("gsz").alias("size_b")),
+            "id_b",
+        )
+        .select(
+            F.lit("pair").alias("rel"),
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            *pair_extra_cols,
+        )
+    )
+    return members.unionByName(pairs)
+
+
 def minhash_pairs_collapsed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """PRODUCTION (100 TB) shape of the LSH pair query: the pair set in
     COLLAPSED form — identical-signature groups star-collapsed — so a
@@ -371,32 +420,10 @@ def minhash_pairs_collapsed(df: DataFrame, id_col: str, text_col: str) -> DataFr
         .withColumn("rep", F.min("id").over(W.partitionBy(*sigcols)))
         .withColumn("gsz", F.count(F.lit(1)).over(W.partitionBy(*sigcols)))
     )
-    members = lab.filter(F.col("id") != F.col("rep")).select(
-        F.lit("member").alias("rel"),
-        F.col("rep").alias("id_a"),
-        F.col("id").alias("id_b"),
-        F.col("gsz").alias("size_a"),
-        F.col("gsz").alias("size_b"),
-    )
     reps = lab.filter(F.col("id") == F.col("rep"))
-    sz = reps.select("id", "gsz")
-    # size lookups: slim (id, long) joins on the already-shuffled pair
-    # stream; NOT broadcast-pinned — at 100 TB the rep count is
-    # corpus-sized (most docs are unique), so the planner must stay free
-    # to shuffle.
-    rep_pairs = (
-        band_pairs(sig_band_rows(reps.select("id", *sigcols)))
-        .join(
-            sz.select(F.col("id").alias("id_a"), F.col("gsz").alias("size_a")),
-            "id_a",
-        )
-        .join(
-            sz.select(F.col("id").alias("id_b"), F.col("gsz").alias("size_b")),
-            "id_b",
-        )
-        .select(F.lit("pair").alias("rel"), "id_a", "id_b", "size_a", "size_b")
+    return _collapsed_form(
+        lab, band_pairs(sig_band_rows(reps.select("id", *sigcols)))
     )
-    return members.unionByName(rep_pairs)
 
 
 #: Shingles appearing in more documents than this are dropped from the
@@ -610,18 +637,12 @@ def jaccard_pairs_collapsed(
         .withColumn("rep", F.min("id").over(W.partitionBy("__h", "arr")))
         .withColumn("gsz", F.count(F.lit(1)).over(W.partitionBy("__h", "arr")))
     )
-    members = lab.filter(F.col("id") != F.col("rep")).select(
-        F.lit("member").alias("rel"),
-        F.col("rep").alias("id_a"),
-        F.col("id").alias("id_b"),
-        F.col("gsz").alias("size_a"),
-        F.col("gsz").alias("size_b"),
-        F.lit(1.0).alias("jaccard"),
-    )
     reps = lab.filter(F.col("id") == F.col("rep"))
     # postings restricted to representatives: pos/sz are per-doc, so the
-    # prefix-filter guarantee holds unchanged on the subset.
-    rep_sh = sh.join(reps.select("id"), "id", "semi")
+    # prefix-filter guarantee holds unchanged on the subset. Cached —
+    # consumed three times (both prefix-join sides + the verify-probe
+    # count), same reason _capped_postings caches sh (review r7).
+    rep_sh = track_cache(sh.join(reps.select("id"), "id", "semi"))
     pairs = _verified_pairs(
         rep_sh,
         _prefix_candidates(rep_sh, threshold),
@@ -635,26 +656,12 @@ def jaccard_pairs_collapsed(
         # old 2.92/3.23 s vs new 3.21/2.56 s — kept for the plan.)
         arrs=reps.select("id", "n_sh", "arr"),
     )
-    sz = reps.select("id", "gsz")
-    rep_pairs = (
-        pairs.join(
-            sz.select(F.col("id").alias("id_a"), F.col("gsz").alias("size_a")),
-            "id_a",
-        )
-        .join(
-            sz.select(F.col("id").alias("id_b"), F.col("gsz").alias("size_b")),
-            "id_b",
-        )
-        .select(
-            F.lit("pair").alias("rel"),
-            "id_a",
-            "id_b",
-            "size_a",
-            "size_b",
-            "jaccard",
-        )
+    return _collapsed_form(
+        lab,
+        pairs,
+        member_extra={"jaccard": F.lit(1.0)},
+        pair_extra_cols=("jaccard",),
     )
-    return members.unionByName(rep_pairs)
 
 
 def simhash(text: Column, bits: int = 32, hex_offset: int = 0) -> Column:

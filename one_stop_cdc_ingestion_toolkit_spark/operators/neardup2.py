@@ -455,8 +455,12 @@ def a004_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # re-widen after the broadcast join (it inherits the narrow scan's
-    # partitioning) so the per-doc shingle hashing parallelizes
-    dc = widen_narrow_scan(d.join(F.broadcast(cand_ids), "doc_id"))
+    # partitioning) so the per-doc shingle hashing parallelizes. Cached:
+    # consumed by the size probe below AND (unpinned) both verify-join
+    # sides — without the cache each consumer re-scans documents and
+    # redoes the candidate join (review r7); bounded by the candidate
+    # doc set, released via release_caches.
+    dc = track_cache(widen_narrow_scan(d.join(F.broadcast(cand_ids), "doc_id")))
     # r6: NO posting explode, NO postings join, NO groupBy — each
     # candidate doc's distinct shingle hashes stay an ARRAY inside the
     # row (hashed_shingles), and the exact intersection is computed

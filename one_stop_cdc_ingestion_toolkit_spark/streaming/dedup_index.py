@@ -74,8 +74,13 @@ class DedupIndex:
         )
         # widen=False: microbatches are small by construction — the
         # narrow-scan repartition would add a shuffle per batch for
-        # nothing.
-        bands = minhash_band_rows(docs, self.id_col, self.text_col, widen=False)
+        # nothing. use_arrow=True for the same reason: the r7 JVM
+        # explode→groupBy default wins at corpus scale but would add a
+        # shuffle per micro-batch here; the Arrow kernel is shuffle-free
+        # and its per-call Python cost is amortized fine at batch size.
+        bands = minhash_band_rows(
+            docs, self.id_col, self.text_col, widen=False, use_arrow=True
+        )
         return bands.join(fps, "id").select("id", "fp", "band_idx", "band_sig")
 
     def update(self, spark: SparkSession, touched_state: DataFrame) -> None:

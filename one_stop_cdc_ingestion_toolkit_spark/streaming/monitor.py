@@ -76,12 +76,16 @@ def diagnose(pipeline) -> dict:
     only failure diagnosis is grepping connector logs for
     'error|failed' (A27, bin/mskc-connector.sh:491-499); the engine
     materializes each failure class where an operator can query it."""
-    status = pipeline.status()
+    # count_dlq=False: diagnose reads the DLQ itself below — ONE
+    # groupBy(reason) pass yields both the depth and the reason enum,
+    # instead of status paying a count job and this function a second
+    # distinct-collect job over the same table (review r7).
+    status = pipeline.status(count_dlq=False)
     out = {
         "state": status.get("state"),
         "exception": None,
         "last_progress": None,
-        "dlq_rows": status.get("dlq_rows", 0),
+        "dlq_rows": 0,
         "open_transactions": status.get("open_transactions", 0),
         # (table, error) per rejected DDL — incompatible evolution is
         # recorded and skipped, never crashes the stream (A11 red path).
@@ -90,16 +94,15 @@ def diagnose(pipeline) -> dict:
             for (t, _v, err) in getattr(pipeline, "schema_log", [])
             if err
         ],
-        # sample of quarantine reasons so the operator sees WHY without
-        # reading the table (bounded: reasons are a small enum).
+        # quarantine reasons so the operator sees WHY without reading
+        # the table (bounded: reasons are a small enum).
         "dlq_reasons": [],
     }
-    if out["dlq_rows"]:
-        dlq = pipeline.read_dlq()
-        if dlq is not None:
-            out["dlq_reasons"] = sorted(
-                r["reason"] for r in dlq.select("reason").distinct().collect()
-            )
+    dlq = pipeline.read_dlq()
+    if dlq is not None:
+        reason_counts = dlq.groupBy("reason").count().collect()
+        out["dlq_rows"] = sum(r["count"] for r in reason_counts)
+        out["dlq_reasons"] = sorted(r["reason"] for r in reason_counts)
     q = pipeline.query
     if q is not None:
         exc = q.exception()

@@ -725,11 +725,18 @@ class Pipeline:
             self.start()
         self.query.processAllAvailable()
 
-    def status(self) -> dict:
+    def status(self, count_dlq: bool = True) -> dict:
         """Connector-state analogue (A16), plus the dead-letter depth —
-        the first number an operator checks when a table looks stale."""
-        dlq = self.read_dlq()
-        dlq_rows = 0 if dlq is None else dlq.count()
+        the first number an operator checks when a table looks stale.
+
+        ``count_dlq=False`` skips the DLQ count job and reports
+        ``dlq_rows=None`` — for callers (monitor.diagnose) that read the
+        DLQ themselves in the same breath and would otherwise pay two
+        Spark jobs over the same table."""
+        dlq_rows: int | None = None
+        if count_dlq:
+            dlq = self.read_dlq()
+            dlq_rows = 0 if dlq is None else dlq.count()
         open_tx = (
             len(self.tx_gate.pending()) if self.tx_gate is not None else 0
         )

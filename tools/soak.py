@@ -147,7 +147,10 @@ def generate(n_events: int, n_files: int, rng: random.Random):
         acct.apply("r", pos, i, row)
         emit(i * 3 // n_accounts, envelope("r", pos, "accounts", after=row))
 
-    ddl_file = n_files // 2 - 3  # DDL lands at file 10 of 26
+    # DDL lands at file 10 of the default 26; floor of 3 keeps it AFTER
+    # the initial-snapshot files (0-2) on reduced --files runs, where
+    # n_files//2-3 would collide with the snapshot (review r7)
+    ddl_file = max(3, n_files // 2 - 3)
     tx_data_file = n_files // 2 - 1  # tx rows at file 12
     kill_after = n_files // 2  # kill after file 13
     tx_end_file = n_files // 2 + 1  # END boundary at file 14
@@ -352,7 +355,11 @@ def failure_scenarios(spark, base: str) -> tuple[dict, list[str]]:
     pipe = Pipeline(spark, spec)
     pipe.process_available()
     diag = monitor.diagnose(pipe)
-    n_rows = pipe.read_table("accounts").count()
+    # read_table returns None when the table never materialized — the
+    # exact regression this scenario exists to catch (stream died on the
+    # bad DDL). Guard so the soak REPORTS it instead of crashing on it.
+    acct = pipe.read_table("accounts")
+    n_rows = acct.count() if acct is not None else 0
     rejected = [e for e in diag["schema_rejections"] if "req" in e["error"]]
     report["incompatible_ddl"] = {
         "rejections": diag["schema_rejections"],
@@ -365,7 +372,7 @@ def failure_scenarios(spark, base: str) -> tuple[dict, list[str]]:
         problems.append(
             f"data around the rejected DDL did not all apply: {n_rows}/10"
         )
-    if pipe.read_table("accounts").filter("name = 'b0'").count() != 1:
+    if acct is None or acct.filter("name = 'b0'").count() != 1:
         problems.append("post-DDL data missing — stream died on bad DDL")
     pipe.stop()
 
@@ -395,7 +402,8 @@ def failure_scenarios(spark, base: str) -> tuple[dict, list[str]]:
         problems.append(f"p3 reason wrong: {dlq_rows.get('p3')}")
     if "not_an_envelope" not in diag["dlq_reasons"]:
         problems.append(f"diagnose missing reasons: {diag['dlq_reasons']}")
-    if pipe.read_table("accounts").count() != 3:
+    acct = pipe.read_table("accounts")
+    if acct is None or acct.count() != 3:
         problems.append("good rows around poison did not apply")
     pipe.stop()
 
@@ -425,8 +433,9 @@ def failure_scenarios(spark, base: str) -> tuple[dict, list[str]]:
     write_files(spec_b.source_dir, files_b, 1, 2)
     pb.process_available()
     pa.process_available()
-    a_rows = {r["id"]: r["balance"] for r in pa.read_table("accounts").collect()}
-    b_rows = {r["id"]: r["name"] for r in pb.read_table("accounts").collect()}
+    ta, tb = pa.read_table("accounts"), pb.read_table("accounts")
+    a_rows = {r["id"]: r["balance"] for r in (ta.collect() if ta is not None else [])}
+    b_rows = {r["id"]: r["name"] for r in (tb.collect() if tb is not None else [])}
     report["concurrent_pipelines"] = {
         "a_rows": len(a_rows), "b_rows": len(b_rows)}
     if len(a_rows) != 50 or sum(1 for v in a_rows.values() if v == 2) != 25:
@@ -445,7 +454,9 @@ def main() -> int:
         if a.startswith("--events="):
             n_events = int(a.split("=", 1)[1])
         elif a.startswith("--files="):
-            n_files = int(a.split("=", 1)[1])
+            # the generator's event placement (snapshot files 0-2, DDL,
+            # tx span, kill point) needs ordered distinct file slots
+            n_files = max(10, int(a.split("=", 1)[1]))
         elif a == "--keep":
             keep = True
 
@@ -595,8 +606,13 @@ def main() -> int:
 
     cap = monitor.capacity_report(listener_log)
     n_batches = sum(c.get("n_batches", 0) for c in cap)
-    if n_batches < 20:
-        problems.append(f"only {n_batches} micro-batches observed")
+    # maxFilesPerTrigger=1 ⇒ one batch per file; scale the expectation
+    # with --files instead of hardcoding the default 26-file run (a
+    # reduced-scale smoke run used to FAIL on this constant, review r7)
+    if n_batches < min(20, n_files - 1):
+        problems.append(
+            f"only {n_batches} micro-batches observed for {n_files} files"
+        )
 
     pipe2.stop()
 
