@@ -17,6 +17,7 @@ batch-affected partitions rewritten (``cdc.affected_partitions``).
 
 from __future__ import annotations
 
+import json
 import shutil
 from pathlib import Path
 
@@ -45,8 +46,6 @@ class TableStore:
 
     def _log_state(self, table: str, kind: str, state) -> None:
         """Append one pointer state to the table's _HISTORY jsonl."""
-        import json
-
         hf = self._history_file(table)
         seq = sum(1 for _ in hf.open()) if hf.exists() else 0
         with hf.open("a") as f:
@@ -55,8 +54,6 @@ class TableStore:
     def history(self, table: str) -> list[dict]:
         """Pointer-flip history, oldest first: [{seq, kind, state, live}].
         ``live`` = the referenced data still exists (within ``retain``)."""
-        import json
-
         hf = self._history_file(table)
         if not hf.exists():
             return []
@@ -92,6 +89,12 @@ class TableStore:
         tdir = self._table_dir(table)
         if rec["kind"] == "snapshot":
             return spark.read.parquet(str(tdir / rec["state"]))
+        # a bucketed state can be EMPTY (a batch deleted every remaining
+        # row: write_buckets pops all map entries) — mirror read_buckets'
+        # None contract instead of handing spark.read.parquet() zero paths
+        # (which raises an unrelated schema-inference error, review r7)
+        if not rec["state"]:
+            return None
         paths = [
             str(tdir / gen / f"__bucket={b}")
             for b, gen in sorted((int(k), v) for k, v in rec["state"].items())
@@ -101,13 +104,27 @@ class TableStore:
     def _live_states(self, table: str) -> list:
         """The pointer states whose data must survive pruning: the last
         ``retain + 1`` history entries (current + retained history)."""
-        import json
-
         hf = self._history_file(table)
         if not hf.exists():
             return []
         lines = hf.read_text().splitlines()
         return [json.loads(x)["state"] for x in lines[-(self.retain + 1) :]]
+
+    def _last_seq(self, table: str) -> int | None:
+        """Seq of the most recent pointer flip, parsing ONLY the last
+        _HISTORY line. ``history()`` would also stat() every generation
+        of every record to compute liveness — a per-micro-batch caller
+        (log_epoch) doing that accumulates O(batches²) filesystem work
+        (review r7)."""
+        hf = self._history_file(table)
+        if not hf.exists():
+            return None
+        last = None
+        with hf.open() as f:
+            for line in f:
+                if line.strip():
+                    last = line
+        return json.loads(last)["seq"] if last else None
 
     # -- cross-table consistent snapshots (epochs) ------------------------
 
@@ -120,13 +137,11 @@ class TableStore:
         micro-batch has merged into ALL its tables, so an epoch is a
         cross-table-consistent view (no torn reads of a half-applied
         batch when reading via :meth:`read_epoch`)."""
-        import json
-
         seqs = {}
         for t in tables:
-            hist = self.history(t)
-            if hist:
-                seqs[t] = hist[-1]["seq"]
+            seq = self._last_seq(t)
+            if seq is not None:
+                seqs[t] = seq
         ef = self._epoch_file()
         epoch = sum(1 for _ in ef.open()) if ef.exists() else 0
         with ef.open("a") as f:
@@ -134,8 +149,6 @@ class TableStore:
         return epoch
 
     def epochs(self) -> list[dict]:
-        import json
-
         ef = self._epoch_file()
         if not ef.exists():
             return []
@@ -242,8 +255,6 @@ class BucketedTableStore(TableStore):
         ptr = self._bucket_pointer(table)
         if not ptr.exists():
             return {}
-        import json
-
         return {int(k): v for k, v in json.loads(ptr.read_text()).items()}
 
     def layout(self, table: str) -> str | None:
@@ -288,8 +299,6 @@ class BucketedTableStore(TableStore):
     def write_buckets(self, df: DataFrame, table: str, buckets: list[int]) -> Path:
         """Write a new generation holding ONLY the given buckets (df must
         carry a ``__bucket`` column) and flip their pointer entries."""
-        import json
-
         tdir = self._table_dir(table)
         tdir.mkdir(parents=True, exist_ok=True)
         bmap = self.bucket_map(table)
@@ -316,11 +325,16 @@ class BucketedTableStore(TableStore):
         tmp.replace(self._bucket_pointer(table))
         self._log_state(table, "bucketed", state)
         # prune generations referenced by neither the current map nor the
-        # retained history depth
+        # retained history depth. Retained history can hold BOTH kinds of
+        # state: a snapshot-layout generation (string) sits in the window
+        # during a layout migration, and skipping it here deleted retained
+        # time-travel depth on the first bucketed write (review r7).
         live = set(bmap.values())
         for s in self._live_states(table):
             if isinstance(s, dict):
                 live |= set(s.values())
+            else:
+                live.add(s)
         for p in tdir.glob("gen-*"):
             if p.name not in live:
                 shutil.rmtree(p, ignore_errors=True)

@@ -97,7 +97,12 @@ class TxGate:
         """Roll a torn _rewrite_buffer forward or back (advisory: a crash
         between the two renames left no _txbuf dir at all)."""
         gone = self.dir + "-gone"
-        stages = sorted(glob.glob(self.dir + "-stage-*"))
+        # newest-by-mtime, NOT lexicographic: stage names are random uuid
+        # hex, and a partial stage from an earlier failed write could sort
+        # after the complete one whose rename was in progress (review r7).
+        # (_rewrite_buffer also removes its stage on a failed write, so a
+        # partial stage coexisting with a torn swap is doubly unlikely.)
+        stages = sorted(glob.glob(self.dir + "-stage-*"), key=os.path.getmtime)
         if not os.path.exists(self.dir):
             if os.path.exists(gone) and stages:
                 # crash between the renames: the stage dir is a complete
@@ -152,7 +157,13 @@ class TxGate:
 
     def _rewrite_buffer(self, df: DataFrame) -> None:
         stage = self.dir + f"-stage-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(stage)
+        try:
+            df.write.mode("overwrite").parquet(stage)
+        except BaseException:
+            # a partial stage must not survive: recovery rolls forward to
+            # a leftover stage on the assumption it is a COMPLETE buffer
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         old = self.dir
         gone = self.dir + "-gone"
         os.rename(old, gone)
@@ -181,7 +192,18 @@ class TxGate:
         data UNIONed with every buffered record of transactions that
         are now provably committed. ``batch_id`` is the foreachBatch
         epoch — the replay detector; direct (non-streaming) callers get
-        a monotonic internal sequence instead."""
+        a monotonic internal sequence instead.
+
+        Direct-mode contract (at-least-once): a direct call's release is
+        GC'd by the NEXT direct call on the assumption the caller merged
+        the returned rows before calling again. A caller that can crash
+        between receiving the return and completing its merge must
+        RE-FEED the unmerged input on restart (released transactions are
+        tombstoned, so replayed rows pass straight through to the
+        idempotent merge) — i.e. exactly the chunk-high-water-mark
+        semantics the backfill driver already has. Streaming mode does
+        not need this: foreachBatch replays batch N itself and the
+        released marker re-emits the staged rows."""
         state = self._load_state()
         mode = "s" if batch_id is not None else "d"
         eb = state["seq"] + 1 if batch_id is None else batch_id

@@ -82,3 +82,39 @@ def test_cli_history_and_as_of(spark, tmp_path, capsys):
     rc = main(["show-table", str(tmp_path / "lake"), "t", "--raw", "--as-of", "0"])
     out = capsys.readouterr().out
     assert rc == 0 and "a" in out
+
+
+def test_migration_keeps_retained_snapshot_history(spark, tmp_path):
+    """Layout migration must honor retain: the first bucketed write's
+    prune used to keep only DICT (bucketed) history states, deleting the
+    retained snapshot generation and breaking read_as_of across the
+    migration (review r7)."""
+    store = BucketedTableStore(tmp_path / "lake", retain=2)
+    store.write(_df(spark, [(1, "a"), (2, "a")]), "t")  # seq 0, snapshot
+    d = _df(spark, [(1, "b"), (2, "b")]).withColumn(
+        "__bucket", (F.col("id") % 2).cast("int")
+    )
+    store.write_buckets(d, "t", buckets=[0, 1])  # seq 1, migration
+    hist = store.history("t")
+    assert [r["kind"] for r in hist] == ["snapshot", "bucketed"]
+    assert all(r["live"] for r in hist), hist
+    v0 = {r["id"]: r["v"] for r in store.read_as_of(spark, "t", 0).collect()}
+    assert v0 == {1: "a", 2: "a"}
+    v1 = {r["id"]: r["v"] for r in store.read_as_of(spark, "t", 1).collect()}
+    assert v1 == {1: "b", 2: "b"}
+
+
+def test_read_as_of_empty_bucket_state_returns_none(spark, tmp_path):
+    """A batch that deletes every remaining row logs an EMPTY bucketed
+    state; read_as_of must mirror read_buckets' None contract instead of
+    handing spark.read.parquet() zero paths (review r7)."""
+    store = BucketedTableStore(tmp_path / "lake", retain=2)
+    d = _df(spark, [(1, "a")]).withColumn("__bucket", F.lit(0).cast("int"))
+    store.write_buckets(d, "t", buckets=[0])
+    # rewrite bucket 0 with no rows for it => bucket leaves the map
+    empty = _df(spark, []).withColumn("__bucket", F.lit(0).cast("int"))
+    store.write_buckets(empty, "t", buckets=[0])
+    assert store.bucket_map("t") == {}
+    assert store.read_as_of(spark, "t", 1) is None
+    # seq 0 (pre-delete) still reads within retain
+    assert store.read_as_of(spark, "t", 0).count() == 1
