@@ -106,8 +106,12 @@ def minhash_signatures(
     text_col: str,
     use_arrow: bool = False,
     widen: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, mh0..mh7) minhash signature per document.
+    """(id, mh0..mh7) minhash signature per document. ``carry``: extra
+    per-doc columns to ride along in-row (Arrow path: plain projection;
+    JVM path: ``any_value`` in the signature agg — exactly one input row
+    per id is already this function's precondition).
 
     Two equivalent physical paths, exact-integer identical (Python ints
     reproduce the JVM long arithmetic — h < 2³², a ≤ 301237, so h·a+b
@@ -189,20 +193,29 @@ def minhash_signatures(
 
         out = (
             df.filter(F.col(text_col).isNotNull())
-            .select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("__s"))
+            .select(
+                F.col(id_col).alias("id"),
+                *carry,
+                sig_udf(F.col(text_col)).alias("__s"),
+            )
         )
         return out.filter(F.col("__s.mh0") >= 0).select(
             "id",
+            *carry,
             *[F.col(f"__s.mh{i}").alias(f"mh{i}") for i in range(len(MINHASH_A))],
         )
     sh = df.select(
         F.col(id_col).alias("id"),
+        *carry,
         F.explode(word_shingles(F.col(text_col))).alias("shingle"),
     )
     h = sh.select(
-        "id", F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h")
+        "id",
+        *carry,
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h"),
     )
     return h.groupBy("id").agg(
+        *[F.any_value(c).alias(c) for c in carry],
         *[
             F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -210,14 +223,15 @@ def minhash_signatures(
     )
 
 
-def sig_band_rows(sig: DataFrame) -> DataFrame:
+def sig_band_rows(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """(id, band_idx, band_sig, bands) LSH band rows from a signature
     frame. ``bands`` carries the doc's FULL band-signature array so the
     pair join can apply the first-matching-band rule (band_pairs) — a
     few short strings per row, far cheaper than the cross-band DISTINCT
-    it replaces."""
+    it replaces. ``carry``: extra per-doc columns to ride along."""
     return sig.select(
         "id",
+        *carry,
         F.array(
             *[
                 F.concat_ws("|", f"mh{a}", f"mh{b}").alias(f"band{i}")
@@ -225,7 +239,7 @@ def sig_band_rows(sig: DataFrame) -> DataFrame:
             ]
         ).alias("bands"),
     ).select(
-        "id", F.posexplode("bands").alias("band_idx", "band_sig"), "bands"
+        "id", *carry, F.posexplode("bands").alias("band_idx", "band_sig"), "bands"
     )
 
 
@@ -235,14 +249,21 @@ def minhash_band_rows(
     text_col: str,
     use_arrow: bool = False,
     widen: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band_idx, band_sig) LSH band rows — the minhash signature
     exploded into its bands. Shared by the batch pair-finder below and
     the incremental ``streaming.dedup_index.DedupIndex``. ``use_arrow``
     forwards to :func:`minhash_signatures` (JVM explode default since
-    r7 — see its docstring for the re-measurement)."""
+    r7 — see its docstring for the re-measurement). ``carry``: extra
+    per-doc columns riding along in-row — lets a caller that needs a
+    per-doc attribute on every band row (DedupIndex's fingerprint)
+    avoid an id-join shuffle back onto the band stream."""
     return sig_band_rows(
-        minhash_signatures(df, id_col, text_col, use_arrow=use_arrow, widen=widen)
+        minhash_signatures(
+            df, id_col, text_col, use_arrow=use_arrow, widen=widen, carry=carry
+        ),
+        carry=carry,
     )
 
 

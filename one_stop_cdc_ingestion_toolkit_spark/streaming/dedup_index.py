@@ -67,21 +67,35 @@ class DedupIndex:
     # -- maintenance -------------------------------------------------------
 
     def _index_rows(self, docs: DataFrame) -> DataFrame:
-        """(id, fp, band_idx, band_sig) for the given documents."""
-        fps = docs.select(
-            F.col(self.id_col).alias("id"),
+        """(id, fp, band_idx, band_sig) for the given documents.
+
+        The whole maintenance computation is ONE map-only plan
+        (plan-asserted: test_index_rows_plan_is_shuffle_free):
+
+        - widen=False — microbatches are small by construction; the
+          narrow-scan repartition would add a shuffle per batch.
+        - use_arrow=True — the r7 JVM explode→groupBy default wins at
+          corpus scale but would add a shuffle per micro-batch; the
+          Arrow kernel is shuffle-free and its per-call Python cost is
+          amortized fine at batch size.
+        - carry=('fp',) — the fingerprint is computed IN-ROW and rides
+          the signature kernel, replacing the id-join (an exchange on
+          both sides, every batch) that used to attach it.
+        """
+        docs_fp = docs.select(
+            F.col(self.id_col).alias(self.id_col),
+            F.col(self.text_col),
             fingerprint(F.col(self.text_col)).alias("fp"),
         )
-        # widen=False: microbatches are small by construction — the
-        # narrow-scan repartition would add a shuffle per batch for
-        # nothing. use_arrow=True for the same reason: the r7 JVM
-        # explode→groupBy default wins at corpus scale but would add a
-        # shuffle per micro-batch here; the Arrow kernel is shuffle-free
-        # and its per-call Python cost is amortized fine at batch size.
         bands = minhash_band_rows(
-            docs, self.id_col, self.text_col, widen=False, use_arrow=True
+            docs_fp,
+            self.id_col,
+            self.text_col,
+            widen=False,
+            use_arrow=True,
+            carry=("fp",),
         )
-        return bands.join(fps, "id").select("id", "fp", "band_idx", "band_sig")
+        return bands.select("id", "fp", "band_idx", "band_sig")
 
     def update(self, spark: SparkSession, touched_state: DataFrame) -> None:
         """Fold one micro-batch into the index.

@@ -229,3 +229,25 @@ def test_index_requires_single_key(tmp_path):
 
     with pytest.raises(ValueError, match="single"):
         spec.validate()
+
+
+def test_index_rows_plan_is_shuffle_free(spark):
+    """The micro-batch index maintenance must stay a map-only plan: the
+    Arrow minhash kernel (pinned use_arrow=True) plus widen=False mean
+    NO Exchange per batch — the r7 JVM explode default would have added
+    a groupBy shuffle to every DedupIndex.update (review r7)."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import (
+        DedupIndex,
+    )
+
+    idx = DedupIndex.__new__(DedupIndex)
+    idx.id_col = "doc_id"
+    idx.text_col = "text"
+    idx.n_buckets = 0
+    batch = spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER)], DOCS_SCHEMA
+    )
+    plan = (
+        idx._index_rows(batch)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:800]
