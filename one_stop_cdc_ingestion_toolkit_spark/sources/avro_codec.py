@@ -201,11 +201,29 @@ def _matches(schema, value) -> bool:
 
 
 def decode(schema: str | dict | list, data: bytes, names: dict | None = None):
+    """``names``: optional PREBUILT name index (from ``_collect_names``).
+    Passing one skips the per-call schema-tree walk — a per-record
+    caller (debezium.avro_to_json) builds it once per schema id instead
+    of once per Kafka record (review r7)."""
     schema = parse_schema(schema)
-    names = names if names is not None else {}
-    _collect_names(schema, names)
+    if names is None:
+        names = {}
+        _collect_names(schema, names)
     buf = io.BytesIO(bytes(data))
     return _decode(schema, buf, names)
+
+
+def _read_exact(buf: io.BytesIO, n: int, what: str) -> bytes:
+    """Read exactly ``n`` bytes or raise. A lenient read on corrupt input
+    decodes silently wrong values (truncated boolean → False, negative
+    length → the rest of the buffer) instead of failing the record so
+    the DLQ can catch it (review r7)."""
+    if n < 0:
+        raise AvroCodecError(f"negative {what} length: {n}")
+    data = buf.read(n)
+    if len(data) != n:
+        raise AvroCodecError(f"truncated {what}: wanted {n}, got {len(data)}")
+    return data
 
 
 def _decode(schema, buf: io.BytesIO, names: dict):
@@ -219,23 +237,27 @@ def _decode(schema, buf: io.BytesIO, names: dict):
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1, "boolean") == b"\x01"
     if t in ("int", "long"):
         return _read_varint(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4, "float"))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8, "double"))[0]
     if t == "bytes":
-        return buf.read(_read_varint(buf))
+        return _read_exact(buf, _read_varint(buf), "bytes")
     if t == "string":
-        return buf.read(_read_varint(buf)).decode("utf-8")
+        return _read_exact(buf, _read_varint(buf), "string").decode("utf-8")
     if t == "fixed":
         _register(schema, names)
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"], "fixed")
     if t == "enum":
         _register(schema, names)
-        return schema["symbols"][_read_varint(buf)]
+        idx = _read_varint(buf)
+        symbols = schema["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise AvroCodecError(f"enum index {idx} out of range")
+        return symbols[idx]
     if t == "record":
         _register(schema, names)
         return {f["name"]: _decode(f["type"], buf, names) for f in schema["fields"]}

@@ -112,17 +112,38 @@ def decode_avro(
     avro_schema_json: str,
     value_col: str = "value",
     confluent_wire_format: bool = False,
+    expected_schema_id: int | None = None,
 ) -> DataFrame:
     """Decode an Avro-serialized envelope (Glue SR = raw body; Confluent SR
     = 5-byte header first). Requires the spark-avro package on the
     classpath — callers should gate on :func:`avro_available`.
+
+    LIMITATION (single reader schema): ``from_avro`` decodes every record
+    with ONE schema, and Avro binary is not self-describing — a topic
+    holding records written under MULTIPLE registry ids (mid-evolution)
+    would decode old bodies with the new schema and produce silently
+    wrong values. The wire-format path therefore VALIDATES each record:
+    magic byte 0x0, and (when ``expected_schema_id`` is given) the
+    header's schema id — a mismatch fails the task loudly instead of
+    misdecoding. Mixed-id topics go through :func:`avro_to_json`, whose
+    per-record schema-id dispatch handles them correctly (review r7).
     """
     from pyspark.sql.avro.functions import from_avro
 
     value = F.col(value_col)
     if confluent_wire_format:
-        _, payload = strip_confluent_header(value)
-        value = payload
+        schema_id, payload = strip_confluent_header(value)
+        ok = F.substring(value, 1, 1) == F.lit(b"\x00")
+        if expected_schema_id is not None:
+            ok = ok & (schema_id == F.lit(expected_schema_id))
+        value = F.when(ok, payload).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bad Confluent wire header (magic/schema id): "),
+                    F.hex(F.substring(F.col(value_col), 1, 5)),
+                )
+            )
+        )
     env = from_avro(value, avro_schema_json)
     return df.select(
         env["before"].alias("before"),
@@ -149,10 +170,24 @@ def avro_to_json(
     (``bin/mskc-connector.sh:449-459``). Unknown ids raise (a registry
     miss is a pipeline config error, not skippable data).
 
+    Data-shaped failures do NOT halt the stream (review r7 — a poison
+    record would otherwise fail the same offset on every restart, with
+    no way to drain it): a null Kafka value (Debezium's log-compaction
+    tombstone, ``tombstones.on.delete`` default true) is DROPPED — it
+    carries no envelope; a malformed body (bad magic, truncated Avro,
+    corrupt varints) is re-emitted as a non-envelope JSON string
+    carrying the error + base64 raw bytes, which the downstream
+    quarantine routes to the DLQ exactly like a malformed JSON payload.
+    Avro ``bytes``/``fixed`` values (Debezium's ``precise`` decimals,
+    BLOBs) serialize as base64 strings — the same convention Debezium's
+    own JSON converter uses.
+
     Arrow-batched (mapInPandas); per-row work is bounded by envelope
-    size. Prefer :func:`decode_avro` (JVM, spark-avro) where the package
-    exists — gate with :func:`avro_available`.
+    size. Writer-schema name indexes are built once per schema id, not
+    per record. Prefer :func:`decode_avro` (JVM, spark-avro) where the
+    package exists — gate with :func:`avro_available`.
     """
+    import base64 as _b64
     import json as _json
     from collections.abc import Iterator
 
@@ -161,27 +196,71 @@ def avro_to_json(
     from one_stop_cdc_ingestion_toolkit_spark.sources import avro_codec
 
     parsed = {sid: avro_codec.parse_schema(s) for sid, s in schemas_by_id.items()}
+    # one name index per schema, built once — decode() would otherwise
+    # re-walk the whole schema tree per record (review r7)
+    names_by_sid: dict[int, dict] = {}
+    for sid, schema in parsed.items():
+        names_by_sid[sid] = {}
+        avro_codec._collect_names(schema, names_by_sid[sid])  # noqa: SLF001
     has_key = "key" in df.columns
     out_schema = "key string, value string" if has_key else "value string"
+
+    def _jdefault(o):
+        if isinstance(o, (bytes, bytearray)):
+            return _b64.b64encode(bytes(o)).decode("ascii")
+        raise TypeError(f"not JSON serializable: {type(o).__name__}")
+
+    def _quarantine_payload(body: bytes, err: Exception) -> str:
+        return _json.dumps(
+            {
+                "__avro_error": f"{type(err).__name__}: {err}"[:200],
+                "__raw_b64": _b64.b64encode(body).decode("ascii"),
+            }
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             values = []
-            for raw in pdf[value_col]:
+            keep = []
+            for i, raw in enumerate(pdf[value_col]):
+                if raw is None:
+                    continue  # tombstone: no envelope, drop
                 body = bytes(raw)
-                if confluent_wire_format:
-                    if len(body) < 5 or body[0] != 0:
-                        raise ValueError("not Confluent wire format (magic != 0)")
-                    sid = int.from_bytes(body[1:5], "big")
-                    if sid not in parsed:
-                        raise KeyError(f"schema id {sid} not in registry map")
-                    schema, body = parsed[sid], body[5:]
-                else:
-                    schema = next(iter(parsed.values()))
-                values.append(_json.dumps(avro_codec.decode(schema, body)))
+                try:
+                    if confluent_wire_format:
+                        if len(body) < 5 or body[0] != 0:
+                            raise ValueError(
+                                "not Confluent wire format (magic != 0)"
+                            )
+                        sid = int.from_bytes(body[1:5], "big")
+                        if sid not in parsed:
+                            # config error, not data — fail loudly
+                            raise KeyError(
+                                f"schema id {sid} not in registry map"
+                            )
+                        schema, names, payload = (
+                            parsed[sid], names_by_sid[sid], body[5:],
+                        )
+                    else:
+                        sid = next(iter(parsed))
+                        schema, names, payload = (
+                            parsed[sid], names_by_sid[sid], body,
+                        )
+                    values.append(
+                        _json.dumps(
+                            avro_codec.decode(schema, payload, names),
+                            default=_jdefault,
+                        )
+                    )
+                except KeyError:
+                    raise
+                except (ValueError, TypeError) as err:
+                    # includes AvroCodecError (a ValueError): quarantine
+                    values.append(_quarantine_payload(body, err))
+                keep.append(i)
             out = {"value": values}
             if has_key:
-                out = {"key": pdf["key"].values, "value": values}
+                out = {"key": pdf["key"].values[keep], "value": values}
             yield pd.DataFrame(out)
 
     cols = (["key", value_col] if has_key else [value_col])

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import abc
 import json
+import os
 from collections.abc import Callable
 from pathlib import Path
 
@@ -137,10 +138,6 @@ class SchemaStore(SchemaRegistryClient):
         doc = json.loads(p.read_text())
         return [T.StructType.fromJson(v) for v in doc["versions"]]
 
-    def latest(self, subject: str) -> T.StructType | None:
-        vs = self.versions(subject)
-        return vs[-1] if vs else None
-
     def register(self, subject: str, schema: T.StructType) -> int:
         """Register a schema version (auto-registration, SURVEY §2.1 A10).
 
@@ -160,7 +157,13 @@ class SchemaStore(SchemaRegistryClient):
             "compatibility": self.compatibility,
             "versions": [v.jsonValue() for v in versions],
         }
-        self._path(subject).write_text(json.dumps(doc, indent=2))
+        # atomic replace: a crash mid-write must never leave partial JSON
+        # behind — a torn subject file would brick versions()/latest()
+        # (and the pipeline's per-batch lookup) until manually repaired
+        # (review r7)
+        tmp = self._path(subject).with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(doc, indent=2))
+        os.replace(tmp, self._path(subject))
         # save -> reload -> validate (reference invariant)
         reloaded = self.versions(subject)
         if reloaded[-1] != schema:
@@ -239,18 +242,35 @@ class HttpSchemaRegistryClient(SchemaRegistryClient):
             return len(versions)
         if versions:
             self._check(versions[-1], schema, subject)
-        self._t(
-            "POST",
-            f"{self.base_url}/subjects/{subject}/versions",
-            {
-                "schemaType": "JSON",
-                "schema": json.dumps(schema.jsonValue()),
-            },
-        )
+        try:
+            self._t(
+                "POST",
+                f"{self.base_url}/subjects/{subject}/versions",
+                {
+                    "schemaType": "JSON",
+                    "schema": json.dumps(schema.jsonValue()),
+                },
+            )
+        except OSError as exc:  # urllib raises HTTPError (an OSError)
+            # a server-side compatibility rejection must surface as the
+            # interface's IncompatibleSchemaError — callers written
+            # against the contract (schema_events keeps the connector
+            # running by catching exactly that) must behave identically
+            # whichever backend is plugged in (review r7). Confluent:
+            # 409 incompatible schema, 422 invalid schema.
+            if getattr(exc, "code", None) in (409, 422):
+                raise IncompatibleSchemaError(f"{subject}: {exc}") from exc
+            raise
         # the real Confluent response carries only the GLOBAL schema id,
-        # not the per-subject version — re-read the subject for the
-        # contract value (one GET; registration is rare)
-        return len(self.versions(subject))
+        # not the per-subject version — re-read the subject and return
+        # the index where THIS schema landed (a plain len() could count
+        # a concurrent registrant's later version as ours; registration
+        # is rare, so the extra GETs don't matter)
+        after = self.versions(subject)
+        for i in range(len(after) - 1, -1, -1):
+            if after[i] == schema:
+                return i + 1
+        return len(after)
 
     def list_subjects(self) -> list[str]:
         return sorted(self._t("GET", f"{self.base_url}/subjects", None))

@@ -248,3 +248,61 @@ def test_jvm_avro_path_matches_python_codec(spark):
     assert jvm["ts_ms"] == py["ts_ms"]
     assert jvm["after"].asDict() == py["after"]
     assert jvm["source"].asDict() == py["source"]
+
+
+def test_tombstone_dropped_and_poison_quarantined(spark):
+    """Null Kafka values (Debezium log-compaction tombstones) DROP; a
+    malformed body re-emits as a non-envelope JSON string (error +
+    base64 raw) for the downstream DLQ instead of failing the batch on
+    every restart (review r7)."""
+    good = wire(1, ENVELOPE_SCHEMA_V1, envelope_value(
+        "c", 1, after={"firstName": "a", "lastName": "b", "age": 1}))
+    rows = [("k1", good), ("k2", None), ("k3", b"\x07 not wire format")]
+    df = spark.createDataFrame(rows, "key string, value binary")
+    out = avro_to_json(df, {1: json.dumps(ENVELOPE_SCHEMA_V1)}).collect()
+    byk = {r["key"]: json.loads(r["value"]) for r in out}
+    assert set(byk) == {"k1", "k3"}  # tombstone k2 dropped
+    assert byk["k1"]["op"] == "c"
+    assert "magic" in byk["k3"]["__avro_error"]
+    import base64
+    assert base64.b64decode(byk["k3"]["__raw_b64"]) == b"\x07 not wire format"
+
+
+def test_avro_bytes_field_serializes_as_base64(spark):
+    """Debezium precise decimals / BLOBs arrive as Avro bytes — they must
+    survive the JSON re-encode (base64, Debezium's own JSON convention)
+    instead of raising TypeError (review r7)."""
+    import base64
+    schema = {
+        "type": "record", "name": "Blob",
+        "fields": [
+            {"name": "payload", "type": "bytes"},
+            {"name": "op", "type": "string"},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(wire(5, schema, {"payload": b"\x01\x02\xff", "op": "c"}),)],
+        "value binary",
+    )
+    out = avro_to_json(df, {5: json.dumps(schema)}).collect()
+    v = json.loads(out[0]["value"])
+    assert base64.b64decode(v["payload"]) == b"\x01\x02\xff"
+
+
+def test_codec_rejects_corrupt_input():
+    """Corrupt bodies must raise AvroCodecError, never decode silently
+    wrong values (truncated boolean, out-of-range enum, negative string
+    length) or leak struct.error (review r7)."""
+    rec_bool = {"type": "record", "name": "R",
+                "fields": [{"name": "b", "type": "boolean"}]}
+    with pytest.raises(avro_codec.AvroCodecError, match="truncated"):
+        avro_codec.decode(rec_bool, b"")
+    enum = {"type": "enum", "name": "E", "symbols": ["A", "B"]}
+    with pytest.raises(avro_codec.AvroCodecError, match="enum index"):
+        avro_codec.decode(enum, b"\x05")  # zigzag 5 => index -3
+    with pytest.raises(avro_codec.AvroCodecError, match="negative"):
+        avro_codec.decode("string", b"\x01")  # zigzag 1 => length -1
+    with pytest.raises(avro_codec.AvroCodecError, match="truncated"):
+        avro_codec.decode("double", b"\x00\x00")
+    with pytest.raises(avro_codec.AvroCodecError, match="truncated"):
+        avro_codec.decode("bytes", b"\x08abc")  # length 4, 3 bytes left

@@ -303,3 +303,50 @@ def test_http_registry_client_over_real_socket():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_server_side_409_maps_to_incompatible():
+    """A server-side compatibility rejection (HTTP 409/422) must surface
+    as IncompatibleSchemaError — the contract schema_events relies on to
+    keep the connector running — not a raw HTTPError (review r7)."""
+    import pytest
+
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        HttpSchemaRegistryClient,
+        IncompatibleSchemaError,
+    )
+
+    class _Strict(_FakeRegistryServer):
+        def __call__(self, method, url, body):
+            if method == "POST" and self.subjects:
+                err = OSError("409 Conflict: incompatible schema")
+                err.code = 409  # urllib.error.HTTPError duck-type
+                raise err
+            return super().__call__(method, url, body)
+
+    client = HttpSchemaRegistryClient(
+        "http://reg:8081", compatibility="NONE", transport=_Strict()
+    )
+    v1 = T.StructType([T.StructField("a", T.LongType(), False)])
+    v2 = T.StructType([T.StructField("b", T.StringType(), True)])
+    assert client.register("s", v1) == 1
+    # client-side NONE admits v2; the stricter server rejects with 409
+    with pytest.raises(IncompatibleSchemaError, match="409"):
+        client.register("s", v2)
+
+
+def test_store_register_is_atomic_on_disk(tmp_path):
+    """register() must atomically replace the subject file (temp +
+    os.replace) so a crash mid-write can never leave torn JSON that
+    bricks versions() (review r7)."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        SchemaStore,
+    )
+
+    store = SchemaStore(tmp_path, compatibility="BACKWARD")
+    v1 = T.StructType([T.StructField("a", T.LongType(), False)])
+    assert store.register("t", v1) == 1
+    # no temp residue, subject list clean, reload parses
+    assert list(tmp_path.glob("*.tmp")) == []
+    assert store.list_subjects() == ["t"]
+    assert store.latest("t") == v1
