@@ -101,9 +101,23 @@ def watermarked(df: DataFrame, delay: str = "10 minutes") -> DataFrame:
 
 
 def dedup_stream(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
-    """Stateful exact dedup by event_id with bounded state (watermark);
-    batch twin: ``dropDuplicates`` / SELECT DISTINCT."""
-    return watermarked(events, delay).dropDuplicates(["event_id"])
+    """Stateful exact dedup by (event_id, event time) with bounded state.
+
+    The event-time column MUST be in the dedup subset: streaming
+    ``dropDuplicates`` only evicts state for keys whose watermark column
+    is part of the key — dedup on ``["event_id"]`` alone keeps every id
+    ever seen in the state store FOREVER despite the watermark (the
+    exact unbounded-state trap ``dropDuplicatesWithinWatermark`` was
+    added to fix; review r7). With the pair key, state for event times
+    older than the watermark is dropped.
+
+    Semantics: drops exact redeliveries (same id, same event time — the
+    at-least-once case, where duplicates are byte-identical records).
+    The same id at a DIFFERENT event time is treated as a new event.
+    For first-seen-wins dedup across differing timestamps within a lag
+    window, use :func:`dedup_stream_within`. Batch twin:
+    ``dropDuplicates`` / SELECT DISTINCT over the same pair."""
+    return watermarked(events, delay).dropDuplicates(["event_id", "ts_ev"])
 
 
 def interval_join(
@@ -258,6 +272,7 @@ def enrich_via_store(
     out_path: str,
     checkpoint: str,
     how: str = "left",
+    dim_schema=None,
 ):
     """Start a foreachBatch enrichment that re-reads the dimension from a
     :class:`TableStore` at EVERY micro-batch — dimension rows
@@ -270,11 +285,36 @@ def enrich_via_store(
     re-reads the CURRENT dim generation — enrichment is at-least-once
     with latest-dim semantics (the standard contract for slowly-changing
     enrichment; use `read_as_of` inside a custom fn for frozen-dim
-    semantics)."""
+    semantics).
+
+    ``dim_schema`` (StructType): the dimension's row schema, used when
+    the dim table has not materialized yet — batches then append with
+    NULL dim columns, keeping every parquet file in ``out_path`` on ONE
+    schema (without it, pre-dim batches would carry only event columns
+    and a plain read of the output would silently drop the dim columns
+    from them — review r7). Omitted: a batch arriving before the dim
+    exists fails loudly instead of writing a divergent schema."""
+    join_keys = [on] if isinstance(on, str) else list(on)
 
     def _apply(batch: DataFrame, _epoch: int) -> None:
         d = store.read(spark, dim_table)
-        out = batch.join(F.broadcast(d), on, how) if d is not None else batch
+        if d is not None:
+            out = batch.join(F.broadcast(d), on, how)
+        elif dim_schema is not None:
+            out = batch.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in dim_schema.fields
+                    if f.name not in join_keys
+                ],
+            )
+        else:
+            raise ValueError(
+                f"dim table {dim_table!r} not materialized yet — create it "
+                "first or pass dim_schema so pre-dim batches keep a stable "
+                "output schema"
+            )
         out.write.mode("append").parquet(out_path)
 
     return (

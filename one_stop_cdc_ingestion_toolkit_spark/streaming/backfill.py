@@ -95,11 +95,34 @@ class SnapshotBackfill:
         return Path(self.pipeline.spec.sink_dir) / f"_backfill_{self.table}.json"
 
     def _load_done(self) -> int:
-        """Highest applied chunk_id + 1 (0 when none)."""
+        """Highest applied chunk_id + 1 (0 when none).
+
+        Validates the stored plan shape against the CURRENT one: a
+        resume with a different chunk_size (or source) would renumber
+        the chunks, and blindly trusting next_chunk under the new
+        numbering silently skips key ranges while status() reports
+        complete (review r7)."""
         f = self._progress_file()
         if not f.exists():
             return 0
-        return json.loads(f.read_text()).get("next_chunk", 0)
+        doc = json.loads(f.read_text())
+        stored_total = doc.get("total_chunks")
+        stored_pos = doc.get("snapshot_pos")
+        if stored_total is not None and stored_total != len(self.plan()):
+            raise ValueError(
+                f"backfill progress for {self.table!r} was written under a "
+                f"different chunk plan ({stored_total} chunks, now "
+                f"{len(self.plan())}) — resume with the original "
+                "chunk_size/source, or delete the progress file to restart"
+            )
+        if stored_pos is not None and stored_pos != self.snapshot_pos:
+            raise ValueError(
+                f"backfill progress for {self.table!r} was written at "
+                f"snapshot_pos={stored_pos}, now {self.snapshot_pos} — "
+                "a changed arbiter position would merge chunks "
+                "inconsistently; keep it fixed or restart"
+            )
+        return doc.get("next_chunk", 0)
 
     def _save_done(self, next_chunk: int, total: int) -> None:
         self._progress_file().write_text(
@@ -130,6 +153,15 @@ class SnapshotBackfill:
         if self._chunks is not None:
             return self._chunks
         keys = self.source_df.select(F.col(self.chunk_col).alias("k"))
+        # NULL keys would be counted here but silently dropped by every
+        # chunk's lo<=k<=hi range filter — never backfilled while
+        # status() reads complete (review r7). The chunk column is the
+        # primary key (DBLog semantics), so a NULL is a caller error.
+        if keys.filter(F.col("k").isNull()).head() is not None:
+            raise ValueError(
+                f"chunk col {self.chunk_col!r} has NULL values — chunking "
+                "requires a totally-ordered non-null key column"
+            )
         nparts = max(1, self.source_df.rdd.getNumPartitions())
         ranged = keys.repartitionByRange(nparts, "k").withColumn(
             "__pid", F.spark_partition_id()

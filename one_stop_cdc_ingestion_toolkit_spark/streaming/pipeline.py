@@ -197,6 +197,16 @@ class Pipeline:
         spec.validate()
         self.spark = spark
         self.spec = spec
+        # serializes apply_batch across threads: the streaming query's
+        # foreachBatch and a concurrent SnapshotBackfill.step both merge
+        # through this pipeline ("start the stream first, backfill
+        # whenever"), and TableStore's read-pointer → write-gen → flip
+        # sequence is not safe under two unsynchronized writers to the
+        # same table (both would target the same generation dir and one
+        # merge would be silently lost — review r7).
+        import threading
+
+        self._apply_lock = threading.Lock()
         self.store = BucketedTableStore(spec.sink_dir, retain=spec.snapshot_retain)
         self.schemas = SchemaStore(
             Path(spec.sink_dir) / "_schemas", spec.compatibility
@@ -266,7 +276,14 @@ class Pipeline:
         The raw batch is persisted once so per-table decodes (each table
         has its own envelope row schema) re-parse from memory, not from
         the source; each table's decoded slice is persisted across its
-        isEmpty + merge actions."""
+        isEmpty + merge actions. Thread-safe: the whole batch holds
+        ``_apply_lock`` (streaming foreachBatch vs concurrent backfill)."""
+        with self._apply_lock:
+            self._apply_batch_locked(raw, batch_id)
+
+    def _apply_batch_locked(
+        self, raw: DataFrame, batch_id: int | None = None
+    ) -> None:
         # persist the SOURCE batch before ANY action: the tx gate below
         # runs its own actions (boundary collect, buffer writes), and
         # un-persisted each one re-read the source — the r6 soak's
@@ -296,6 +313,13 @@ class Pipeline:
                     apply_schema_changes(self.schemas, ddl_events)
                 )
             data = raw.filter(~is_ddl)
+            # Debezium log-compaction tombstones (tombstones.on.delete,
+            # default true): a (key, NULL) record after every delete.
+            # No envelope to decode and NOT an error — drop them before
+            # the malformed check, as the Avro path does
+            # (sources/debezium.avro_to_json); quarantining them would
+            # make dlq_rows read nonzero on a perfectly healthy stream.
+            data = data.filter(F.col("value").isNotNull())
             # Dead-letter quarantine: records that are not parseable
             # envelopes (broken JSON, missing op/source.table) must not
             # vanish silently — the reference's only diagnosis is grepping
@@ -538,10 +562,15 @@ class Pipeline:
                 )
                 continue
             if is_fact:
+                keys = changes.select(*tspec.key_cols).distinct()
                 jv.on_fact_batch(
                     self.spark,
-                    changes.select(*tspec.key_cols).distinct(),
-                    self.store.read(self.spark, jv.spec.fact),
+                    keys,
+                    # fact side bucket-pruned: on_fact_batch only reads
+                    # the touched keys' post-merge rows (review r7); the
+                    # dim side stays a full read — it is semi-joined to
+                    # the touched join keys inside on_fact_batch
+                    self._bucket_pruned_state(tspec, keys),
                     self.store.read(self.spark, jv.spec.dim),
                     fact_upto,
                     dim_upto,
@@ -569,6 +598,25 @@ class Pipeline:
         view = self.agg_views.get(table)
         return view.read(self.spark) if view is not None else None
 
+    def _bucket_pruned_state(
+        self, tspec: TableSpec, keys: DataFrame
+    ) -> DataFrame | None:
+        """Current table state restricted to the id-hash buckets holding
+        ``keys`` — the O(batch) read for bucketed tables (the documented
+        100 TB maintenance path; a full store.read here made every
+        index/join-view update O(table) per micro-batch, review r7).
+        Whole-table read for snapshot-layout tables."""
+        if tspec.n_buckets and self.store.layout(tspec.name) == "bucketed":
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
+                F.lit(tspec.n_buckets),
+            ).cast("int")
+            affected = sorted(
+                r[0] for r in keys.select(bucket.alias("__b")).distinct().collect()
+            )
+            return self.store.read_buckets(self.spark, tspec.name, affected)
+        return self.store.read(self.spark, tspec.name)
+
     def _update_index(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Fold this batch into the table's dedup index, if configured.
 
@@ -576,15 +624,17 @@ class Pipeline:
         from the just-written store generation, so nothing is
         recomputed): the raw batch's per-key winner can lose to already-
         applied state under cross-batch out-of-order delivery, but the
-        merged state is authoritative. At scale the touched-key read is
-        bucket-pruned (the keys lie in the buckets the merge just
-        rewrote)."""
+        merged state is authoritative. The touched-key read is
+        bucket-pruned (_bucket_pruned_state: the keys lie in the buckets
+        the merge just rewrote)."""
         index = self.indexes.get(tspec.name)
         sindex = self.search_indexes.get(tspec.name)
         if index is None and sindex is None:
             return
         keys = changes.select(*tspec.key_cols).distinct()
-        state = self.store.read(self.spark, tspec.name)
+        state = self._bucket_pruned_state(tspec, keys)
+        if state is None:
+            return
         touched = state.join(keys, tspec.key_cols)
         if index is not None and sindex is not None:
             touched = touched.persist()
@@ -776,7 +826,15 @@ class Pipeline:
 
     def remove(self, drop_data: bool = False) -> None:
         """Teardown with cascade (A17), best-effort idempotent like the
-        reference's `removeMskcConnector` (`bin/mskc-connector.sh:48-63`)."""
+        reference's `removeMskcConnector` (`bin/mskc-connector.sh:48-63`).
+
+        ``drop_data`` cascades over EVERYTHING this pipeline materialized
+        under sink_dir — base tables, DLQ, dedup/search indexes, agg and
+        join views, the schema registry, tx-gate buffers, the epoch log,
+        and backfill progress — so a recreated pipeline on the same
+        sink_dir starts truly clean (stale view generations and old
+        registry versions used to survive and serve/reject against
+        dropped data, review r7)."""
         try:
             self.stop()
         finally:
@@ -792,3 +850,16 @@ class Pipeline:
                     self.store.drop(index.index_table)
                 for sindex in self.search_indexes.values():
                     self.store.drop(sindex.index_table)
+                for av in self.agg_views.values():
+                    self.store.drop(av.view_table)
+                for jv in self.join_views:
+                    self.store.drop(jv.spec.view_table)
+                sink = Path(self.spec.sink_dir)
+                shutil.rmtree(sink / "_schemas", ignore_errors=True)
+                if self.tx_gate is not None:
+                    shutil.rmtree(self.tx_gate.dir, ignore_errors=True)
+                    shutil.rmtree(self.tx_gate.release_root, ignore_errors=True)
+                    Path(self.tx_gate.state_path).unlink(missing_ok=True)
+                (sink / "_EPOCHS").unlink(missing_ok=True)
+                for p in sink.glob("_backfill_*.json"):
+                    p.unlink(missing_ok=True)

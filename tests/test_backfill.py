@@ -139,3 +139,39 @@ def test_backfill_bucketed_table(spark, tmp_path):
         p, "person", _source_df(spark), "firstName", chunk_size=4
     ).run()
     assert _state(p) == _expected()
+
+
+def test_resume_with_changed_plan_rejected(spark, tmp_path):
+    """Resuming a half-done backfill with a different chunk_size (the
+    chunks renumber) must raise, not silently skip key ranges
+    (review r7)."""
+    import pytest
+
+    p = _pipeline(spark, tmp_path, "resume2")
+    src = _source_df(spark)
+    bf1 = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
+    bf1.step()  # apply one chunk, progress file written
+    bf2 = SnapshotBackfill(p, "person", src, "firstName", chunk_size=100)
+    with pytest.raises(ValueError, match="different chunk plan"):
+        bf2.step()
+    # matching plan resumes fine
+    bf3 = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
+    bf3.run()
+    assert bf3.status()["complete"]
+
+
+def test_null_chunk_key_rejected(spark, tmp_path):
+    """NULL values in the chunk column would silently escape every
+    chunk's range filter — plan() must reject them (review r7)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    p = _pipeline(spark, tmp_path, "nullkey")
+    src = _source_df(spark).withColumn(
+        "firstName",
+        F.when(F.col("age") % 2 == 0, F.col("firstName")),
+    )
+    bf = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
+    with pytest.raises(ValueError, match="NULL"):
+        bf.plan()

@@ -173,3 +173,39 @@ def test_replay_still_bad_records_stay(spark, tmp_path):
     pipe.stop()
     assert pipe.read_dlq().count() == len(BROKEN)
     assert _state(pipe.read_table("person")) == GOLDEN_STATE
+
+
+def test_tombstones_dropped_not_quarantined(spark, tmp_path):
+    """Debezium log-compaction tombstones — (key, NULL) records after a
+    delete — carry no envelope and are NOT errors: they must be dropped,
+    not DLQ'd (dlq_rows would read nonzero on a healthy stream —
+    review r7)."""
+    spec = _spec(tmp_path)
+    tombstones = [{"key": "alice", "value": None}, {"key": "bob", "value": None}]
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS + tombstones, files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.stop()
+    assert _state(pipe.read_table("person")) == GOLDEN_STATE
+    dlq = pipe.read_dlq()
+    assert dlq is None or dlq.count() == 0
+
+
+def test_remove_drop_data_cascades_everything(spark, tmp_path):
+    """remove(drop_data=True) must leave sink_dir with no stale engine
+    state: schema registry, epoch log, and view/index tables all go —
+    a recreated pipeline on the same sink_dir starts clean (review r7)."""
+    import pathlib
+
+    spec = _spec(tmp_path)
+    write_stream_files(spec.source_dir, CANONICAL_EVENTS, files=1)
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    pipe.remove(drop_data=True)
+    sink = pathlib.Path(spec.sink_dir)
+    assert not (sink / "_schemas").exists()
+    assert not (sink / "_EPOCHS").exists()
+    assert not (sink / "person").exists()
+    # recreate on the same sink_dir: clean start, no stale registry
+    pipe2 = Pipeline(spark, spec)
+    assert pipe2.schemas.list_subjects() == []
