@@ -56,16 +56,27 @@ class AggView:
 
     def applied_upto(self) -> int | None:
         """How many base-table pointer states the view reflects (None =
-        never built)."""
+        never built). A torn/unparseable meta file reads as None so the
+        sync check repairs by REBUILD instead of crash-looping on
+        JSONDecodeError every replayed batch (review r7)."""
         f = self._meta_file()
         if not f.exists():
             return None
-        return json.loads(f.read_text())["applied_upto"]
+        try:
+            return json.loads(f.read_text())["applied_upto"]
+        except (json.JSONDecodeError, KeyError):
+            return None
 
     def _record(self, applied_upto: int) -> None:
+        # atomic replace, like the TableStore pointer flip — a crash mid
+        # write_text left torn JSON (review r7)
+        import os
+
         f = self._meta_file()
         f.parent.mkdir(parents=True, exist_ok=True)
-        f.write_text(json.dumps({"applied_upto": applied_upto}))
+        tmp = f.with_name("_VIEW_BASE.tmp")
+        tmp.write_text(json.dumps({"applied_upto": applied_upto}))
+        os.replace(tmp, f)
 
     # -- delta computation -------------------------------------------------
 
@@ -104,14 +115,28 @@ class AggView:
             merged = delta
         else:
             d = delta.select(
-                *self.group_cols,
+                *[F.col(g).alias(f"__g_{g}") for g in self.group_cols],
                 F.col("n").alias("__dn"),
                 *[F.col(f"sum_{c}").alias(f"__ds_{c}") for c in self.sum_cols],
             )
+            # NULL-SAFE join on the group keys: a NULL group (nullable
+            # group column) must match its own view row — a plain
+            # column-list join never matches NULL to NULL, so the NULL
+            # group duplicated one row per batch (review r7)
+            cond = reduce(
+                lambda p, q: p & q,
+                [
+                    view[g].eqNullSafe(d[f"__g_{g}"])
+                    for g in self.group_cols
+                ],
+            )
             merged = (
-                view.join(d, self.group_cols, "full_outer")
+                view.join(d, cond, "full_outer")
                 .select(
-                    *self.group_cols,
+                    *[
+                        F.coalesce(view[g], d[f"__g_{g}"]).alias(g)
+                        for g in self.group_cols
+                    ],
                     (
                         F.coalesce(F.col("n"), F.lit(0))
                         + F.coalesce(F.col("__dn"), F.lit(0))
@@ -179,15 +204,28 @@ def recompute_reference(
     live = state.filter(~F.col("__deleted")) if "__deleted" in state.columns else state
     return live.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(c).cast("double").alias(f"sum_{c}") for c in sum_cols],
+        # coalesce to 0.0 like _contrib: a group whose sum column is
+        # all-NULL reads 0.0 on the incremental side — the twin must
+        # agree or views_equal reports a spurious mismatch (review r7)
+        *[
+            F.coalesce(F.sum(c).cast("double"), F.lit(0.0)).alias(f"sum_{c}")
+            for c in sum_cols
+        ],
     )
 
 
 def views_equal(a: DataFrame, b: DataFrame, group_cols: list[str], tol: float = 1e-6) -> bool:
     """Order-insensitive equality with float tolerance on sums (repeated
-    incremental +/- on doubles accumulates representation error)."""
+    incremental +/- on doubles accumulates representation error).
+    Null-safe group join: a NULL group must compare against its own twin
+    row, not read as two unmatched rows (review r7)."""
     ac = [c for c in a.columns]
-    j = a.alias("a").join(b.alias("b"), group_cols, "full_outer")
+    aa, bb = a.alias("a"), b.alias("b")
+    cond = reduce(
+        lambda p, q: p & q,
+        [F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")) for g in group_cols],
+    )
+    j = aa.join(bb, cond, "full_outer")
     checks = []
     for c in ac:
         if c in group_cols:
@@ -196,8 +234,13 @@ def views_equal(a: DataFrame, b: DataFrame, group_cols: list[str], tol: float = 
         if c == "n":
             checks.append(x.eqNullSafe(y))
         else:
+            # a group missing on one side entirely is caught by the n
+            # check; for sums, NULL and 0.0 are the same contribution
             checks.append(
-                x.isNotNull() & y.isNotNull() & (F.abs(x - y) < F.lit(tol))
+                F.abs(
+                    F.coalesce(x, F.lit(0.0)) - F.coalesce(y, F.lit(0.0))
+                )
+                < F.lit(tol)
             )
     bad = j.filter(~reduce(lambda p, q: p & q, checks))
     return bad.isEmpty()

@@ -34,6 +34,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
     minhash_band_rows,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.text import fingerprint
+from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import key_bucket
 
 
 class DedupIndex:
@@ -62,7 +63,7 @@ class DedupIndex:
         self.n_buckets = n_buckets
 
     def _bucket_of(self, col: F.Column) -> F.Column:
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+        return key_bucket(self.n_buckets, col)
 
     # -- maintenance -------------------------------------------------------
 
@@ -97,14 +98,21 @@ class DedupIndex:
         )
         return bands.select("id", "fp", "band_idx", "band_sig")
 
-    def update(self, spark: SparkSession, touched_state: DataFrame) -> None:
+    def update(
+        self,
+        spark: SparkSession,
+        touched_state: DataFrame,
+        affected: list[int] | None = None,
+    ) -> None:
         """Fold one micro-batch into the index.
 
         ``touched_state`` is the post-merge state restricted to the keys
         the batch touched: data columns plus ``__deleted``. Touched ids
         are dropped from the index and live rows re-inserted — O(batch)
         fingerprint work + one index rewrite (bucketable exactly like the
-        data table at scale)."""
+        data table at scale). ``affected``: the touched ids' bucket list
+        when the caller already collected it (same ids, same key_bucket
+        hash); None collects it here (review r7)."""
         touched = touched_state.select(
             F.col(self.id_col).alias("id"), self.text_col, "__deleted"
         )
@@ -117,10 +125,15 @@ class DedupIndex:
         if self.n_buckets:
             # bucketed path: read/rewrite ONLY the id-hash buckets this
             # batch touches (collect bounded by n_buckets, never rows).
-            gone = gone.withColumn("__bucket", self._bucket_of(F.col("id")))
-            affected = sorted(
-                r[0] for r in gone.select("__bucket").distinct().collect()
-            )
+            if affected is None:
+                affected = sorted(
+                    r[0]
+                    for r in gone.select(
+                        self._bucket_of(F.col("id")).alias("__b")
+                    )
+                    .distinct()
+                    .collect()
+                )
             current = self.store.read_buckets(spark, self.index_table, affected)
             new = fresh
             if current is not None:

@@ -65,7 +65,14 @@ class JoinViewSpec:
 class JoinView:
     """One standing fact⟕dim view, maintained from the change stream."""
 
-    def __init__(self, store, spec: JoinViewSpec, fact_keys: list[str], dim_key: str):
+    def __init__(
+        self,
+        store,
+        spec: JoinViewSpec,
+        fact_keys: list[str],
+        dim_key: str,
+        dim_schema=None,
+    ):
         self.store = store
         self.spec = spec
         self.fact_keys = fact_keys
@@ -73,6 +80,15 @@ class JoinView:
         # view column names for the dim attributes (prefixed: a dim
         # attribute may collide with a fact column name)
         self.view_dim_cols = {c: f"{spec.dim}__{c}" for c in spec.dim_cols}
+        # declared dim types: the no-dim-yet branch of _join_dim must
+        # emit TYPED null columns — an untyped F.lit(None) is NullType,
+        # which the parquet writer rejects, crashing the first view
+        # materialization before any dim row exists (review r7)
+        self.dim_types = (
+            {f.name: f.dataType for f in dim_schema.fields}
+            if dim_schema is not None
+            else {}
+        )
 
     # -- consistency metadata ---------------------------------------------
 
@@ -80,15 +96,25 @@ class JoinView:
         return self.store.root / self.spec.view_table / "_VIEW_BASE"
 
     def applied_upto(self) -> dict | None:
+        """Torn/unparseable meta reads as None → the sync check repairs
+        by rebuild instead of crash-looping (review r7)."""
         f = self._meta_file()
         if not f.exists():
             return None
-        return json.loads(f.read_text())
+        try:
+            return json.loads(f.read_text())
+        except json.JSONDecodeError:
+            return None
 
     def _record(self, fact_upto: int, dim_upto: int) -> None:
+        # atomic replace like the TableStore pointer flip (review r7)
+        import os
+
         f = self._meta_file()
         f.parent.mkdir(parents=True, exist_ok=True)
-        f.write_text(json.dumps({"fact_upto": fact_upto, "dim_upto": dim_upto}))
+        tmp = f.with_name("_VIEW_BASE.tmp")
+        tmp.write_text(json.dumps({"fact_upto": fact_upto, "dim_upto": dim_upto}))
+        os.replace(tmp, f)
 
     def in_sync(self, fact_upto: int, dim_upto: int) -> bool:
         meta = self.applied_upto()
@@ -105,14 +131,20 @@ class JoinView:
             return None
         if "__deleted" in state.columns:
             state = state.filter(~F.col("__deleted"))
-        return state.drop("__deleted", "__pos", "__ts_ms")
+        # __bucket is the bucketed store's internal partition column
+        # (read_buckets / _bucket_pruned_state) — leaking it into the
+        # materialized view exposes a spurious column and breaks the
+        # union with a view built pre-migration (review r7)
+        return state.drop("__deleted", "__pos", "__ts_ms", "__bucket")
 
     def _join_dim(self, fact_rows: DataFrame, dim_live: DataFrame | None) -> DataFrame:
         """fact rows ⟕ dim attributes (prefixed), NULL when unmatched."""
         if dim_live is None:
             out = fact_rows
             for c, vc in self.view_dim_cols.items():
-                out = out.withColumn(vc, F.lit(None))
+                out = out.withColumn(
+                    vc, F.lit(None).cast(self.dim_types.get(c) or "string")
+                )
             return out
         d = dim_live.select(
             F.col(self.dim_key).alias(self.spec.join_col),
@@ -170,9 +202,14 @@ class JoinView:
         if view is None:
             merged = fresh
         else:
+            # allowMissingColumns: after a DDL adds a fact column, fresh
+            # carries it but the stored view does not (yet) — a strict
+            # union crashed the batch once per schema evolution; the old
+            # view rows read NULL for the new column until touched
+            # (review r7)
             merged = view.join(
                 touched_keys, self.fact_keys, "left_anti"
-            ).unionByName(fresh)
+            ).unionByName(fresh, allowMissingColumns=True)
         self.store.write(merged, self.spec.view_table)
         self._record(fact_upto, dim_upto)
 
@@ -206,7 +243,10 @@ class JoinView:
                 self.dim_key,
             ))
         )
-        self.store.write(unaffected.unionByName(refreshed), self.spec.view_table)
+        self.store.write(
+            unaffected.unionByName(refreshed, allowMissingColumns=True),
+            self.spec.view_table,
+        )
         self._record(fact_upto, dim_upto)
 
     # -- query side --------------------------------------------------------
@@ -220,6 +260,7 @@ def recompute_reference(
     dim_state: DataFrame | None,
     spec: JoinViewSpec,
     dim_key: str,
+    dim_schema=None,
 ) -> DataFrame | None:
     """Batch recompute twin used by tests: what the view must equal."""
     if fact_state is None:
@@ -227,9 +268,16 @@ def recompute_reference(
     fact_live = JoinView._live(fact_state)
     dim_live = JoinView._live(dim_state)
     if dim_live is None:
+        types = (
+            {f.name: f.dataType for f in dim_schema.fields}
+            if dim_schema is not None
+            else {}
+        )
         out = fact_live
         for c in spec.dim_cols:
-            out = out.withColumn(f"{spec.dim}__{c}", F.lit(None))
+            out = out.withColumn(
+                f"{spec.dim}__{c}", F.lit(None).cast(types.get(c) or "string")
+            )
         return out
     d = dim_live.select(
         F.col(dim_key).alias(spec.join_col),

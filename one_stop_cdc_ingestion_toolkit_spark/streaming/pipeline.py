@@ -54,6 +54,7 @@ from one_stop_cdc_ingestion_toolkit_spark.streaming.search_index import SearchIn
 from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import SchemaStore
 from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
     BucketedTableStore,
+    key_bucket,
 )
 
 #: Reserved lake table holding quarantined (malformed) source records.
@@ -263,6 +264,7 @@ class Pipeline:
                 jv,
                 _by_name[jv.fact].key_cols,
                 _by_name[jv.dim].key_cols[0],
+                dim_schema=_by_name[jv.dim].row_schema,
             )
             for jv in spec.join_views
         ]
@@ -563,14 +565,15 @@ class Pipeline:
                 continue
             if is_fact:
                 keys = changes.select(*tspec.key_cols).distinct()
+                # fact side bucket-pruned: on_fact_batch only reads the
+                # touched keys' post-merge rows (review r7); the dim
+                # side stays a full read — it is semi-joined to the
+                # touched join keys inside on_fact_batch
+                fact_state, _ = self._bucket_pruned_state(tspec, keys)
                 jv.on_fact_batch(
                     self.spark,
                     keys,
-                    # fact side bucket-pruned: on_fact_batch only reads
-                    # the touched keys' post-merge rows (review r7); the
-                    # dim side stays a full read — it is semi-joined to
-                    # the touched join keys inside on_fact_batch
-                    self._bucket_pruned_state(tspec, keys),
+                    fact_state,
                     self.store.read(self.spark, jv.spec.dim),
                     fact_upto,
                     dim_upto,
@@ -600,22 +603,27 @@ class Pipeline:
 
     def _bucket_pruned_state(
         self, tspec: TableSpec, keys: DataFrame
-    ) -> DataFrame | None:
-        """Current table state restricted to the id-hash buckets holding
-        ``keys`` — the O(batch) read for bucketed tables (the documented
-        100 TB maintenance path; a full store.read here made every
-        index/join-view update O(table) per micro-batch, review r7).
-        Whole-table read for snapshot-layout tables."""
+    ) -> tuple[DataFrame | None, list[int] | None]:
+        """(state, affected_buckets): current table state restricted to
+        the id-hash buckets holding ``keys`` — the O(batch) read for
+        bucketed tables (the documented 100 TB maintenance path; a full
+        store.read here made every index/join-view update O(table) per
+        micro-batch, review r7). Whole-table read (and None buckets) for
+        snapshot-layout tables. The bucket list is returned so downstream
+        index maintenance reuses it instead of re-collecting it from the
+        same ids with the same hash."""
         if tspec.n_buckets and self.store.layout(tspec.name) == "bucketed":
-            bucket = F.pmod(
-                F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
-                F.lit(tspec.n_buckets),
-            ).cast("int")
+            bucket = key_bucket(
+                tspec.n_buckets, *[F.col(k) for k in tspec.key_cols]
+            )
             affected = sorted(
                 r[0] for r in keys.select(bucket.alias("__b")).distinct().collect()
             )
-            return self.store.read_buckets(self.spark, tspec.name, affected)
-        return self.store.read(self.spark, tspec.name)
+            return (
+                self.store.read_buckets(self.spark, tspec.name, affected),
+                affected,
+            )
+        return self.store.read(self.spark, tspec.name), None
 
     def _update_index(self, tspec: TableSpec, changes: DataFrame) -> None:
         """Fold this batch into the table's dedup index, if configured.
@@ -632,7 +640,7 @@ class Pipeline:
         if index is None and sindex is None:
             return
         keys = changes.select(*tspec.key_cols).distinct()
-        state = self._bucket_pruned_state(tspec, keys)
+        state, affected = self._bucket_pruned_state(tspec, keys)
         if state is None:
             return
         touched = state.join(keys, tspec.key_cols)
@@ -640,9 +648,9 @@ class Pipeline:
             touched = touched.persist()
         try:
             if index is not None:
-                index.update(self.spark, touched)
+                index.update(self.spark, touched, affected=affected)
             if sindex is not None:
-                sindex.update(self.spark, touched)
+                sindex.update(self.spark, touched, affected=affected)
         finally:
             if index is not None and sindex is not None:
                 touched.unpersist()
@@ -654,10 +662,9 @@ class Pipeline:
         (computed against the touched buckets' prior state — already the
         O(batch) slice) for apply_batch to fold in after the write."""
         def bucket_of(df: DataFrame) -> F.Column:
-            return F.pmod(
-                F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
-                F.lit(tspec.n_buckets),
-            ).cast("int")
+            return key_bucket(
+                tspec.n_buckets, *[F.col(k) for k in tspec.key_cols]
+            )
 
         changes = changes.withColumn("__bucket", bucket_of(changes)).persist()
         try:
@@ -706,10 +713,9 @@ class Pipeline:
                 continue
             new = expire_tombstones(state, min_pos)
             if self.store.layout(tspec.name) == "bucketed":
-                bucket = F.pmod(
-                    F.xxhash64(*[F.col(k) for k in tspec.key_cols]),
-                    F.lit(tspec.n_buckets),
-                ).cast("int")
+                bucket = key_bucket(
+                    tspec.n_buckets, *[F.col(k) for k in tspec.key_cols]
+                )
                 affected = sorted(self.store.bucket_map(tspec.name))
                 self.store.write_buckets(
                     new.withColumn("__bucket", bucket), tspec.name, affected

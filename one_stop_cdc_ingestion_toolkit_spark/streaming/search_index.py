@@ -36,6 +36,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.retrieval import (
     bm25_partial,
     tokenize,
 )
+from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import key_bucket
 
 
 class SearchIndex:
@@ -57,15 +58,24 @@ class SearchIndex:
         self.n_buckets = n_buckets
 
     def _bucket_of(self, col: F.Column) -> F.Column:
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+        return key_bucket(self.n_buckets, col)
 
     # -- maintenance -------------------------------------------------------
 
     def _index_rows(self, docs: DataFrame) -> DataFrame:
-        """Term rows + doc rows for the given (id, text) documents."""
+        """Term rows + doc rows for the given (id, text) documents.
+
+        NULL text coalesces to an empty token array: ``size(NULL)`` is
+        -1, which would otherwise flow into a doc row's dl and silently
+        bias the corpus stats (N counts the doc, sum(dl) absorbs −1)
+        for every BM25 query (review r7). A NULL-text doc indexes like
+        an empty one: present in N, dl = 0, no term rows."""
         words = docs.select(
             F.col(self.id_col).alias("id"),
-            tokenize(F.col(self.text_col)).alias("words"),
+            F.coalesce(
+                tokenize(F.col(self.text_col)),
+                F.array().cast("array<string>"),
+            ).alias("words"),
         )
         term_rows = (
             words.select("id", F.size("words").alias("dl"), F.explode("words").alias("term"))
@@ -83,10 +93,18 @@ class SearchIndex:
             doc_rows
         )
 
-    def update(self, spark: SparkSession, touched_state: DataFrame) -> None:
+    def update(
+        self,
+        spark: SparkSession,
+        touched_state: DataFrame,
+        affected: list[int] | None = None,
+    ) -> None:
         """Fold one micro-batch into the index (same shape as
         DedupIndex.update: anti-join out touched ids, re-insert live
-        rows; bucketed layout rewrites only touched id-hash buckets)."""
+        rows; bucketed layout rewrites only touched id-hash buckets).
+        ``affected``: the touched ids' bucket list when the caller
+        already collected it (pipeline._bucket_pruned_state — same ids,
+        same key_bucket hash); None collects it here (review r7)."""
         touched = touched_state.select(
             F.col(self.id_col).alias("id"), self.text_col, "__deleted"
         )
@@ -97,10 +115,15 @@ class SearchIndex:
         )
         gone = touched.select("id")
         if self.n_buckets:
-            gone = gone.withColumn("__bucket", self._bucket_of(F.col("id")))
-            affected = sorted(
-                r[0] for r in gone.select("__bucket").distinct().collect()
-            )
+            if affected is None:
+                affected = sorted(
+                    r[0]
+                    for r in gone.select(
+                        self._bucket_of(F.col("id")).alias("__b")
+                    )
+                    .distinct()
+                    .collect()
+                )
             current = self.store.read_buckets(spark, self.index_table, affected)
             new = fresh
             if current is not None:

@@ -21,7 +21,20 @@ import json
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def key_bucket(n_buckets: int, *cols) -> Column:
+    """THE key→bucket hash: ``pmod(xxhash64(cols...), n)`` as int.
+
+    Bucket pruning is only correct because every module — the pipeline's
+    merge and pruned maintenance reads, the dedup/search indexes,
+    tombstone GC — agrees on this exact function; a drifted copy would
+    silently mis-prune buckets and drop rows from reads (review r7).
+    Keep every call site on this single definition."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
 
 class TableStore:

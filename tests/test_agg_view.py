@@ -235,3 +235,33 @@ def test_spec_validation(tmp_path):
             sink_dir=str(tmp_path / "lake"),
             checkpoint_dir=str(tmp_path / "ckpt"),
         ).validate()
+
+
+def test_null_group_key_does_not_duplicate(spark, tmp_path):
+    """A NULL group key must fold into ONE view row across batches: the
+    merge join is null-safe (a plain column-list join never matches NULL
+    to NULL, so the NULL group used to gain a duplicate row per batch —
+    review r7)."""
+    spec = _spec(tmp_path)
+    write_stream_files(
+        spec.source_dir,
+        [
+            envelope("c", 1, after=person("a", None, 10)),
+            envelope("c", 2, after=person("b", None, 20)),
+        ],
+        files=1,
+    )
+    pipe = Pipeline(spark, spec)
+    pipe.process_available()
+    _append_batch(
+        spec.source_dir,
+        [envelope("c", 3, after=person("c", None, 30))],
+        "b2.json",
+    )
+    pipe.process_available()
+    pipe.stop()
+    view = pipe.agg_views["person"].read(spark)
+    null_rows = view.filter("lastName IS NULL").collect()
+    assert len(null_rows) == 1, null_rows
+    assert null_rows[0]["n"] == 3 and null_rows[0]["sum_age"] == 60.0
+    _assert_view_equals_recompute(spark, pipe)

@@ -278,3 +278,29 @@ def test_view_status_reports_sync(spark, tmp_path):
     # next batch repairs
     pipe.apply_batch(_raw(spark, [order_env("c", 3, 2, "ann", 20)]))
     assert pipe.view_status() == {"joinview:orders⟕customer": True}
+
+
+def test_view_materializes_before_dim_exists(spark, tmp_path):
+    """A first batch containing ONLY fact changes must materialize the
+    view with typed NULL dim columns — an untyped lit(None) is NullType,
+    which the parquet writer rejects (the batch used to crash until a
+    dim row arrived — review r7)."""
+    spec = _spec(tmp_path)
+    pipe = Pipeline(spark, spec)
+    pipe.apply_batch(_raw(spark, [
+        order_env("c", 1, 1, "alice", 10),
+        order_env("c", 2, 2, "bob", 20),
+    ]))
+    view = pipe.read_join_view("orders", "customer")
+    got = _rows(view)
+    assert got == {(1, "alice", 10, None, None), (2, "bob", 20, None, None)}
+    # dim types declared, not NullType
+    types = dict(view.dtypes)
+    assert types["customer__tier"] == "string"
+    # the dim arriving later fills the columns in
+    pipe.apply_batch(_raw(spark, [cust_env("c", 3, "alice", "gold", "emea")]))
+    assert _rows(pipe.read_join_view("orders", "customer")) == {
+        (1, "alice", 10, "gold", "emea"),
+        (2, "bob", 20, None, None),
+    }
+    assert _rows(pipe.read_join_view("orders", "customer")) == _expect(pipe)
