@@ -37,6 +37,21 @@ from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
 )
 
 
+
+def _register_store_views(spark, store, snapshot) -> None:
+    """Register every store table as a temp view for the sql/explain
+    verbs. Derived tables (__aggview, __search_idx, _dlq, join views)
+    have no CDC meta columns — snapshot() unconditionally filtering
+    __deleted crashed the verbs on any store with an index/view/DLQ
+    (review r7)."""
+    for t in store.list_tables():
+        df = store.read(spark, t)
+        if df is None:
+            continue
+        if "__deleted" in df.columns:
+            df = snapshot(df)
+        df.createOrReplaceTempView(t)
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="osci-spark")
     ap.add_argument("--registry", default="pipelines.json")
@@ -352,6 +367,14 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{spec.name}: RUNNING")
                 while pipe.query.isActive:  # monitor loop (A16)
                     time.sleep(1)
+                # a dead stream must NOT read as a clean shutdown —
+                # surface the exception and a nonzero exit so a
+                # supervisor restarts it (review r7)
+                exc = pipe.query.exception()
+                if exc is not None:
+                    print(f"{spec.name}: FAILED: {exc}", file=sys.stderr)
+                    return 1
+                print(f"{spec.name}: stopped")
         elif args.verb == "pipeline-status":
             print(json.dumps(pipe.status(), default=str))
         else:
@@ -499,8 +522,7 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_session("osci-spark")
         store = BucketedTableStore(args.sink_dir)
-        for t in store.list_tables():
-            snapshot(store.read(spark, t)).createOrReplaceTempView(t)
+        _register_store_views(spark, store, snapshot)
         spark.sql(args.query).explain("formatted")
         return 0
 
@@ -521,15 +543,22 @@ def main(argv: list[str] | None = None) -> int:
         register_udtfs(spark)
         store = BucketedTableStore(args.sink_dir)
         if args.epoch is not None:
-            views = store.read_epoch(spark, args.epoch)
+            try:
+                views = store.read_epoch(spark, args.epoch)
+            except ValueError as exc:  # pruned generation
+                print(str(exc), file=sys.stderr)
+                return 1
             if views is None:
                 print(f"no such epoch: {args.epoch}", file=sys.stderr)
                 return 1
             for t, df in views.items():
-                snapshot(df).createOrReplaceTempView(t)
+                if df is None:  # empty bucketed state at that epoch
+                    continue
+                if "__deleted" in df.columns:
+                    df = snapshot(df)
+                df.createOrReplaceTempView(t)
         else:
-            for t in store.list_tables():
-                snapshot(store.read(spark, t)).createOrReplaceTempView(t)
+            _register_store_views(spark, store, snapshot)
         spark.sql(args.query).show(100, truncate=False)
         return 0
 

@@ -114,8 +114,15 @@ class ChangelogBatchReader(DataSourceReader):
             raise ValueError("changelog source requires a path")
 
     def partitions(self) -> Sequence[InputPartition]:
+        # to-EOF sentinel: _read_slice's `i >= end_line` bound never
+        # fires, so the executors just read each file to its end — the
+        # driver does NOT stream every byte at planning time to count
+        # lines (that made planning latency scale with data size,
+        # review r7). Only the stream reader needs exact counts.
+        import sys
+
         return [
-            _Slice(f, 0, _count_lines(f)) for f in _segments(self.path)
+            _Slice(f, 0, sys.maxsize) for f in _segments(self.path)
         ] or [_Slice("", 0, 0)]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
@@ -148,7 +155,23 @@ class ChangelogStreamReader(DataSourceStreamReader):
         #: append-once contract: cache (file -> line count) forever.
         self._sizes: dict[str, int] = {}
         #: high-water mark of any batch end this reader has planned.
-        self._planned = 0
+        #: Seeded from the commit sidecar: after a CLEAN stop (every
+        #: batch committed, so no replay re-syncs it via partitions()),
+        #: a fresh reader starting at 0 would make latestOffset REGRESS
+        #: below the checkpointed offset and replay consumed records
+        #: (review r7). One stream per directory, like the checkpoint.
+        self._planned = self._read_committed()
+
+    def _commit_file(self) -> str:
+        # underscore prefix: invisible to _segments' listing
+        return os.path.join(self.path, "_changelog_committed")
+
+    def _read_committed(self) -> int:
+        try:
+            with open(self._commit_file(), encoding="utf-8") as f:
+                return int(json.load(f)["total"])
+        except (OSError, ValueError, KeyError):
+            return 0
 
     def _refresh(self) -> list[tuple[str, int]]:
         """(file, lines) in replay order; scans only unseen files."""
@@ -190,8 +213,17 @@ class ChangelogStreamReader(DataSourceStreamReader):
             return iter(())
         return _read_slice(partition)
 
-    def commit(self, end: dict) -> None:  # noqa: D102 — nothing to release
-        pass
+    def commit(self, end: dict) -> None:
+        """Persist the committed offset (atomic replace) so a restarted
+        reader's cap base starts at the stream's true position instead
+        of 0 — see __init__."""
+        tmp = self._commit_file() + ".tmp"
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"total": int(end["total"])}, f)
+            os.replace(tmp, self._commit_file())
+        except OSError:
+            pass  # advisory state: worst case is the old regression risk
 
 
 class _Written(WriterCommitMessage):
@@ -289,6 +321,32 @@ class ChangelogStreamWriter(DataSourceStreamWriter):
         return _write_task(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        # Append-only guard (review r7): a reader's offset mapping is
+        # the filename-sorted line concatenation, so a new segment must
+        # sort AFTER every existing one. Stream names ('b…') sort before
+        # batch-load names ('load2-…'/'load-…') — if a batch load landed
+        # in this directory after the stream started, committing would
+        # silently reorder history under any reader (records re-emitted
+        # and an equal number skipped). Fail loudly instead; segments
+        # from THIS stream (own 'b…' pattern) are exempt — replayed
+        # batches legitimately sort before later committed ones.
+        import re
+
+        first = f"b{batchId:010d}-0000.json"
+        own = re.compile(r"^b\d{10}-\d{4}\.json$")
+        foreign = [
+            n
+            for n in (os.path.basename(p) for p in _segments(self.path))
+            if n > first and not own.match(n)
+        ]
+        if foreign:
+            raise ValueError(
+                f"changelog dir {self.path!r} holds non-stream segments "
+                f"that sort after this batch's name ({foreign[:3]}…): "
+                "appending would reorder the reader's offset mapping — "
+                "stream into a fresh directory, or batch-load into a "
+                "different one"
+            )
         for i, m in enumerate(messages):
             if m is None or m.rows == 0:
                 _abort_task([m])

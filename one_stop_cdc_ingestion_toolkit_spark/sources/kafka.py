@@ -47,12 +47,22 @@ def kafka_available(spark: SparkSession) -> bool:
     """
     try:
         jvm = spark._jvm
-        jvm.java.lang.Class.forName(
-            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        # Utils.classForName resolves with Spark's session classloader —
+        # java.lang.Class.forName used py4j's caller loader and returned
+        # False for connectors added via --packages/spark.jars even
+        # though format("kafka") worked (review r7)
+        jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider", True, False
         )
         return True
     except Exception:  # noqa: BLE001
-        return False
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+            )
+            return True
+        except Exception:  # noqa: BLE001
+            return False
 
 
 def kafka_reader(

@@ -47,8 +47,12 @@ TYPE_MAP: dict[str, T.DataType] = {
 def column_to_field(col: dict) -> T.StructField:
     type_name = col["typeName"].upper()
     if type_name == "DECIMAL":
+        # `or` both attributes: Debezium serializes UNSET attributes as
+        # explicit nulls, so .get(key, default) returns None when the
+        # key is present — DecimalType(None, 0) is a broken schema that
+        # escapes apply_schema_changes' error handling (review r7)
         dtype: T.DataType = T.DecimalType(
-            col.get("length", 10), col.get("scale") or 0
+            col.get("length") or 10, col.get("scale") or 0
         )
     else:
         dtype = TYPE_MAP.get(type_name, T.StringType())

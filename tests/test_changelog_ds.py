@@ -270,3 +270,51 @@ def test_batch_loads_sort_after_existing_segments(spark, tmp_path):
     # replay order: first load's record precedes the second's
     back = spark.read.format("changelog").load(path).collect()
     assert [r["key"] for r in back] == ["k1", "k2"]
+
+
+def test_stream_reader_cap_base_survives_restart(tmp_path):
+    """After a clean stop (all batches committed), a fresh reader's cap
+    base must start at the committed offset — a base of 0 made
+    latestOffset REGRESS below the checkpoint and replay consumed
+    records (review r7)."""
+    from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+        ChangelogStreamReader,
+    )
+
+    d = tmp_path / "log"
+    d.mkdir()
+    for i in range(3):
+        (d / f"seg{i}.json").write_text(
+            "".join(json.dumps({"key": str(j), "value": "x"}) + "\n"
+                    for j in range(10))
+        )
+    opts = {"path": str(d), "maxRecordsPerBatch": "10"}
+    r1 = ChangelogStreamReader(opts)
+    assert r1.latestOffset() == {"total": 10}
+    r1.commit({"total": 10})
+    # restart: fresh reader, same directory — the first trigger plans
+    # from the committed base (10), not from 0, and the cap still
+    # limits the step to committed + 10
+    r2 = ChangelogStreamReader(opts)
+    assert r2.latestOffset() == {"total": 20}
+
+
+def test_stream_writer_refuses_reordering_commit(tmp_path):
+    """A batch-load segment sorting after the stream's names would
+    silently shift every reader's offset mapping — the stream writer
+    must refuse the commit loudly (review r7)."""
+    from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+        ChangelogStreamWriter,
+        _Written,
+    )
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "load2-000000000001-abcd-0000.json").write_text(
+        json.dumps({"key": "k", "value": "v"}) + "\n"
+    )
+    tmp = d / ".tmp-x"
+    tmp.write_text(json.dumps({"key": "k2", "value": "v2"}) + "\n")
+    w = ChangelogStreamWriter({"path": str(d)})
+    with pytest.raises(ValueError, match="reorder"):
+        w.commit([_Written(str(tmp), 1)], 0)
