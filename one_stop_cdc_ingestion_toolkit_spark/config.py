@@ -21,6 +21,13 @@ import re
 from pathlib import Path
 
 _PLACEHOLDER = re.compile(r"\$\{(env|file):([^}:]+)(?::([^}]+))?\}")
+#: any provider-shaped placeholder — used AFTER substitution to catch
+#: providers this engine does not implement (e.g. the reference's
+#: ``${secretsmanager:...}``): the module contract says unresolvable
+#: placeholders RAISE, and an unknown provider passing through as
+#: literal text was exactly the silent-password failure the contract
+#: forbids (review r7)
+_ANY_PLACEHOLDER = re.compile(r"\$\{\w+:[^}]*\}")
 
 
 class UnresolvedSecretError(Exception):
@@ -41,7 +48,14 @@ def resolve_value(value: str) -> str:
             raise UnresolvedSecretError(f"key {key!r} not in credentials file {name}")
         return str(doc[key])
 
-    return _PLACEHOLDER.sub(_sub, value)
+    out = _PLACEHOLDER.sub(_sub, value)
+    leftover = _ANY_PLACEHOLDER.search(out)
+    if leftover:
+        raise UnresolvedSecretError(
+            f"unsupported secret provider in {leftover.group(0)!r} — "
+            "this engine resolves ${env:...} and ${file:...:...}"
+        )
+    return out
 
 
 def resolve_options(options: dict) -> dict:

@@ -102,6 +102,28 @@ class PipelineRegistry:
             return {"pipelines": []}
         return json.loads(self.path.read_text())
 
+    def _lock(self):
+        """Advisory exclusive lock serializing read-modify-write cycles:
+        two concurrent save()s of DIFFERENT pipelines each read the same
+        base document and the second replace silently dropped the first
+        one's upsert (review r7). flock on a sidecar lockfile — same
+        single-host scope as the registry file itself."""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _held():
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            lockfile = self.path.with_suffix(".lock")
+            with open(lockfile, "w") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(fh, fcntl.LOCK_UN)
+
+        return _held()
+
     def list_pipelines(self) -> list[str]:
         return [p["name"] for p in self._load_doc()["pipelines"]]
 
@@ -114,21 +136,28 @@ class PipelineRegistry:
     def save(self, spec: PipelineSpec) -> None:
         """Upsert + save → reload → validate (reference invariant)."""
         spec.validate()
-        doc = self._load_doc()
-        doc["pipelines"] = [p for p in doc["pipelines"] if p["name"] != spec.name]
-        doc["pipelines"].append(spec_to_json(spec))
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(doc, indent=2))
-        tmp.replace(self.path)
+        with self._lock():
+            doc = self._load_doc()
+            doc["pipelines"] = [
+                p for p in doc["pipelines"] if p["name"] != spec.name
+            ]
+            doc["pipelines"].append(spec_to_json(spec))
+            tmp = self.path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(doc, indent=2))
+            tmp.replace(self.path)
         reloaded = self.get(spec.name)
         if reloaded is None:
             raise RuntimeError(f"{spec.name}: registry round-trip failed")
         reloaded.validate()
 
     def remove(self, name: str) -> bool:
-        doc = self._load_doc()
-        before = len(doc["pipelines"])
-        doc["pipelines"] = [p for p in doc["pipelines"] if p["name"] != name]
-        self.path.write_text(json.dumps(doc, indent=2))
+        # atomic replace like save() — a direct write_text could tear the
+        # whole registry on a crash mid-write (review r7)
+        with self._lock():
+            doc = self._load_doc()
+            before = len(doc["pipelines"])
+            doc["pipelines"] = [p for p in doc["pipelines"] if p["name"] != name]
+            tmp = self.path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(doc, indent=2))
+            tmp.replace(self.path)
         return len(doc["pipelines"]) < before

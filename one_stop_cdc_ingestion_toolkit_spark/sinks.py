@@ -59,9 +59,14 @@ def export_corpus(
         .partitionBy("shard")
         .parquet(path)
     )
+    # count the WRITTEN data, not the upstream frame: re-evaluating the
+    # source would re-run the whole scan+shuffle a second time, and on a
+    # source that changed between the two actions the manifest would
+    # disagree with the shards it claims to describe (review r7)
     counts = {
         int(r["shard"]): r["n"]
-        for r in sharded.groupBy("shard")
+        for r in df.sparkSession.read.parquet(path)
+        .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
@@ -123,7 +128,11 @@ def zorder_key(x, y, bits: int = 16):
     at 2i+1. Clusters 2-D locality into 1-D sort order so a range box on
     EITHER column touches few files — the standard lakehouse multi-column
     clustering trick, built purely from shifts/ands (whole-stage codegen,
-    no UDF)."""
+    no UDF).
+
+    PRECONDITION: inputs must already lie in [0, 2^bits) — bits above
+    that are silently discarded. :func:`optimize_layout` min-max
+    normalizes raw columns into that range before calling this."""
     from pyspark.sql import functions as F
 
     xx = F.col(x) if isinstance(x, str) else x
@@ -169,9 +178,38 @@ def optimize_layout(
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     if zorder_pair is not None:
-        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql import functions as F
 
-        df = df.withColumn("__z", zorder_key(*zorder_pair))
+        # Min-max normalize both columns into [0, 2^bits) FIRST: the
+        # Morton interleave only sees the low `bits` bits, so a
+        # wide-range column (epoch millis ~1.7e12) fed in raw would
+        # contribute pure noise — the z-code would cluster on a ~65 s
+        # timestamp cycle and range queries would prune nothing
+        # (review r7). One extra min/max agg over the frame being
+        # rewritten anyway.
+        zx, zy = zorder_pair
+        bits = 16
+        mm = df.agg(
+            F.min(F.col(zx).cast("double")).alias("xlo"),
+            F.max(F.col(zx).cast("double")).alias("xhi"),
+            F.min(F.col(zy).cast("double")).alias("ylo"),
+            F.max(F.col(zy).cast("double")).alias("yhi"),
+        ).first()
+
+        def _norm(c, lo_, hi_):
+            span = (hi_ - lo_) if (lo_ is not None and hi_ is not None and hi_ > lo_) else 1.0
+            base = lo_ if lo_ is not None else 0.0
+            scaled = (c.cast("double") - F.lit(base)) / F.lit(span)
+            return (scaled * F.lit((1 << bits) - 1)).cast("long")
+
+        df = df.withColumn(
+            "__z",
+            zorder_key(
+                _norm(F.col(zx), mm["xlo"], mm["xhi"]),
+                _norm(F.col(zy), mm["ylo"], mm["yhi"]),
+                bits=bits,
+            ),
+        )
         clustered = (
             df.repartitionByRange(n_out, "__z")
             .sortWithinPartitions("__z")
@@ -208,25 +246,37 @@ def layout_stats(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
 
 def files_touched(stats_rows: list, col: str, lo, hi) -> int:
     """How many files a ``col BETWEEN lo AND hi`` scan must read, given
-    :func:`layout_stats` output rows (driver-side; row count = #files)."""
-    return sum(
-        1
-        for r in stats_rows
-        if not (r[f"max_{col}"] < lo or r[f"min_{col}"] > hi)
-    )
+    :func:`layout_stats` output rows (driver-side; row count = #files).
+    A file whose min/max is None (all-NULL column in that file) counts
+    as touched — unknown stats cannot prune (review r7: the old strict
+    comparison raised TypeError on None)."""
+    def _touched(r) -> bool:
+        mx, mn = r[f"max_{col}"], r[f"min_{col}"]
+        if mx is None or mn is None:
+            return True
+        return not (mx < lo or mn > hi)
+
+    return sum(1 for r in stats_rows if _touched(r))
 
 
 def lakehouse_format_available(spark: SparkSession, fmt: str = "delta") -> bool:
     """True when a lakehouse table format (delta/iceberg/hudi) is on the
     classpath. None ship in this container — the CDC merge would become a
     single ``MERGE INTO`` with one (`delta-spark` etc.) jar added."""
+    import shutil
+    import tempfile
+
+    # per-call temp dir: a fixed shared path raced concurrent sessions
+    # (one probe failing on the other's in-flight state → false
+    # negative) and was never cleaned up (review r7)
+    probe = tempfile.mkdtemp(prefix="__fmt_probe__")
     try:
-        spark.range(1).write.format(fmt).mode("overwrite").save(
-            "/tmp/__fmt_probe__"
-        )
+        spark.range(1).write.format(fmt).mode("overwrite").save(probe)
         return True
     except Exception:  # noqa: BLE001
         return False
+    finally:
+        shutil.rmtree(probe, ignore_errors=True)
 
 
 def write_lakehouse(

@@ -103,7 +103,11 @@ def _close_user_sessions(key, pdfs, state):
             sessions.append((start, last, n))
             start, last, n = t, t, 1
         else:
-            last, n = t, n + 1
+            # min/max, not assignment: a cross-batch OUT-OF-ORDER event
+            # (late but inside the watermark) must never move `last`
+            # backward — that produced s_end < s_start and re-registered
+            # the timeout timer too early (review r7)
+            start, last, n = min(start, t), max(last, t), n + 1
     state.update((start, last, n))
     # event-time timeout at last+gap: fires once the watermark passes it
     state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)
@@ -133,7 +137,11 @@ def session_finalize(events: DataFrame, delay: str = "1 second") -> DataFrame:
     )
 
     wm = watermarked(events, delay)
-    keyed = wm.select(
+    # NULL event times survive the engine's late-row filter (the
+    # predicate evaluates to null, not true) and would crash the pandas
+    # chunk on int(NaN) — a sessionless row carries no gap information,
+    # drop it (review r7)
+    keyed = wm.filter(F.col("ts_ev").isNotNull()).select(
         "ts_ev", "user_id", F.unix_micros(F.col("ts_ev")).alias("ts_us")
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
@@ -193,7 +201,14 @@ class UserProfileProcessor(StatefulProcessor):
         for pdf in rows:
             n += len(pdf)
             total += float(pdf["value"].sum())
-            for etype, cnt in pdf.groupby("event_type").size().items():
+            # fillna: pandas groupby drops NaN keys by default, so rows
+            # with a null event_type would count into n_events/total but
+            # vanish from the per-type map (and a batch of ONLY null
+            # types would emit zero rows despite changed state) —
+            # bucket them under an explicit sentinel type (review r7)
+            for etype, cnt in (
+                pdf.groupby(pdf["event_type"].fillna("__null__")).size().items()
+            ):
                 cur = self._by_type.getValue((etype,))
                 self._by_type.updateValue(
                     (etype,), (int(cnt) + (cur[0] if cur else 0),)
