@@ -28,6 +28,10 @@ SQL_FUNCTIONS: dict[str, str] = {
         + _DOT.format(a="a", b="b")
         + " / (sqrt(" + _DOT.format(a="a", b="a") + ") * sqrt(" + _DOT.format(a="b", b="b") + "))"
     ),
+    # NOTE: token_count('') = 1 (split of an empty string yields ['']) —
+    # a deliberate convention shared with operators/text.py and the
+    # DuckDB oracles so engine/oracle hashes agree; callers needing
+    # zero-for-empty should guard with length(trim(t)) > 0.
     "token_count": (
         "CREATE OR REPLACE TEMPORARY FUNCTION token_count(t STRING) "
         r"RETURNS INT RETURN size(split(trim(t), '\\s+'))"

@@ -29,6 +29,9 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 #: color type → samples per pixel (8-bit depth only).
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: decode budget: max declared pixels per image (16 MP ≈ 80 MB of
+#: filtered RGBA raster) — bounds executor memory against forged IHDRs
+_MAX_PIXELS = 16_000_000
 
 #: deterministic encode parameters — part of the output-bytes contract.
 _ZLIB_LEVEL = 6
@@ -114,6 +117,15 @@ def decode_png(payload: bytes) -> PngImage:
         raise ValueError("png: missing IHDR")
     if width == 0 or height == 0:
         raise ValueError("png: zero-dimension image")
+    # the inflate cap below is derived from the DECLARED dimensions, so
+    # a forged huge-IHDR plus a compressible IDAT bomb would make the
+    # cap meaningless and balloon executor memory — bound the declared
+    # raster itself first (review r7)
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"png: declared raster {width}x{height} exceeds the "
+            f"{_MAX_PIXELS}-pixel decode budget"
+        )
     stride = width * channels
     expected = (stride + 1) * height
     # bounded inflate: a crafted tiny-IHDR/huge-IDAT payload must not

@@ -23,15 +23,22 @@ from pyspark.sql.functions import udtf
 @udtf(returnType="chunk_id int, n_tokens int, chunk string")
 class TextChunks:
     """LATERAL ``text_chunks(text, size, overlap)`` → fixed-size token
-    windows with overlap — the context-window packing primitive used by
-    `a101_doc_chunks`, exposed as a SQL-callable table function.
+    windows with overlap — the same packing IDEA as `a101_doc_chunks`,
+    exposed as a SQL-callable table function, with one deliberate
+    boundary difference (pinned by tests on both sides): this UDTF
+    stops once a window REACHES the last token, while a101 emits a
+    trailing stub window at every stride position — e.g. 7 tokens at
+    size=3/overlap=1 give 3 chunks here and 4 there. Use one or the
+    other consistently per pipeline.
 
     The final chunk is emitted even when short (no token is dropped);
     ``overlap`` tokens are shared between consecutive chunks.
     """
 
     def eval(self, text: str, size: int, overlap: int):  # noqa: D102
-        if text is None or size <= 0:
+        # NULL numeric args behave like NULL text (row contributes no
+        # chunks) — `None <= 0` raised an opaque TypeError (review r7)
+        if text is None or size is None or overlap is None or size <= 0:
             return
         if overlap >= size or overlap < 0:
             # negative overlap would make step > size and silently drop

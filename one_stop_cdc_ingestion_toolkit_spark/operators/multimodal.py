@@ -183,7 +183,11 @@ def decode_blobs(
         f", {f.name} {f.dataType.simpleString()}"
         for f in df.select(*passthrough).schema.fields
     )
-    out_schema = f"{id_col} long{pt_schema}, width int, height int, n_frames int"
+    # derive the id type from the actual schema like the passthrough
+    # columns — a hardcoded `long` failed at runtime for string/int ids
+    # (review r7)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}{pt_schema}, width int, height int, n_frames int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # resolve the gate INSIDE the task, per payload: the codec must
@@ -197,7 +201,14 @@ def decode_blobs(
         else:
             decoder = _auto_decode
         for pdf in it:
-            meta = [decoder(b) for b in pdf[payload_col]]
+            # NULL payloads decode to null metadata (the JVM metadata
+            # path of this module already yields null byte_len/digest
+            # for them) instead of an opaque bytes(None) TypeError
+            # (review r7)
+            nulls = {"width": None, "height": None, "n_frames": None}
+            meta = [
+                nulls if b is None else decoder(b) for b in pdf[payload_col]
+            ]
             out = {id_col: pdf[id_col].values}
             for c in passthrough:
                 out[c] = pdf[c].values
@@ -329,14 +340,26 @@ def resize_images(
     with no codec keep the deterministic tag+digest stand-in, preserving
     the same batch contract (binary in, binary out, bounded batch rows).
     """
+    # validate ONCE, before any task runs: the per-blob ValueError catch
+    # below is for out-of-envelope/corrupt payloads — a caller bug in
+    # the target dims would otherwise silently degrade EVERY png to the
+    # digest stand-in and report success (review r7)
+    if target_w <= 0 or target_h <= 0:
+        raise ValueError(
+            f"target dimensions must be positive, got {target_w}x{target_h}"
+        )
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, width int, height int, payload binary"
+        f"{id_col} {id_type}, width int, height int, payload binary"
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for b in pdf[payload_col]:
+                if b is None:  # null blob: null out, not bytes(None)
+                    payloads.append(None)
+                    continue
                 raw = bytes(b)
                 small = None
                 if png_codec.is_png(raw):

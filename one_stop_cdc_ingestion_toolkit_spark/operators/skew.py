@@ -31,6 +31,20 @@ def salted_join(
     re-execution); ``small`` is exploded once per salt value. The join
     key becomes (key, salt); columns returned match big ⋈ small.
     """
+    # equivalence holds only for modes where UNMATCHED small-side rows
+    # never surface: small is exploded n_salts times, so right/full
+    # outer would emit each unmatched small row once PER SALT — silently
+    # wrong results behind an API that promises unsalted equality
+    # (review r7). Unmatched big rows survive exactly once (one salt per
+    # big row), so left/semi/anti stay exact.
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, not {how!r}: "
+            "right/full outer would duplicate unmatched small-side rows "
+            "once per salt"
+        )
     non_key = [c for c in big.columns if c != key]
     salt_src = F.xxhash64(*[F.col(c) for c in non_key]) if non_key else F.xxhash64(F.col(key))
     big_s = big.withColumn("__salt", F.pmod(salt_src, F.lit(n_salts)).cast("int"))
