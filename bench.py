@@ -49,31 +49,13 @@ def _host_spread() -> float | None:
         return None
 
 
-# the canonical fixture-table list — single source of truth in the
-# catalog module (a table added there but not here would silently break
-# only the paired-oracle views, per review r7)
-from one_stop_cdc_ingestion_toolkit_spark.catalog import TABLES as _ORACLE_TABLES  # noqa: E402
-
-
-def _oracle_con(sf_dir: str):
-    """DuckDB connection with the same parquet views the driver registers.
-
-    Used by paired mode (below): running each engine query back-to-back
-    with its DuckDB oracle in the SAME process window makes the per-query
-    ratio steal-robust — host CPU-steal inflates both sides of the pair
-    alike, so the ratio survives windows where absolute totals don't
-    (PARITY.md host-noise note; judge ask r6→r7 #2).
-    """
-    import duckdb
-
-    con = duckdb.connect()
-    for t in _ORACLE_TABLES:
-        path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
-    return con
+# Paired mode runs each engine query back-to-back with its DuckDB
+# oracle in the SAME process window, making the per-query ratio
+# steal-robust — host CPU-steal inflates both sides of the pair alike,
+# so the ratio survives windows where absolute totals don't (PARITY.md
+# host-noise note; judge ask r6→r7 #2). The oracle connection/view
+# setup is the shared definition in oracle.duck_connect.
+from one_stop_cdc_ingestion_toolkit_spark.oracle import duck_connect as _oracle_con  # noqa: E402
 
 
 def main() -> None:

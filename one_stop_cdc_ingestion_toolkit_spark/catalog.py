@@ -55,8 +55,17 @@ class Catalog:
                 # downstream is written against timestamp semantics.
                 from pyspark.sql import functions as F
 
+                # FLOOR division in pure int64 arithmetic: `ts div 1000`
+                # truncates toward zero, rounding PRE-EPOCH nanos the
+                # wrong way (−1500 ns → −1 µs instead of −2 µs), and a
+                # float-division floor would lose precision above 2^53.
+                # (ts − pmod(ts,1000)) is the exact floor multiple
+                # (review r7).
                 df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                    "ts",
+                    F.timestamp_micros(
+                        F.expr("(ts - pmod(ts, 1000)) div 1000")
+                    ).cast("timestamp_ntz"),
                 )
             self._cache[name] = df
         return self._cache[name]
@@ -82,6 +91,14 @@ _CATALOGS: dict[tuple[int, str], Catalog] = {}
 def tables(spark: SparkSession, sf_dir: str) -> Catalog:
     key = (id(spark), sf_dir.rstrip("/"))
     cat = _CATALOGS.get(key)
-    if cat is None:
-        cat = _CATALOGS[key] = Catalog(spark, sf_dir)
+    # identity check: id() can be reused after the original session is
+    # garbage-collected — serving another session's catalog would hand
+    # out DataFrames bound to a dead SparkContext (review r7)
+    if cat is not None and cat.spark is spark:
+        return cat
+    if len(_CATALOGS) > 16:
+        # bound the cache: without eviction, stopped sessions and their
+        # cached DataFrames stay pinned for process lifetime
+        _CATALOGS.clear()
+    cat = _CATALOGS[key] = Catalog(spark, sf_dir)
     return cat

@@ -38,16 +38,28 @@ def norm_cell(v: object, side: str = "spark") -> str:
     return str(v)
 
 
+def _esc(s: str) -> str:
+    """Escape the join/line separators inside a cell: without this,
+    cells containing '|' or newlines could make two DIFFERENT tables
+    serialize to identical bytes — a false PASS in a correctness gate
+    (review r7). Escaping applies identically to both sides, so a true
+    match still hashes equal; only a masked divergence becomes visible."""
+    return s.replace("\\", "\\\\").replace("|", "\\p").replace("\n", "\\n")
+
+
+def _norm_lines(cols: list[str], rows: list[tuple], side: str) -> list[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(_esc(norm_cell(row[i], side)) for i in order) for row in rows
+    )
+
+
 def table_hash(cols: list[str], rows: list[tuple], side: str = "spark") -> str:
     """Order-insensitive: row strings are sorted before hashing, so a
     query whose ORDER BY is only a partial order cannot flake on
     tie-ordering differences between engines."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "|".join(norm_cell(row[i], side) for i in order) for row in rows
-    )
     h = hashlib.md5()
-    for line in lines:
+    for line in _norm_lines(cols, rows, side):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()
@@ -68,17 +80,44 @@ def compare(
         problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
     if problems:
         return problems
-    if table_hash(scols, srows, "spark") != table_hash(dcols, drows, "duck"):
+    slines = _norm_lines(scols, srows, "spark")
+    dlines = _norm_lines(dcols, drows, "duck")
+    if slines != dlines:
         problems.append("value hash mismatch")
-        order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-        order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        shown = 0
-        for i, (sr, dr) in enumerate(zip(srows, drows)):
-            sn = [norm_cell(sr[j], "spark") for j in order_s]
-            dn = [norm_cell(dr[j], "duck") for j in order_d]
-            if sn != dn:
-                problems.append(f"row {i}: spark={sn} duck={dn}")
-                shown += 1
-                if shown >= max_diffs:
-                    break
+        # diff the SORTED multisets — the hash is order-insensitive, so
+        # a positional zip over collect order flagged rows that differ
+        # only by position and could miss the real divergence (review r7)
+        dset, sset = set(dlines), set(slines)
+        only_s = [ln for ln in slines if ln not in dset]
+        only_d = [ln for ln in dlines if ln not in sset]
+        for ln in only_s[:max_diffs]:
+            problems.append(f"only in spark: {ln}")
+        for ln in only_d[:max_diffs]:
+            problems.append(f"only in duck:  {ln}")
+        if not only_s and not only_d:
+            # same value multiset, different multiplicities
+            problems.append("same values, different row multiplicities")
     return problems
+
+
+def duck_connect(sf_dir: str, tables: tuple[str, ...] | None = None):
+    """DuckDB connection with the driver's parquet views registered —
+    THE single definition of the oracle-side table setup (it was
+    hand-copied in bench.py, tools/verify_oracle.py and two test
+    fixtures; a drifted copy would make the gates verify different
+    table sets, review r7)."""
+    import os
+
+    import duckdb
+
+    from one_stop_cdc_ingestion_toolkit_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in tables or TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+    return con

@@ -2,7 +2,6 @@ from __future__ import annotations
 
 import sys
 
-import duckdb
 import pytest
 
 sys.path.insert(0, "/root/repo")
@@ -21,10 +20,8 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    from one_stop_cdc_ingestion_toolkit_spark.oracle import duck_connect
+
+    con = duck_connect(SF_DIR, TABLES)
     yield con
     con.close()

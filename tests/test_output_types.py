@@ -16,7 +16,6 @@ numeric class (int vs float) of every shared column must agree.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -46,13 +45,9 @@ def _klass(t: str) -> str:
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
-        )
-    return con
+    from one_stop_cdc_ingestion_toolkit_spark.oracle import duck_connect
+
+    return duck_connect(SF_DIR, TABLES)
 
 
 @pytest.fixture(scope="module")

@@ -15,8 +15,6 @@ from __future__ import annotations
 import sys
 import time
 
-import duckdb
-
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -32,18 +30,29 @@ def main() -> int:
     # passed alongside --window are unioned with the window, not dropped.
     argv = [a for a in sys.argv[1:] if a != "--window"]
     window = "--window" in sys.argv[1:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
-    if window:
-        only |= set(sorted(entry_mod.queries())[:50])
-    spark = get_session("verify-oracle")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    # sf_dir is positional-optional: only consume argv[0] as a directory
+    # when it IS one — a bare query name used to be misparsed as the
+    # data dir and ALL queries ran against a nonexistent path (review r7)
+    import os
 
+    if argv and os.path.isdir(argv[0]):
+        sf_dir, names = argv[0], argv[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.01", argv
     queries = entry_mod.queries()
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        # a typo'd name silently matching nothing made the gate report
+        # '0 passed, 0 failed' and exit 0 — a false green (review r7)
+        print(f"unknown query name(s): {unknown}", file=sys.stderr)
+        return 2
+    only = set(names)
+    if window:
+        only |= set(sorted(queries)[:50])
+    spark = get_session("verify-oracle")
+    from one_stop_cdc_ingestion_toolkit_spark.oracle import duck_connect
+
+    con = duck_connect(sf_dir, TABLES)
     oracles = entry_mod.oracle_sql()
     failed, passed, skipped = [], 0, 0
     for name, fn in queries.items():
