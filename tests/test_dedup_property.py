@@ -98,3 +98,70 @@ def test_prefix_filter_loses_no_pair(spark, data):
     )
     for pair, jac in want.items():
         assert abs(got[pair] - jac) < 2e-6, (pair, got[pair], jac)
+
+
+@st.composite
+def corpus_with_dups(draw):
+    """Random docs from a tiny vocabulary plus FORCED duplicate copies —
+    the regime where identical-signature groups actually form."""
+    n = draw(st.integers(4, 8))
+    docs = []
+    for _ in range(n):
+        ln = draw(st.integers(SHINGLE_K, 12))
+        docs.append(
+            " ".join(draw(st.lists(st.sampled_from(WORDS), min_size=ln, max_size=ln)))
+        )
+    # copy up to n extra docs from the base set (duplicate groups)
+    extra = draw(st.lists(st.integers(0, n - 1), min_size=1, max_size=n))
+    docs.extend(docs[i] for i in extra)
+    return docs
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpus_with_dups())
+def test_collapsed_minhash_reconstructs_on_random_corpora(spark, docs):
+    """minhash_pairs_collapsed must expand to EXACTLY minhash_lsh_pairs'
+    pair set on ANY corpus — the planted-corpus equivalence test
+    (test_scale_bounds) generalized to random duplicate structure."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_pairs_collapsed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    release_caches()
+    rows = minhash_pairs_collapsed(df, "doc_id", "text").collect()
+    release_caches()
+
+    groups: dict[int, set[int]] = {}
+    for r in rows:
+        if r["rel"] == "member":
+            groups.setdefault(r["id_a"], {r["id_a"]}).add(r["id_b"])
+    expanded: set[tuple[int, int]] = set()
+    for g in groups.values():
+        mem = sorted(g)
+        for i, x in enumerate(mem):
+            for y in mem[i + 1:]:
+                expanded.add((x, y))
+    for r in rows:
+        if r["rel"] != "pair":
+            continue
+        ga = groups.get(r["id_a"], {r["id_a"]})
+        gb = groups.get(r["id_b"], {r["id_b"]})
+        assert len(ga) == r["size_a"] and len(gb) == r["size_b"]
+        for x in ga:
+            for y in gb:
+                expanded.add((min(x, y), max(x, y)))
+    assert expanded == full, (
+        f"missing={full - expanded} extra={expanded - full} docs={docs}"
+    )
