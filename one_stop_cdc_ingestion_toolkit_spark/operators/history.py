@@ -212,16 +212,19 @@ def a146_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.to_timestamp(F.lit("2024-01-15 00:00:00"))
 
     def state(df: DataFrame) -> DataFrame:
-        w = W.partitionBy("user_id", "event_type").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
+        # ONE aggregation: max over (ts, event_id, value) structs picks
+        # the same (ts DESC, event_id DESC) winner the old window+filter
+        # did (event_id is unique within a key, so the struct order is
+        # total and `value` never participates in the comparison), and
+        # the count rides in the same shuffle — the old shape scanned
+        # the events slice twice and paid an extra join per side
+        # (review r7)
+        return df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias(
+                "last_value"
+            ),
         )
-        last = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("user_id", "event_type", F.col("value").alias("last_value"))
-        )
-        n = df.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-        return n.join(last, ["user_id", "event_type"])
 
     diff = snapshot_diff(
         state(ev.filter(F.col("ts") < cut)),

@@ -45,6 +45,7 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import (
     widen_narrow_scan,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (
+    SHINGLE_K,
     minhash_cc_edges,
     word_shingles,
 )
@@ -122,16 +123,19 @@ def _bucket(col: F.Column, n: int) -> F.Column:
 )
 def a140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): per-bucket hashed-unigram
-    log-likelihood ratio of the '{en}' target slice vs the raw corpus,
-    summed over each document's words; reported per source as the mean
-    weight and how many docs score target-like (w > 0).
+    log-likelihood ratio of the DSIR_TARGET_LANG target slice vs the raw
+    corpus, summed over each document's words; reported per source as
+    the mean weight and how many docs score target-like (w > 0).
 
-    Scale shape: the explode is linear; bucket counts are {B}-key
-    map-side-combined aggs (partials merge — the shuffle carries {B}
-    rows per task); the ratio table is {B} rows and broadcast; the only
-    data-sized shuffle keys on doc_id. Ratios are computed as ONE double
-    division of exactly-representable products, so both engines emit
-    bit-identical lambdas.""".format(en=DSIR_TARGET_LANG, B=DSIR_BUCKETS)
+    Scale shape: the explode is linear; bucket counts are
+    DSIR_BUCKETS-key map-side-combined aggs (partials merge — the
+    shuffle carries that many rows per task); the ratio table is
+    broadcast; the only data-sized shuffle keys on doc_id. Ratios are
+    computed as ONE double division of exactly-representable products,
+    so both engines emit bit-identical lambdas. (A literal docstring —
+    the old ``.format(...)`` version made the first statement an
+    expression, so ``__doc__`` was None and the string was rebuilt per
+    call, review r7.)"""
     d = tables(spark, sf_dir)["documents"]
     # cached: the exploded word stream feeds the bucket model AND the
     # per-doc scoring join — one explode instead of two. (At full scale,
@@ -198,7 +202,15 @@ def _retention_oracle() -> str:
     # by the q48 quality formula (verbatim) inside each cluster.
     base = _dup_clusters_oracle()
     # strip the trailing SELECT of the cluster oracle; keep its CTEs
-    head, _, _ = base.rpartition("SELECT node AS doc_id")
+    head, marker, _ = base.rpartition("SELECT node AS doc_id")
+    if not marker:
+        # fail FAST at registration: a reworded final SELECT in
+        # _dup_clusters_oracle would otherwise yield malformed SQL that
+        # only surfaces when the a141 oracle executes (review r7)
+        raise RuntimeError(
+            "_retention_oracle: cluster-oracle splice marker not found — "
+            "advanced._dup_clusters_oracle's final SELECT changed"
+        )
     return rf"""{head.rstrip()},
         clusters AS (
           SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
@@ -357,21 +369,26 @@ def a142_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a143_source_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution shift per source: add-1-smoothed KL divergence of the
-    source's hashed-unigram bucket distribution ({B} buckets) from the
-    corpus distribution — the audit that flags a source whose word mix
-    departs from the blend the model is nominally trained on. The KL
-    grid enumerates ALL {B} buckets (not just observed ones) so both
+    source's hashed-unigram bucket distribution (KL_BUCKETS buckets)
+    from the corpus distribution — the audit that flags a source whose
+    word mix departs from the blend the model is nominally trained on.
+    The KL grid enumerates ALL buckets (not just observed ones) so both
     smoothed distributions normalize to 1 and Gibbs' inequality holds
     (KL >= 0); the statistic is bounded whatever the corpus size, and
-    word counting is the only data-scale work (map-side-combined
-    short-key aggs).""".format(B=KL_BUCKETS)
+    word counting is the only data-scale work: ONE word-level agg
+    (per-source bucket counts, cached — it is |sources|·KL_BUCKETS
+    rows), from which the corpus/per-source/global totals are DERIVED
+    instead of re-scanning+re-exploding the corpus four times
+    (review r7)."""
     d = tables(spark, sf_dir)["documents"]
     wn = _word_rows(d, "source").withColumn("b", _bucket(F.col("word"), KL_BUCKETS))
     buckets = spark.range(KL_BUCKETS).select(F.col("id").alias("b"))
-    corpus = wn.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
-    per_src = wn.groupBy("source", "b").agg(F.count(F.lit(1)).alias("sb"))
-    n_src = wn.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    n_tot = wn.agg(F.count(F.lit(1)).alias("n"))
+    per_src = track_cache(
+        wn.groupBy("source", "b").agg(F.count(F.lit(1)).alias("sb"))
+    )
+    corpus = per_src.groupBy("b").agg(F.sum("sb").alias("cb"))
+    n_src = per_src.groupBy("source").agg(F.sum("sb").alias("ns"))
+    n_tot = per_src.agg(F.sum("sb").alias("n"))
     grid = (
         n_src.crossJoin(F.broadcast(buckets))
         .crossJoin(F.broadcast(n_tot))
@@ -410,9 +427,9 @@ def a143_source_kl_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sh AS (
           SELECT DISTINCT source,
-                 unnest(list_transform(generate_series(1, len(words) - 2),
-                        i -> array_to_string(words[i:i+2], ' '))) AS shingle
-          FROM w WHERE len(words) >= 3
+                 unnest(list_transform(generate_series(1, len(words) - {SHINGLE_K - 1}),
+                        i -> array_to_string(words[i:i+{SHINGLE_K - 1}], ' '))) AS shingle
+          FROM w WHERE len(words) >= {SHINGLE_K}
         ),
         cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
                 FROM sh GROUP BY source),

@@ -122,6 +122,13 @@ def lsh_signature(
     drops out of bucket equi-joins); the JVM fold's when() coerces the
     null projection to an all-"0" signature — a REAL bucket that would
     collect every null vector. The Arrow behavior is deliberate.
+
+    Degenerate-element contract (review r7 — the two paths used to
+    diverge here): a projection that is NaN or NULL (a null/NaN element
+    inside the vector) and a vector of the WRONG dimension both emit
+    "0" bits on BOTH paths — deterministic, and a ragged vector no
+    longer crashes the Arrow kernel while the JVM path degraded
+    gracefully.
     """
     signs = _plane_signs(n_planes, dim)
     if use_arrow:
@@ -133,31 +140,31 @@ def lsh_signature(
         @pandas_udf("string")
         def sig_udf(vs: pd.Series) -> pd.Series:
             P = np.asarray(planes, dtype=np.float64)  # p × d
-            out = []
+            zero_sig = "0" * P.shape[0]
             null_mask = vs.isna()
+            sigs: dict[int, str] = {}
             if (~null_mask).any():
                 idx = np.flatnonzero(~null_mask.to_numpy())
-                X = np.array(
-                    [np.asarray(vs.iloc[i], dtype=np.float64) for i in idx]
-                )
-                # dimension-order fold == the HOF's left-to-right sum
-                acc = np.zeros((X.shape[0], P.shape[0]))
-                for i in range(P.shape[1]):
-                    acc += X[:, i, None] * P[None, :, i]
-                # NaN projections: Spark compares NaN as GREATER than
-                # any number, so the JVM when(proj >= 0) emits "1" —
-                # mirror that (numpy nan >= 0 is False)
-                sigs = {
-                    int(r): "".join(
-                        "1" if (v >= 0 or np.isnan(v)) else "0"
-                        for v in acc[k]
-                    )
-                    for k, r in enumerate(idx)
-                }
-            else:
-                sigs = {}
-            for i in range(len(vs)):
-                out.append(sigs.get(i))  # None for null vectors
+                rows = []
+                for i in idx:
+                    r = np.asarray(vs.iloc[i], dtype=np.float64)
+                    if r.shape == (P.shape[1],):
+                        rows.append((int(i), r))
+                    else:  # ragged/wrong-dim: all-"0", like the JVM fold
+                        sigs[int(i)] = zero_sig
+                if rows:
+                    X = np.stack([r for _, r in rows])
+                    # dimension-order fold == the HOF's left-to-right sum
+                    acc = np.zeros((X.shape[0], P.shape[0]))
+                    for i in range(P.shape[1]):
+                        acc += X[:, i, None] * P[None, :, i]
+                    # NaN proj (null/NaN element): numpy NaN >= 0 is
+                    # False -> "0", matching the JVM guard below
+                    for k, (ri, _) in enumerate(rows):
+                        sigs[ri] = "".join(
+                            "1" if v >= 0 else "0" for v in acc[k]
+                        )
+            out = [sigs.get(i) for i in range(len(vs))]  # None for null vecs
             return pd.Series(out)
 
         return sig_udf(vec)
@@ -166,7 +173,14 @@ def lsh_signature(
         plane = F.array(*[F.lit(x) for x in signs[p]])
         terms = F.zip_with(vec, plane, lambda x, sg: x.cast("double") * sg)
         proj = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        # NULL proj (null element / short vector) and NaN proj (NaN
+        # element — Spark would compare NaN GREATER than any number)
+        # both emit "0", matching the Arrow kernel (review r7)
+        bits.append(
+            F.when(
+                proj.isNotNull() & ~F.isnan(proj) & (proj >= 0), F.lit("1")
+            ).otherwise(F.lit("0"))
+        )
     return F.concat(*bits)
 
 
