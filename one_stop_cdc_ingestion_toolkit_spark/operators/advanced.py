@@ -665,8 +665,10 @@ def a038_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     member↔x edge exists as rep↔rep_x because banding and cosine see
     only the embedding."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
-        cosine,
+        cosine_hoisted,
+        dot,
         lsh_signature,
+        norm,
     )
 
     emb = tables(spark, sf_dir)["embeddings"]
@@ -678,9 +680,15 @@ def a038_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separates correctly); measured 3.90 → 3.16 s min-of-4 interleaved
     # at sf0.1 vs the array-only partition key (old full-pair shape
     # 2.78 s same sitting — the +14% is the collapse pass's price).
+    # nrm cached too (r8 norm hoist): the rep self-join's cosine filter
+    # pays one dot fold per candidate pair instead of three.
     lab = track_cache(
-        emb.select("vec_id", "embedding", lsh_signature(F.col("embedding")).alias("s"))
-        .withColumn(
+        emb.select(
+            "vec_id",
+            "embedding",
+            lsh_signature(F.col("embedding")).alias("s"),
+            norm(F.col("embedding")).alias("nrm"),
+        ).withColumn(
             "rep",
             F.min("vec_id").over(
                 W.partitionBy(F.xxhash64("embedding"), F.col("embedding"))
@@ -689,16 +697,35 @@ def a038_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     star = (
         lab.filter(F.col("vec_id") != F.col("rep"))
-        .filter(cosine(F.col("embedding"), F.col("embedding")) >= SEMANTIC_THRESHOLD)
+        # cosine(v, v) with the norm hoisted: dot/(nrm*nrm) — same doubles
+        # (0⃗ still yields 0/0 = NaN, which sorts/compares >= t as before)
+        .filter(
+            dot(F.col("embedding"), F.col("embedding"))
+            / (F.col("nrm") * F.col("nrm"))
+            >= SEMANTIC_THRESHOLD
+        )
         .select(F.col("rep").alias("id_a"), F.col("vec_id").alias("id_b"))
     )
     reps = lab.filter(F.col("vec_id") == F.col("rep"))
-    a = reps.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "s")
-    b = reps.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "s")
+    a = reps.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "s",
+        F.col("nrm").alias("na"),
+    )
+    b = reps.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "s",
+        F.col("nrm").alias("nb"),
+    )
     pairs = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= SEMANTIC_THRESHOLD)
+        .filter(
+            cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= SEMANTIC_THRESHOLD
+        )
         .select("id_a", "id_b")
         .unionByName(star)
     )

@@ -60,6 +60,8 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import (
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     EMB_DIM,
     cosine,
+    cosine_hoisted,
+    norm,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.text import quality_score
 
@@ -445,9 +447,21 @@ def a009_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ≤ 21-row exact-count aggregation. Accuracy and gap derive from
     integer counts, bit-identical across engines."""
     emb = tables(spark, sf_dir)["embeddings"]
-    cent = label_centroids(emb).select(F.col("label").alias("c_label"), "cent_vec")
-    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "cos", cosine(F.col("embedding"), F.col("cent_vec"))
+    # norm hoist (r8): one self-fold per vector/centroid, not per pair
+    cent = label_centroids(emb).select(
+        F.col("label").alias("c_label"),
+        "cent_vec",
+        norm(F.col("cent_vec")).alias("__cn"),
+    )
+    scored = (
+        emb.withColumn("__vn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cos",
+            cosine_hoisted(
+                F.col("embedding"), F.col("cent_vec"), F.col("__vn"), F.col("__cn")
+            ),
+        )
     )
     pred = scored.groupBy("vec_id", "label").agg(
         F.max_by(

@@ -38,7 +38,11 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import (
     track_cache,
     widen_narrow_scan,
 )
-from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import EMB_DIM, cosine
+from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+    EMB_DIM,
+    cosine_hoisted,
+    norm,
+)
 
 #: Salt for the group-split hash (a112) — versioned so a re-split is an
 #: explicit, auditable change, never an accident of code motion.
@@ -259,11 +263,20 @@ def a110_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever carries an embedding, so the plan is scan + broadcast-join +
     two keyed aggregations regardless of corpus size."""
     emb = tables(spark, sf_dir)["embeddings"]
+    # norms hoisted to once-per-row / once-per-centroid (r8): cosine()
+    # inside the cross join re-folded the vector's self-dot n_labels times
     cent = label_centroids(emb).select(
-        F.col("label").alias("c_label"), "cent_vec"
+        F.col("label").alias("c_label"), "cent_vec", norm(F.col("cent_vec")).alias("__cn")
     )
-    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
-        "cos", cosine(F.col("embedding"), F.col("cent_vec"))
+    scored = (
+        emb.withColumn("__vn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cos",
+            cosine_hoisted(
+                F.col("embedding"), F.col("cent_vec"), F.col("__vn"), F.col("__cn")
+            ),
+        )
     )
     pred = scored.groupBy("vec_id", "label").agg(
         F.max_by(

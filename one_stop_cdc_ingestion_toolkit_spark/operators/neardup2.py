@@ -51,8 +51,9 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import (  # noqa: F401
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     _duck_cos,
     _duck_signature,
-    cosine,
+    cosine_hoisted,
     lsh_signature,
+    norm,
 )
 from one_stop_cdc_ingestion_toolkit_spark.operators.text import quality_score
 
@@ -366,21 +367,33 @@ def a003_knn_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join at O(n²/256)); the histogram is two partial-agg
     shuffles."""
     e = tables(spark, sf_dir)["embeddings"]
+    # norm hoisted to the per-vector signature projection (r8): the edge
+    # filter then pays one dot fold per candidate pair, not three
     sig = e.select(
         "vec_id",
         "embedding",
         lsh_signature(F.col("embedding"), n_planes=KNN_PLANES).alias("s"),
+        norm(F.col("embedding")).alias("nrm"),
     )
     a = sig.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "s"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "s",
+        F.col("nrm").alias("na"),
     )
     b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "s"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "s",
+        F.col("nrm").alias("nb"),
     )
     edges = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= KNN_TAU)
+        .filter(
+            cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+            >= KNN_TAU
+        )
         .select("id_a", "id_b")
     )
     nbrs = edges.select(F.col("id_a").alias("vec_id")).unionAll(

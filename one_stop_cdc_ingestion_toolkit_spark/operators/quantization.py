@@ -31,7 +31,9 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import register
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     EMB_DIM,
     cosine,
+    cosine_hoisted,
     dot,
+    norm,
 )
 
 #: Matryoshka prefix length (first PREFIX_DIM of EMB_DIM dims).
@@ -181,17 +183,32 @@ def a052_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approximation, so the exact ranking is the point — run it on a
     sampled corpus slab at 100 TB, never the whole corpus)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    qs = emb.filter(F.col("vec_id") < MK_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    # both norms (full and prefix) hoisted to once-per-row on each side
+    # (r8): cosine() inside the pair loop re-folds them per (q, c) pair
+    qs = (
+        emb.filter(F.col("vec_id") < MK_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .withColumn("__qnf", norm(F.col("q_vec")))
+        .withColumn("__qnt", norm(F.slice(F.col("q_vec"), 1, PREFIX_DIM)))
+    )
+    cs = emb.withColumn("__cnf", norm(F.col("embedding"))).withColumn(
+        "__cnt", norm(F.slice(F.col("embedding"), 1, PREFIX_DIM))
     )
     scored = (
-        emb.crossJoin(F.broadcast(qs))
-        .withColumn("cf", cosine(F.col("q_vec"), F.col("embedding")))
+        cs.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "cf",
+            cosine_hoisted(
+                F.col("q_vec"), F.col("embedding"), F.col("__qnf"), F.col("__cnf")
+            ),
+        )
         .withColumn(
             "ct",
-            cosine(
+            cosine_hoisted(
                 F.slice(F.col("q_vec"), 1, PREFIX_DIM),
                 F.slice(F.col("embedding"), 1, PREFIX_DIM),
+                F.col("__qnt"),
+                F.col("__cnt"),
             ),
         )
         .select("q_id", F.col("vec_id").alias("c_id"), "cf", "ct")

@@ -35,7 +35,8 @@ from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
 from one_stop_cdc_ingestion_toolkit_spark.operators import register
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     _duck_cos,
-    cosine,
+    cosine_hoisted,
+    norm,
 )
 
 #: BM25 query terms (fixture vocabulary) and shape parameters.
@@ -228,11 +229,17 @@ def a107_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("score").alias("s"), F.lit("kw").alias("src"))
     )
     qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("q_vec")
+        F.col("embedding").alias("q_vec"), norm(F.col("embedding")).alias("__qn")
     )
     vs = (
-        emb.crossJoin(F.broadcast(qv))
-        .withColumn("cos", cosine(F.col("embedding"), F.col("q_vec")))
+        emb.withColumn("__cn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(qv))
+        .withColumn(
+            "cos",
+            cosine_hoisted(
+                F.col("embedding"), F.col("q_vec"), F.col("__cn"), F.col("__qn")
+            ),
+        )
         .orderBy(F.desc("cos"), "vec_id")
         .limit(LIST_K)
         .select(

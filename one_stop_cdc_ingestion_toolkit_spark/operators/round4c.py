@@ -38,7 +38,10 @@ from one_stop_cdc_ingestion_toolkit_spark.operators import register
 from one_stop_cdc_ingestion_toolkit_spark.operators.behavior import (
     _global_ranked,
 )
-from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import cosine
+from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+    cosine_hoisted,
+    norm,
+)
 
 #: Balance band width for the quasi-identifier (c_acctbal ∈ [-999, 9999]).
 BAL_BAND = 1000
@@ -154,18 +157,27 @@ def a056_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side swaps to the LSH-bucketed join (`ann_lsh_topk`) — this
     exact ranking is the audit/recall baseline for that path."""
     emb = tables(spark, sf_dir)["embeddings"]
-    qs = emb.filter(F.col("vec_id") < HN_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("label").alias("q_label"),
+    qs = (
+        emb.filter(F.col("vec_id") < HN_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+        .withColumn("__qn", norm(F.col("q_vec")))
     )
+    # corpus norm hoisted to once-per-row (r8): cosine() in the pair
+    # projection re-folded both self-dot-products per (q, c) pair
     scored = (
-        emb.crossJoin(F.broadcast(qs))
+        emb.withColumn("__cn", norm(F.col("embedding")))
+        .crossJoin(F.broadcast(qs))
         .filter(F.col("label") != F.col("q_label"))
         .select(
             "q_id",
             F.col("vec_id").alias("c_id"),
-            cosine(F.col("q_vec"), F.col("embedding")).alias("cos"),
+            cosine_hoisted(
+                F.col("q_vec"), F.col("embedding"), F.col("__qn"), F.col("__cn")
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id"))

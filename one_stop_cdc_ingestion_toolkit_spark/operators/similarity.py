@@ -54,6 +54,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_hoisted(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Per-pair cosine with the norms pre-hoisted to once-per-ROW columns
+    (r8, VERDICT r7 ask #1). ``cosine()`` re-folds BOTH self-dot-products
+    inside every pair evaluation — O(pairs) norm folds; computing
+    ``norm()`` into a column on each join side before the pair join makes
+    it O(rows). Bit-identical: the fold is the same left-to-right HOF sum,
+    and IEEE multiplication/division see the exact same doubles (the
+    ``ivf_assign`` hoist proved parity for this rewrite in r5)."""
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -68,8 +79,13 @@ def cosine_topk(
     Returns (q_id, c_id, sim) with sim rounded to 6 places; ranking uses
     the unrounded cosine with c_id tie-break for determinism.
     """
-    joined = corpus_df.crossJoin(F.broadcast(queries_df)).withColumn(
-        "__cos", cosine(F.col(q_vec), F.col(c_vec))
+    # norms hoisted to once-per-row (see cosine_hoisted): the corpus-side
+    # self-fold runs once per corpus row, not once per (query, corpus) pair
+    qn = queries_df.withColumn("__qn", norm(F.col(q_vec)))
+    cn = corpus_df.withColumn("__cn", norm(F.col(c_vec)))
+    joined = cn.crossJoin(F.broadcast(qn)).withColumn(
+        "__cos",
+        cosine_hoisted(F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn")),
     )
     w = W.partitionBy(q_id).orderBy(F.col("__cos").desc(), F.col(c_id))
     return (
@@ -199,10 +215,15 @@ def ann_lsh_topk(
     corpus signature pass is one projection scan, and buckets are
     independently parallel.
     """
-    qs = queries_df.withColumn("__sig", lsh_signature(F.col(q_vec)))
-    cs = corpus_df.withColumn("__sig", lsh_signature(F.col(c_vec)))
+    qs = queries_df.withColumn("__sig", lsh_signature(F.col(q_vec))).withColumn(
+        "__qn", norm(F.col(q_vec))
+    )
+    cs = corpus_df.withColumn("__sig", lsh_signature(F.col(c_vec))).withColumn(
+        "__cn", norm(F.col(c_vec))
+    )
     joined = cs.join(F.broadcast(qs), "__sig").withColumn(
-        "__cos", cosine(F.col(q_vec), F.col(c_vec))
+        "__cos",
+        cosine_hoisted(F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn")),
     )
     w = W.partitionBy(q_id).orderBy(F.col("__cos").desc(), F.col(c_id))
     return (
@@ -303,18 +324,32 @@ def b55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HOFs) feeds both sides of the self-join. Tracked for release between
     # queries (operators.release_caches).
     sig = track_cache(
-        emb.select("vec_id", "embedding", lsh_signature(F.col("embedding")).alias("s"))
+        emb.select(
+            "vec_id",
+            "embedding",
+            lsh_signature(F.col("embedding")).alias("s"),
+            norm(F.col("embedding")).alias("nrm"),
+        )
     )
     a = sig.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "s"
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "s",
+        F.col("nrm").alias("na"),
     )
     b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "s"
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "s",
+        F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("__cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "__cos",
+            cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
         .filter(F.col("__cos") >= 0.3)
         .select("id_a", "id_b", F.round("__cos", 6).alias("sim"))
         .orderBy("id_a", "id_b")
@@ -330,11 +365,16 @@ def ivf_assign(
     v_id: str = "v_id",
     v_vec: str = "v_vec",
     n_best: int = 1,
+    keep_norm: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its ``n_best``
     max-cosine centroids (tie → lowest centroid id). Centroids broadcast;
     one window on the vector id picks the argmax — the posting-list build
-    is a single scan + small shuffle at any corpus size."""
+    is a single scan + small shuffle at any corpus size.
+
+    ``keep_norm=True`` also returns the per-vector norm as ``__vn`` so a
+    downstream pair join (ivf_topk's scoring) reuses it instead of
+    re-folding the self-dot-product per pair (r8 hoist)."""
     # hoist the norms out of the cross join: cosine recomputed per pair
     # would fold each vector's self-dot-product N_CELLS times; the hoisted
     # form is the same IEEE arithmetic (identical fold, then one divide).
@@ -345,10 +385,11 @@ def ivf_assign(
         dot(F.col(v_vec), F.col("cent_vec")) / (F.col("__vn") * F.col("__cn")),
     )
     w = W.partitionBy(v_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
+    out_cols = [v_id, v_vec, "cent_id"] + (["__vn"] if keep_norm else [])
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_best)
-        .select(v_id, v_vec, "cent_id")
+        .select(*out_cols)
     )
 
 
@@ -367,14 +408,27 @@ def ivf_topk(
     cells = ivf_assign(
         corpus_df.select(F.col("c_id").alias("v_id"), F.col("c_vec").alias("v_vec")),
         centroids,
-    ).select(F.col("v_id").alias("c_id"), F.col("v_vec").alias("c_vec"), "cent_id")
+        keep_norm=True,
+    ).select(
+        F.col("v_id").alias("c_id"),
+        F.col("v_vec").alias("c_vec"),
+        "cent_id",
+        F.col("__vn").alias("__cn"),
+    )
     q_cells = ivf_assign(
         queries_df.select(F.col("q_id").alias("v_id"), F.col("q_vec").alias("v_vec")),
         centroids,
         n_best=nprobe,
-    ).select(F.col("v_id").alias("q_id"), F.col("v_vec").alias("q_vec"), "cent_id")
+        keep_norm=True,
+    ).select(
+        F.col("v_id").alias("q_id"),
+        F.col("v_vec").alias("q_vec"),
+        "cent_id",
+        F.col("__vn").alias("__qn"),
+    )
     joined = cells.join(F.broadcast(q_cells), "cent_id").withColumn(
-        "__cos", cosine(F.col("q_vec"), F.col("c_vec"))
+        "__cos",
+        cosine_hoisted(F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")),
     )
     w = W.partitionBy("q_id").orderBy(F.col("__cos").desc(), F.col("c_id"))
     return (
