@@ -98,7 +98,19 @@ def tables(spark: SparkSession, sf_dir: str) -> Catalog:
         return cat
     if len(_CATALOGS) > 16:
         # bound the cache: without eviction, stopped sessions and their
-        # cached DataFrames stay pinned for process lifetime
-        _CATALOGS.clear()
+        # cached DataFrames stay pinned for process lifetime. Evict dead
+        # sessions first; fall back to FIFO of the oldest entries — never
+        # clear() wholesale, which thrashed every LIVE session's schema
+        # cache whenever a 17th (session, sf_dir) combo appeared
+        # (ADVICE r8).
+        dead = [
+            k
+            for k, c in _CATALOGS.items()
+            if getattr(c.spark.sparkContext, "_jsc", None) is None
+        ]
+        for k in dead:
+            del _CATALOGS[k]
+        while len(_CATALOGS) > 16:
+            del _CATALOGS[next(iter(_CATALOGS))]
     cat = _CATALOGS[key] = Catalog(spark, sf_dir)
     return cat

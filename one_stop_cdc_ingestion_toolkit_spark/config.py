@@ -21,8 +21,12 @@ import re
 from pathlib import Path
 
 _PLACEHOLDER = re.compile(r"\$\{(env|file):([^}:]+)(?::([^}]+))?\}")
-#: any provider-shaped placeholder — used AFTER substitution to catch
-#: providers this engine does not implement (e.g. the reference's
+#: any provider-shaped placeholder — matched against the TEMPLATE with
+#: the supported-placeholder spans removed (ADVICE r8: matching the
+#: substituted OUTPUT falsely rejected a legitimately resolved secret
+#: whose VALUE contains ``${word:...}`` text, e.g. a password from a
+#: credentials file or a log4j-style pattern). It catches providers this
+#: engine does not implement (e.g. the reference's
 #: ``${secretsmanager:...}``): the module contract says unresolvable
 #: placeholders RAISE, and an unknown provider passing through as
 #: literal text was exactly the silent-password failure the contract
@@ -48,14 +52,15 @@ def resolve_value(value: str) -> str:
             raise UnresolvedSecretError(f"key {key!r} not in credentials file {name}")
         return str(doc[key])
 
-    out = _PLACEHOLDER.sub(_sub, value)
-    leftover = _ANY_PLACEHOLDER.search(out)
+    # unknown-provider check runs on the UNSUBSTITUTED spans of the
+    # original template, never on resolved secret values (ADVICE r8)
+    leftover = _ANY_PLACEHOLDER.search(_PLACEHOLDER.sub("", value))
     if leftover:
         raise UnresolvedSecretError(
             f"unsupported secret provider in {leftover.group(0)!r} — "
             "this engine resolves ${env:...} and ${file:...:...}"
         )
-    return out
+    return _PLACEHOLDER.sub(_sub, value)
 
 
 def resolve_options(options: dict) -> dict:

@@ -152,6 +152,10 @@ class ChangelogStreamReader(DataSourceStreamReader):
             "maxRecordsPerBatch"
         )
         self.cap = int(cap) if cap else None
+        #: distinguishes sidecars when several streams read one directory
+        #: (ADVICE r8: a shared sidecar let one stream's committed offset
+        #: become another's cap base). Pass a stable id per query.
+        self.stream_id = options.get("streamid") or options.get("streamId")
         #: append-once contract: cache (file -> line count) forever.
         self._sizes: dict[str, int] = {}
         #: high-water mark of any batch end this reader has planned.
@@ -159,12 +163,14 @@ class ChangelogStreamReader(DataSourceStreamReader):
         #: batch committed, so no replay re-syncs it via partitions()),
         #: a fresh reader starting at 0 would make latestOffset REGRESS
         #: below the checkpointed offset and replay consumed records
-        #: (review r7). One stream per directory, like the checkpoint.
+        #: (review r7). One stream per (directory, streamId), like the
+        #: checkpoint. initialOffset() resets this seed — see below.
         self._planned = self._read_committed()
 
     def _commit_file(self) -> str:
         # underscore prefix: invisible to _segments' listing
-        return os.path.join(self.path, "_changelog_committed")
+        suffix = f"-{self.stream_id}" if self.stream_id else ""
+        return os.path.join(self.path, f"_changelog_committed{suffix}")
 
     def _read_committed(self) -> int:
         try:
@@ -183,6 +189,14 @@ class ChangelogStreamReader(DataSourceStreamReader):
         return out
 
     def initialOffset(self) -> dict:
+        # Spark asks for the initial offset ONLY when the checkpoint holds
+        # no offset — a genuinely fresh start (including the standard
+        # delete-checkpoint-to-reprocess workflow). The stream begins at
+        # 0, so the cap base must too: a stale sidecar from a previous
+        # incarnation would otherwise make the first micro-batch plan
+        # [0, committed+cap], silently bypassing maxRecordsPerBatch
+        # (ADVICE r8).
+        self._planned = 0
         return {"total": 0}
 
     def latestOffset(self) -> dict:

@@ -238,8 +238,14 @@ class HttpSchemaRegistryClient(SchemaRegistryClient):
 
     def register(self, subject: str, schema: T.StructType) -> int:
         versions = self.versions(subject)
-        if versions and versions[-1] == schema:
-            return len(versions)
+        # Confluent dedups identical schemas per-subject to the EARLIEST
+        # version (an A→B→A history re-registers A as version 1, not 3),
+        # so search forward and short-circuit on the first match —
+        # returning a later index diverged from the real registry's
+        # contract (ADVICE r8)
+        for i, v in enumerate(versions):
+            if v == schema:
+                return i + 1
         if versions:
             self._check(versions[-1], schema, subject)
         try:
@@ -265,10 +271,12 @@ class HttpSchemaRegistryClient(SchemaRegistryClient):
         # not the per-subject version — re-read the subject and return
         # the index where THIS schema landed (a plain len() could count
         # a concurrent registrant's later version as ours; registration
-        # is rare, so the extra GETs don't matter)
+        # is rare, so the extra GETs don't matter). Forward scan: like
+        # the pre-check above, the registry's contract is dedup-to-
+        # earliest-identical-version (ADVICE r8)
         after = self.versions(subject)
-        for i in range(len(after) - 1, -1, -1):
-            if after[i] == schema:
+        for i, v in enumerate(after):
+            if v == schema:
                 return i + 1
         return len(after)
 

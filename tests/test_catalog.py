@@ -17,6 +17,36 @@ def test_catalog_cache_is_per_session_and_dir(spark):
     assert c1.table("region") is c1.table("region")  # lazy single load
 
 
+def test_cache_eviction_spares_live_sessions(spark):
+    """ADVICE r8: overflow eviction must drop dead-session/oldest entries,
+    never clear() the whole cache (which thrashed every live session's
+    schema cache when a 17th (session, sf_dir) combo appeared)."""
+    from types import SimpleNamespace
+
+    from one_stop_cdc_ingestion_toolkit_spark import catalog as cat_mod
+
+    saved = dict(cat_mod._CATALOGS)
+    try:
+        cat_mod._CATALOGS.clear()
+        live = tables(spark, SF_DIR)
+        dead_sc = SimpleNamespace(_jsc=None)
+        for i in range(17):
+            cat_mod._CATALOGS[(i, f"/fake/{i}")] = SimpleNamespace(
+                spark=SimpleNamespace(sparkContext=dead_sc)
+            )
+        # overflow trigger: a genuinely NEW (session, dir) key past the bound
+        tables(spark, SF_DIR.replace("sf0.001", "sf0.01"))
+        again = tables(spark, SF_DIR + "/")
+        assert again is live  # the live catalog survived the eviction
+        assert all(
+            getattr(c.spark.sparkContext, "_jsc", 1) is not None
+            for c in cat_mod._CATALOGS.values()
+        )
+    finally:
+        cat_mod._CATALOGS.clear()
+        cat_mod._CATALOGS.update(saved)
+
+
 def test_register_views_sql(spark):
     cat = Catalog(spark, SF_DIR)
     cat.register_views(("region", "nation"))

@@ -299,6 +299,59 @@ def test_stream_reader_cap_base_survives_restart(tmp_path):
     assert r2.latestOffset() == {"total": 20}
 
 
+def test_fresh_start_resets_stale_sidecar_cap_base(tmp_path):
+    """ADVICE r8: after the checkpoint is deleted to reprocess (standard
+    workflow), the stale commit sidecar must NOT become the cap base —
+    Spark calls initialOffset() only on a checkpoint-less start, and
+    that resets the base to 0 so maxRecordsPerBatch holds."""
+    from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+        ChangelogStreamReader,
+    )
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "seg0.json").write_text(
+        "".join(json.dumps({"key": str(j), "value": "x"}) + "\n" for j in range(30))
+    )
+    opts = {"path": str(d), "maxRecordsPerBatch": "10"}
+    r1 = ChangelogStreamReader(opts)
+    r1.latestOffset()
+    r1.latestOffset()
+    r1.commit({"total": 20})  # stale sidecar says 20
+    # reprocess: fresh reader AND no checkpoint → Spark asks initialOffset
+    r2 = ChangelogStreamReader(opts)
+    assert r2.initialOffset() == {"total": 0}
+    assert r2.latestOffset() == {"total": 10}  # capped from 0, not 20+cap
+
+
+def test_stream_id_keys_sidecar_per_stream(tmp_path):
+    """ADVICE r8: two queries sharing one source dir clobbered each
+    other's sidecar — the streamId option keys it per stream."""
+    from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+        ChangelogStreamReader,
+    )
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "seg0.json").write_text(
+        "".join(json.dumps({"key": str(j), "value": "x"}) + "\n" for j in range(30))
+    )
+    a = ChangelogStreamReader({"path": str(d), "maxRecordsPerBatch": "10",
+                               "streamid": "qa"})
+    b = ChangelogStreamReader({"path": str(d), "maxRecordsPerBatch": "5",
+                               "streamid": "qb"})
+    a.latestOffset(); a.latestOffset(); a.commit({"total": 20})
+    b.latestOffset(); b.commit({"total": 5})
+    # clean-stop restart (checkpoint intact → no initialOffset call):
+    # each stream resumes from ITS OWN committed base
+    a2 = ChangelogStreamReader({"path": str(d), "maxRecordsPerBatch": "10",
+                                "streamid": "qa"})
+    b2 = ChangelogStreamReader({"path": str(d), "maxRecordsPerBatch": "5",
+                                "streamid": "qb"})
+    assert a2.latestOffset() == {"total": 30}
+    assert b2.latestOffset() == {"total": 10}
+
+
 def test_stream_writer_refuses_reordering_commit(tmp_path):
     """A batch-load segment sorting after the stream's names would
     silently shift every reader's offset mapping — the stream writer

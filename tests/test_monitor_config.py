@@ -80,6 +80,31 @@ def test_unresolved_raises():
         resolve_value("${env:NO_SUCH_VAR}")
 
 
+def test_unknown_provider_raises(monkeypatch):
+    """An unimplemented provider must never pass through as literal
+    password text (review r7) — even next to a resolvable one."""
+    monkeypatch.setenv("OSCI_PW", "s3cret")
+    with pytest.raises(UnresolvedSecretError, match="secretsmanager"):
+        resolve_value("${secretsmanager:prod/db:password}")
+    with pytest.raises(UnresolvedSecretError, match="secretsmanager"):
+        resolve_value("${env:OSCI_PW}:${secretsmanager:prod/db:password}")
+
+
+def test_resolved_secret_may_contain_placeholder_text(monkeypatch, tmp_path):
+    """ADVICE r8: the unknown-provider scan runs on the TEMPLATE's
+    unsubstituted spans, not the substituted output — a legitimately
+    resolved secret whose VALUE contains ${word:...} text (a password,
+    a log4j-style pattern) is a valid config, not an error."""
+    monkeypatch.setenv("OSCI_TRICKY", "pa${ss:wo}rd")
+    assert resolve_value("${env:OSCI_TRICKY}") == "pa${ss:wo}rd"
+    cred = tmp_path / "creds.json"
+    cred.write_text(json.dumps({"pw": "${secretsmanager:looks:like-one}"}))
+    assert (
+        resolve_value(f"${{file:{cred}:pw}}")
+        == "${secretsmanager:looks:like-one}"
+    )
+
+
 def test_freshness_report(spark, tmp_path):
     """freshness(): live/tombstone split, per-table source high-water,
     lag vs a FIXED clock, and None (not zero) for non-CDC tables."""

@@ -227,6 +227,29 @@ def test_http_registry_client_drop_in():
     assert client.latest("nope") is None
 
 
+def test_http_register_dedups_to_earliest_version():
+    """ADVICE r8: Confluent dedups identical schemas per-subject to the
+    ORIGINAL version — an A→B→A history must return 1 for the third
+    register (and not POST a new version)."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        HttpSchemaRegistryClient,
+    )
+
+    server = _FakeRegistryServer()
+    client = HttpSchemaRegistryClient("http://reg:8081", transport=server)
+    a = T.StructType([T.StructField("a", T.LongType(), False)])
+    b = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    assert client.register("s-value", a) == 1
+    assert client.register("s-value", b) == 2
+    assert client.register("s-value", a) == 1  # dedup-to-earliest
+    assert len(server.subjects["s-value"]) == 2  # no third version POSTed
+
+
 def test_http_registry_client_over_real_socket():
     """End-to-end over a real TCP socket: an in-process http.server speaks
     the Confluent subjects/versions protocol and the client uses the
