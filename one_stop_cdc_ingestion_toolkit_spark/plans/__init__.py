@@ -49,6 +49,31 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
 
 
+def exchange_count(df: DataFrame) -> int:
+    """SHUFFLE Exchange nodes in the physical plan — the number the
+    single-shuffle claims in SURVEY §2.5 are about. BroadcastExchange is
+    excluded (broadcasting a small side is the cheap path those claims
+    recommend) and ReusedExchange is excluded (it re-reads an existing
+    shuffle's files — no second shuffle happens). Counted on the initial
+    plan, pre-AQE: AQE can only COALESCE these exchanges at runtime,
+    never add one, so the initial count is the worst case a plan edit
+    must not silently grow."""
+    import re
+
+    return len(
+        re.findall(r"(?<![A-Za-z])Exchange (?:hash|range|Single|round)", physical_plan(df))
+    )
+
+
+def hash_exchange_count(df: DataFrame) -> int:
+    """Only the ``Exchange hashpartitioning`` nodes — the key shuffles the
+    "one key shuffle end-to-end" claims are about (the final presentation
+    ``orderBy`` adds one rangepartitioning that those claims exclude)."""
+    import re
+
+    return len(re.findall(r"Exchange hashpartitioning", physical_plan(df)))
+
+
 def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
     """WholeStageCodegen spans in the plan. Under AQE the final plan only
     exists after execution, so this triggers the query by default."""
