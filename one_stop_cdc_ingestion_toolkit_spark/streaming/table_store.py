@@ -24,6 +24,34 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+def _parseable_lines(path: Path) -> list:
+    """Complete JSON records of an append-only jsonl file. A crash mid-
+    append leaves at most ONE torn line (single writer, O_APPEND) — it is
+    skipped: the record never became durable, exactly like a crash one
+    instruction earlier (crash-fuzz r8)."""
+    if not path.exists():
+        return []
+    out = []
+    with path.open() as f:
+        for line in f:
+            try:
+                out.append(json.loads(line))
+            except ValueError:
+                continue
+    return out
+
+
+def _start_fresh_line(path: Path, f) -> None:
+    """When the file's existing content does not end in a newline (a torn
+    append), emit one first so the new record cannot fuse with the torn
+    fragment into a doubly-corrupt line."""
+    if path.stat().st_size:
+        with path.open("rb") as rf:
+            rf.seek(-1, 2)
+            if rf.read(1) != b"\n":
+                f.write("\n")
+
+
 def key_bucket(n_buckets: int, *cols) -> Column:
     """THE key→bucket hash: ``pmod(xxhash64(cols...), n)`` as int.
 
@@ -58,10 +86,17 @@ class TableStore:
         return self._table_dir(table) / "_HISTORY"
 
     def _log_state(self, table: str, kind: str, state) -> None:
-        """Append one pointer state to the table's _HISTORY jsonl."""
+        """Append one pointer state to the table's _HISTORY jsonl.
+
+        Torn-tail safe (crash-fuzz r8): a kill mid-append can leave a
+        PARTIAL last line with no trailing newline — seq is counted over
+        complete records only (the torn record never became readable, so
+        its seq is legitimately reused), and the append starts on a fresh
+        line so the new record can never fuse with the torn fragment."""
         hf = self._history_file(table)
-        seq = sum(1 for _ in hf.open()) if hf.exists() else 0
+        seq = len(_parseable_lines(hf))
         with hf.open("a") as f:
+            _start_fresh_line(hf, f)
             f.write(json.dumps({"seq": seq, "kind": kind, "state": state}) + "\n")
 
     def history(self, table: str) -> list[dict]:
@@ -72,8 +107,7 @@ class TableStore:
             return []
         out = []
         tdir = self._table_dir(table)
-        for line in hf.open():
-            rec = json.loads(line)
+        for rec in _parseable_lines(hf):
             gens = (
                 [rec["state"]]
                 if rec["kind"] == "snapshot"
@@ -117,27 +151,26 @@ class TableStore:
     def _live_states(self, table: str) -> list:
         """The pointer states whose data must survive pruning: the last
         ``retain + 1`` history entries (current + retained history)."""
-        hf = self._history_file(table)
-        if not hf.exists():
-            return []
-        lines = hf.read_text().splitlines()
-        return [json.loads(x)["state"] for x in lines[-(self.retain + 1) :]]
+        recs = _parseable_lines(self._history_file(table))
+        return [r["state"] for r in recs[-(self.retain + 1) :]]
 
     def _last_seq(self, table: str) -> int | None:
-        """Seq of the most recent pointer flip, parsing ONLY the last
-        _HISTORY line. ``history()`` would also stat() every generation
+        """Seq of the most recent pointer flip, parsing ONLY the trailing
+        _HISTORY lines. ``history()`` would also stat() every generation
         of every record to compute liveness — a per-micro-batch caller
         (log_epoch) doing that accumulates O(batches²) filesystem work
-        (review r7)."""
+        (review r7). Torn-tail safe: a partial last line is skipped."""
         hf = self._history_file(table)
         if not hf.exists():
             return None
         last = None
         with hf.open() as f:
             for line in f:
-                if line.strip():
-                    last = line
-        return json.loads(last)["seq"] if last else None
+                try:
+                    last = json.loads(line)
+                except ValueError:
+                    continue
+        return last["seq"] if last else None
 
     # -- cross-table consistent snapshots (epochs) ------------------------
 
@@ -156,16 +189,14 @@ class TableStore:
             if seq is not None:
                 seqs[t] = seq
         ef = self._epoch_file()
-        epoch = sum(1 for _ in ef.open()) if ef.exists() else 0
+        epoch = len(_parseable_lines(ef))
         with ef.open("a") as f:
+            _start_fresh_line(ef, f)
             f.write(json.dumps({"epoch": epoch, "tables": seqs}) + "\n")
         return epoch
 
     def epochs(self) -> list[dict]:
-        ef = self._epoch_file()
-        if not ef.exists():
-            return []
-        return [json.loads(x) for x in ef.read_text().splitlines()]
+        return _parseable_lines(self._epoch_file())
 
     def read_epoch(
         self, spark: SparkSession, epoch: int
