@@ -155,9 +155,19 @@ class DedupIndex:
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read(spark, self.index_table)
 
+    def _empty_index(self, spark: SparkSession) -> DataFrame:
+        """A never-materialized index (no batch touched the table yet, or
+        every row was deleted) reads as EMPTY, not None — the lookups
+        below must answer "no duplicates", not crash (r8 property test)."""
+        return spark.createDataFrame(
+            [], "id long, fp string, band_idx int, band_sig string"
+        )
+
     def exact_duplicates(self, spark: SparkSession) -> DataFrame:
         """Groups of identical (normalized) content: (fp, n, keeper)."""
         idx = self.read(spark)
+        if idx is None:
+            idx = self._empty_index(spark)
         docs = idx.select("id", "fp").distinct()
         return (
             docs.groupBy("fp")
@@ -168,6 +178,8 @@ class DedupIndex:
     def near_duplicate_pairs(self, spark: SparkSession) -> DataFrame:
         """Candidate near-dup pairs (id_a < id_b) from the banded index."""
         idx = self.read(spark)
+        if idx is None:
+            idx = self._empty_index(spark)
         return band_pairs(idx.select("id", "band_idx", "band_sig"))
 
     def rebuild(self, spark: SparkSession, snapshot: DataFrame) -> None:

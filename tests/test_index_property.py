@@ -1,0 +1,293 @@
+"""Random-batch-split equivalence for ALL incremental maintenance paths
+(judge ask r7 #5): a random CDC stream — inserts/updates/deletes over a
+small key space, redeliveries, stale positions, an optional mid-stream
+BACKWARD DDL — split at random micro-batch boundaries, must leave the
+DedupIndex, SearchIndex, AggView and JoinView equal to a from-scratch
+recompute over the merged snapshot AT EVERY PREFIX, not just at the end.
+
+The fixed-stream equivalence tests (test_dedup_index / test_search_index
+/ test_agg_view / test_join_view) pin the known-tricky orders; this
+property hunts the orders nobody thought of. Bounded examples + slow
+marker: each example runs a real Pipeline over 1-3 micro-batches."""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches
+from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import minhash_lsh_pairs
+from one_stop_cdc_ingestion_toolkit_spark.operators.text import fingerprint
+from one_stop_cdc_ingestion_toolkit_spark.streaming import agg_view as AV
+from one_stop_cdc_ingestion_toolkit_spark.streaming import join_view as JV
+from one_stop_cdc_ingestion_toolkit_spark.streaming.join_view import JoinViewSpec
+from one_stop_cdc_ingestion_toolkit_spark.streaming.pipeline import (
+    Pipeline,
+    PipelineSpec,
+    TableSpec,
+)
+from tests.cdc_fixtures import schema_change_event
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("num", T.LongType(), True),
+    ]
+)
+LABELS_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.StringType(), False),
+        T.StructField("cat", T.StringType(), True),
+    ]
+)
+
+#: text pool: dup-prone pair + distinct search-y texts
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog again and again today",
+    "the quick brown fox jumps over the lazy dog again and again tonight",
+    "table merge table window table scan plus extra words for shingles",
+    "filter project join sort scan scan plus extra words for shingles",
+]
+TERMS = ["table", "scan", "jumps"]
+LABELS = ["x", "y"]
+DOC_IDS = [1, 2, 3, 4, 5]
+
+
+def doc_env(op, pos, doc_id, text, label, num, note=None):
+    row = {"doc_id": doc_id, "text": text, "label": label, "num": num}
+    if note is not None:
+        row["note"] = note
+    return {
+        "key": str(doc_id),
+        "value": json.dumps(
+            {
+                "before": row if op == "d" else None,
+                "after": None if op == "d" else row,
+                "op": op,
+                "ts_ms": 1_700_000_000_000 + pos,
+                "source": {"db": "corpus", "table": "docs", "pos": pos},
+            }
+        ),
+    }
+
+
+def label_env(op, pos, label, cat):
+    row = {"label": label, "cat": cat}
+    return {
+        "key": label,
+        "value": json.dumps(
+            {
+                "before": row if op == "d" else None,
+                "after": None if op == "d" else row,
+                "op": op,
+                "ts_ms": 1_700_000_000_000 + pos,
+                "source": {"db": "corpus", "table": "labels", "pos": pos},
+            }
+        ),
+    }
+
+
+def docs_ddl():
+    return schema_change_event(
+        [
+            ("doc_id", "BIGINT", False),
+            ("text", "VARCHAR", True),
+            ("label", "VARCHAR", True),
+            ("num", "BIGINT", True),
+            ("note", "VARCHAR", True),
+        ],
+        db="corpus",
+        table="docs",
+        ddl="ALTER TABLE docs ADD COLUMN note VARCHAR NULL",
+    )
+
+
+def _spec(base: pathlib.Path) -> PipelineSpec:
+    return PipelineSpec(
+        # unique per example: a failed example must not leave an active
+        # query whose name collides with the next example's
+        name=f"prop_pipe_{base.name.split('-')[-1]}",
+        source_dir=str(base / "stream"),
+        tables=[
+            TableSpec(
+                "docs",
+                ["doc_id"],
+                DOCS_SCHEMA,
+                index_text_col="text",
+                search_text_col="text",
+                agg_group_cols=["label"],
+                agg_sum_cols=["num"],
+            ),
+            TableSpec("labels", ["label"], LABELS_SCHEMA),
+        ],
+        sink_dir=str(base / "lake"),
+        checkpoint_dir=str(base / "ckpt"),
+        join_views=[
+            JoinViewSpec(fact="docs", dim="labels", join_col="label", dim_cols=["cat"])
+        ],
+    )
+
+
+@st.composite
+def cdc_stream(draw):
+    """(events, batch cut points): a random op log with redeliveries and
+    stale positions, an optional BACKWARD DDL, split into 1-3 batches."""
+    n = draw(st.integers(4, 11))
+    with_ddl = draw(st.booleans())
+    ddl_at = draw(st.integers(0, n - 1)) if with_ddl else None
+    events, pos = [], 0
+    for i in range(n):
+        pos += 1
+        if with_ddl and i == ddl_at:
+            events.append(docs_ddl())
+        is_dim = draw(st.integers(0, 4)) == 0
+        if is_dim:
+            op = draw(st.sampled_from(["c", "u", "u", "d"]))
+            events.append(
+                label_env(op, pos, draw(st.sampled_from(LABELS)), f"cat{pos % 3}")
+            )
+        else:
+            op = draw(st.sampled_from(["c", "u", "u", "d", "r"]))
+            note = f"n{pos}" if (with_ddl and i > ddl_at and pos % 2) else None
+            events.append(
+                doc_env(
+                    op,
+                    pos,
+                    draw(st.sampled_from(DOC_IDS)),
+                    draw(st.sampled_from(TEXTS)),
+                    draw(st.sampled_from(LABELS)),
+                    draw(st.integers(0, 50)),
+                    note=note,
+                )
+            )
+        # redelivery / stale reorder: duplicate an earlier event in place
+        if len(events) > 1 and draw(st.integers(0, 5)) == 0:
+            events.append(events[draw(st.integers(0, len(events) - 2))])
+    n_batches = draw(st.integers(1, 3))
+    cuts = sorted(
+        draw(
+            st.lists(
+                st.integers(1, len(events) - 1),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+                unique=True,
+            )
+        )
+    )
+    return events, cuts
+
+
+def _assert_all_views_match(spark, pipe):
+    snap = pipe.read_table("docs")
+    idx = pipe.indexes["docs"]
+    sidx = pipe.search_indexes["docs"]
+    if snap is None or snap.isEmpty():
+        assert idx.near_duplicate_pairs(spark).isEmpty()
+        assert idx.exact_duplicates(spark).isEmpty()
+        return
+    # 1. dedup index ≡ recompute (near-dup candidates + exact groups)
+    pairs = sorted((r.id_a, r.id_b) for r in idx.near_duplicate_pairs(spark).collect())
+    want_pairs = sorted(
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(snap, "doc_id", "text").collect()
+    )
+    assert pairs == want_pairs
+    exact = {(r.fp, r.n, r.keeper) for r in idx.exact_duplicates(spark).collect()}
+    want_exact = {
+        (r.fp, r.n, r.keeper)
+        for r in snap.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n") > 1)
+        .collect()
+    }
+    assert exact == want_exact
+    # 2. search index ≡ recompute (BM25 over the merged snapshot)
+    got_scores = {r["id"]: r["score"] for r in sidx.bm25(spark, TERMS, 10).collect()}
+    import one_stop_cdc_ingestion_toolkit_spark.operators.retrieval as R
+
+    old = R.QUERY_TERMS
+    R.QUERY_TERMS = tuple(TERMS)
+    try:
+        want_scores = {
+            r["doc_id"]: r["score"]
+            for r in R._bm25_scores(snap.select("doc_id", "text")).collect()
+        }
+    finally:
+        R.QUERY_TERMS = old
+    assert set(got_scores) == set(want_scores)
+    for doc_id, s in want_scores.items():
+        assert abs(got_scores[doc_id] - s) <= 1e-3, (doc_id, got_scores[doc_id], s)
+    # 3. agg view ≡ recompute
+    state = pipe.store.read(spark, "docs")
+    ref = AV.recompute_reference(state, ["label"], ["num"])
+    view = pipe.agg_views["docs"].read(spark)
+    assert view is not None
+    assert AV.views_equal(view.select("label", "n", "sum_num"), ref, ["label"]), (
+        sorted(view.collect()),
+        sorted(ref.collect()),
+    )
+    # 4. join view ≡ recompute
+    jref = JV.recompute_reference(
+        state,
+        pipe.store.read(spark, "labels"),
+        pipe.spec.join_views[0],
+        "label",
+        dim_schema=LABELS_SCHEMA,
+    )
+
+    def jrows(df):
+        if df is None:
+            return set()
+        return {
+            (r["doc_id"], r["label"], r["num"], r["labels__cat"])
+            for r in df.collect()
+        }
+
+    assert jrows(pipe.join_views[0].read(spark)) == jrows(jref)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(stream=cdc_stream())
+def test_random_batch_split_views_equal_recompute(spark, stream):
+    events, cuts = stream
+    base = pathlib.Path(tempfile.mkdtemp(prefix="idxprop-"))
+    pipe = None
+    try:
+        spec = _spec(base)
+        pipe = Pipeline(spark, spec)
+        src = pathlib.Path(spec.source_dir)
+        src.mkdir(parents=True, exist_ok=True)
+        bounds = [0, *cuts, len(events)]
+        for bi in range(len(bounds) - 1):
+            chunk = events[bounds[bi] : bounds[bi + 1]]
+            if not chunk:
+                continue
+            with open(src / f"batch-{bi:04d}.json", "w") as f:
+                for e in chunk:
+                    f.write(json.dumps(e) + "\n")
+            pipe.process_available()
+            # the invariant holds at EVERY prefix, not just the end
+            _assert_all_views_match(spark, pipe)
+    finally:
+        if pipe is not None:
+            try:
+                pipe.stop()
+            except Exception:
+                pass
+        release_caches()
+        shutil.rmtree(base, ignore_errors=True)
