@@ -53,8 +53,13 @@ def resolve_value(value: str) -> str:
         return str(doc[key])
 
     # unknown-provider check runs on the UNSUBSTITUTED spans of the
-    # original template, never on resolved secret values (ADVICE r8)
-    leftover = _ANY_PLACEHOLDER.search(_PLACEHOLDER.sub("", value))
+    # original template, never on resolved secret values (ADVICE r8).
+    # Supported spans are replaced by a SPACE, not deleted (review r8):
+    # deletion could splice surrounding literal text into a
+    # placeholder-shaped span ('${foo' + '${env:A}' + ':bar}' would
+    # fuse into '${foo:bar}' and raise on a valid template); the space
+    # breaks the \w+: adjacency so no false span can form.
+    leftover = _ANY_PLACEHOLDER.search(_PLACEHOLDER.sub(" ", value))
     if leftover:
         raise UnresolvedSecretError(
             f"unsupported secret provider in {leftover.group(0)!r} — "

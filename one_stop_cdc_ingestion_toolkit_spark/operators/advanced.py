@@ -666,7 +666,6 @@ def a038_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the embedding."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
         cosine_hoisted,
-        dot,
         lsh_signature,
         norm,
     )
@@ -697,11 +696,12 @@ def a038_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     star = (
         lab.filter(F.col("vec_id") != F.col("rep"))
-        # cosine(v, v) with the norm hoisted: dot/(nrm*nrm) — same doubles
+        # cosine(v, v) with the norm hoisted — same doubles
         # (0⃗ still yields 0/0 = NaN, which sorts/compares >= t as before)
         .filter(
-            dot(F.col("embedding"), F.col("embedding"))
-            / (F.col("nrm") * F.col("nrm"))
+            cosine_hoisted(
+                F.col("embedding"), F.col("embedding"), F.col("nrm"), F.col("nrm")
+            )
             >= SEMANTIC_THRESHOLD
         )
         .select(F.col("rep").alias("id_a"), F.col("vec_id").alias("id_b"))

@@ -382,7 +382,9 @@ def ivf_assign(
     cn = centroids.withColumn("__cn", norm(F.col("cent_vec")))
     scored = vn.crossJoin(F.broadcast(cn)).withColumn(
         "__cos",
-        dot(F.col(v_vec), F.col("cent_vec")) / (F.col("__vn") * F.col("__cn")),
+        cosine_hoisted(
+            F.col(v_vec), F.col("cent_vec"), F.col("__vn"), F.col("__cn")
+        ),
     )
     w = W.partitionBy(v_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
     out_cols = [v_id, v_vec, "cent_id"] + (["__vn"] if keep_norm else [])

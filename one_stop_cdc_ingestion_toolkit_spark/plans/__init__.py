@@ -49,29 +49,41 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
 
 
+def _shuffle_exchange_lines(df: DataFrame, kinds: str) -> int:
+    """Count physical-plan LINES whose operator is a shuffle Exchange of
+    the given kinds. Line-based on purpose (review r8): a
+    ``ReusedExchange [...], Exchange hashpartitioning(...)`` line embeds
+    its child's Exchange text, so a substring count would report a
+    REUSED shuffle (strictly cheaper — the files are read, not
+    re-shuffled) as a second physical one."""
+    import re
+
+    rx = re.compile(rf"^[\s+\-:*()\d]*Exchange (?:{kinds})")
+    return sum(
+        1
+        for line in physical_plan(df).splitlines()
+        if "ReusedExchange" not in line and rx.match(line)
+    )
+
+
 def exchange_count(df: DataFrame) -> int:
     """SHUFFLE Exchange nodes in the physical plan — the number the
     single-shuffle claims in SURVEY §2.5 are about. BroadcastExchange is
     excluded (broadcasting a small side is the cheap path those claims
     recommend) and ReusedExchange is excluded (it re-reads an existing
-    shuffle's files — no second shuffle happens). Counted on the initial
-    plan, pre-AQE: AQE can only COALESCE these exchanges at runtime,
-    never add one, so the initial count is the worst case a plan edit
-    must not silently grow."""
-    import re
-
-    return len(
-        re.findall(r"(?<![A-Za-z])Exchange (?:hash|range|Single|round)", physical_plan(df))
-    )
+    shuffle's files — no second shuffle happens). RoundRobin
+    (repartition(n)) counts (review r8 — it is a full shuffle). Counted
+    on the initial plan, pre-AQE: AQE can only COALESCE these exchanges
+    at runtime, never add one, so the initial count is the worst case a
+    plan edit must not silently grow."""
+    return _shuffle_exchange_lines(df, "hash|range|Single|RoundRobin")
 
 
 def hash_exchange_count(df: DataFrame) -> int:
     """Only the ``Exchange hashpartitioning`` nodes — the key shuffles the
     "one key shuffle end-to-end" claims are about (the final presentation
     ``orderBy`` adds one rangepartitioning that those claims exclude)."""
-    import re
-
-    return len(re.findall(r"Exchange hashpartitioning", physical_plan(df)))
+    return _shuffle_exchange_lines(df, "hash")
 
 
 def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:

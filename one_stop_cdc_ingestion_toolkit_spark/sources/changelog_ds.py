@@ -195,8 +195,15 @@ class ChangelogStreamReader(DataSourceStreamReader):
         # 0, so the cap base must too: a stale sidecar from a previous
         # incarnation would otherwise make the first micro-batch plan
         # [0, committed+cap], silently bypassing maxRecordsPerBatch
-        # (ADVICE r8).
+        # (ADVICE r8). The ON-DISK sidecar is removed too (review r8):
+        # resetting only the in-memory base left a crash window — die
+        # after the first offset is WAL'd but before the first commit(),
+        # and the restarted reader would re-seed from the stale file.
         self._planned = 0
+        try:
+            os.unlink(self._commit_file())
+        except OSError:
+            pass
         return {"total": 0}
 
     def latestOffset(self) -> dict:

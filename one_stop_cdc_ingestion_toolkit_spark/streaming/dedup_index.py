@@ -47,6 +47,7 @@ class DedupIndex:
         id_col: str | None = None,
         text_col: str | None = None,
         n_buckets: int | None = None,
+        id_type: str = "long",
     ):
         """``id_col``/``text_col`` are required for maintenance
         (:meth:`update`); lookups over an existing index need only the
@@ -54,13 +55,18 @@ class DedupIndex:
         key-bucketed layout: an update rewrites only the id-hash buckets
         the batch touched, making the whole maintenance path — fingerprint
         AND write — O(batch), not O(index). Use the same bucketing as the
-        data table so batch locality carries over."""
+        data table so batch locality carries over. ``id_type`` is the
+        document id's Spark SQL type name — only consulted when a lookup
+        runs before any batch materialized the index, so the empty
+        answer's schema matches what a materialized one would carry
+        (review r8)."""
         self.store = store
         self.table = table
         self.index_table = f"{table}__dedup_idx"
         self.id_col = id_col
         self.text_col = text_col
         self.n_buckets = n_buckets
+        self.id_type = id_type
 
     def _bucket_of(self, col: F.Column) -> F.Column:
         return key_bucket(self.n_buckets, col)
@@ -158,9 +164,11 @@ class DedupIndex:
     def _empty_index(self, spark: SparkSession) -> DataFrame:
         """A never-materialized index (no batch touched the table yet, or
         every row was deleted) reads as EMPTY, not None — the lookups
-        below must answer "no duplicates", not crash (r8 property test)."""
+        below must answer "no duplicates", not crash (r8 property test).
+        The id column takes the declared ``id_type`` so the empty and
+        materialized paths agree on schema (review r8)."""
         return spark.createDataFrame(
-            [], "id long, fp string, band_idx int, band_sig string"
+            [], f"id {self.id_type}, fp string, band_idx int, band_sig string"
         )
 
     def exact_duplicates(self, spark: SparkSession) -> DataFrame:

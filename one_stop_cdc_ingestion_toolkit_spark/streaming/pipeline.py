@@ -235,6 +235,7 @@ class Pipeline:
                 t.key_cols[0],
                 t.index_text_col,
                 n_buckets=t.n_buckets,
+                id_type=t.row_schema[t.key_cols[0]].dataType.simpleString(),
             )
             for t in spec.tables
             if t.index_text_col

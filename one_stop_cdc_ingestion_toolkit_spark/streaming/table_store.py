@@ -41,6 +41,26 @@ def _parseable_lines(path: Path) -> list:
     return out
 
 
+def _complete_record_count(path: Path) -> int:
+    """Number of complete records, parsing AT MOST the last line (the
+    only one a single-writer append crash can tear — review r8: the
+    per-append callers must stay O(lines), not O(lines) json parses)."""
+    if not path.exists():
+        return 0
+    n, last = 0, None
+    with path.open() as f:
+        for line in f:
+            if line.strip():
+                n += 1
+                last = line
+    if last is not None:
+        try:
+            json.loads(last)
+        except ValueError:
+            n -= 1
+    return n
+
+
 def _start_fresh_line(path: Path, f) -> None:
     """When the file's existing content does not end in a newline (a torn
     append), emit one first so the new record cannot fuse with the torn
@@ -94,7 +114,7 @@ class TableStore:
         its seq is legitimately reused), and the append starts on a fresh
         line so the new record can never fuse with the torn fragment."""
         hf = self._history_file(table)
-        seq = len(_parseable_lines(hf))
+        seq = _complete_record_count(hf)
         with hf.open("a") as f:
             _start_fresh_line(hf, f)
             f.write(json.dumps({"seq": seq, "kind": kind, "state": state}) + "\n")
@@ -155,22 +175,30 @@ class TableStore:
         return [r["state"] for r in recs[-(self.retain + 1) :]]
 
     def _last_seq(self, table: str) -> int | None:
-        """Seq of the most recent pointer flip, parsing ONLY the trailing
-        _HISTORY lines. ``history()`` would also stat() every generation
-        of every record to compute liveness — a per-micro-batch caller
-        (log_epoch) doing that accumulates O(batches²) filesystem work
-        (review r7). Torn-tail safe: a partial last line is skipped."""
+        """Seq of the most recent pointer flip, json-parsing at most the
+        last TWO _HISTORY lines. ``history()`` would also stat() every
+        generation of every record to compute liveness — a
+        per-micro-batch caller (log_epoch) doing that accumulates
+        O(batches²) filesystem work (review r7) — and parsing every line
+        per call would be O(batches²) json parses (review r8). Torn-tail
+        safe: only the final line can be torn (single writer, O_APPEND);
+        if it fails to parse, fall back to the line before it."""
         hf = self._history_file(table)
         if not hf.exists():
             return None
-        last = None
+        last, prev = None, None
         with hf.open() as f:
             for line in f:
-                try:
-                    last = json.loads(line)
-                except ValueError:
-                    continue
-        return last["seq"] if last else None
+                if line.strip():
+                    prev, last = last, line
+        for candidate in (last, prev):
+            if candidate is None:
+                continue
+            try:
+                return json.loads(candidate)["seq"]
+            except ValueError:
+                continue
+        return None
 
     # -- cross-table consistent snapshots (epochs) ------------------------
 
@@ -189,7 +217,7 @@ class TableStore:
             if seq is not None:
                 seqs[t] = seq
         ef = self._epoch_file()
-        epoch = len(_parseable_lines(ef))
+        epoch = _complete_record_count(ef)
         with ef.open("a") as f:
             _start_fresh_line(ef, f)
             f.write(json.dumps({"epoch": epoch, "tables": seqs}) + "\n")

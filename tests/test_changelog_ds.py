@@ -322,6 +322,12 @@ def test_fresh_start_resets_stale_sidecar_cap_base(tmp_path):
     r2 = ChangelogStreamReader(opts)
     assert r2.initialOffset() == {"total": 0}
     assert r2.latestOffset() == {"total": 10}  # capped from 0, not 20+cap
+    # review r8: the reset must reach DISK too — crash after the first
+    # offset is WAL'd but before the first commit(), and the NEXT fresh
+    # reader (which skips initialOffset: the WAL has an offset) must not
+    # re-seed its cap base from the stale pre-reprocess sidecar
+    r3 = ChangelogStreamReader(opts)
+    assert r3.latestOffset() == {"total": 10}
 
 
 def test_stream_id_keys_sidecar_per_stream(tmp_path):

@@ -183,6 +183,43 @@ def test_bucketed_write_crash_points(spark, tmp_path, point, monkeypatch):
         assert (tdir / gen / f"__bucket={b}").exists()
 
 
+def test_last_seq_parses_at_most_last_line(spark, tmp_path):
+    """review r8: _last_seq is on the per-micro-batch path (log_epoch) —
+    it must fall back to the line BEFORE a torn tail without parsing the
+    whole file, and _complete_record_count must count complete records."""
+    store = TableStore(tmp_path / "lake", retain=2)
+    store.write(_df(spark, [(1, "a")]), "t")
+    store.write(_df(spark, [(2, "b")]), "t")
+    assert store._last_seq("t") == 1
+    hf = tmp_path / "lake" / "t" / "_HISTORY"
+    with hf.open("a") as f:
+        f.write('{"seq": 2, "kind": "snap')  # torn tail
+    assert store._last_seq("t") == 1  # falls back to the previous line
+    store.write(_df(spark, [(3, "c")]), "t")
+    assert store._last_seq("t") == 2  # torn record's seq reused
+
+
+def test_empty_dedup_index_matches_declared_id_type(spark, tmp_path):
+    """review r8: a never-materialized index's empty answer must carry
+    the DECLARED id type, not an assumed long."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import (
+        DedupIndex,
+    )
+
+    idx = DedupIndex(
+        BucketedTableStore(tmp_path / "lake"),
+        "docs",
+        "doc_id",
+        "text",
+        id_type="string",
+    )
+    pairs = idx.near_duplicate_pairs(spark)
+    exact = idx.exact_duplicates(spark)
+    assert pairs.isEmpty() and exact.isEmpty()
+    assert dict(pairs.dtypes)["id_a"] == "string"
+    assert dict(exact.dtypes)["keeper"] == "string"
+
+
 def test_torn_epoch_line_recovers(spark, tmp_path):
     """A kill mid-append to _EPOCHS must not poison epochs()/read_epoch,
     and the next log_epoch must start a fresh line (no record fusion)."""

@@ -103,6 +103,10 @@ def test_resolved_secret_may_contain_placeholder_text(monkeypatch, tmp_path):
         resolve_value(f"${{file:{cred}:pw}}")
         == "${secretsmanager:looks:like-one}"
     )
+    # review r8: removing the supported span must not FUSE the literal
+    # text around it into a placeholder-shaped span
+    monkeypatch.setenv("OSCI_A", "VAL")
+    assert resolve_value("${foo${env:OSCI_A}:bar}") == "${fooVAL:bar}"
 
 
 def test_freshness_report(spark, tmp_path):

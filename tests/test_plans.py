@@ -383,6 +383,32 @@ def test_simhash_band_cardinality_scales_with_corpus(spark):
     assert big > small, (small, big)
 
 
+def test_exchange_count_sees_roundrobin_and_skips_reuse(spark):
+    """review r8: repartition(n) is a full shuffle and must count; a
+    ReusedExchange line embeds its child's Exchange text and must NOT."""
+    from pyspark.sql import functions as F
+
+    from one_stop_cdc_ingestion_toolkit_spark.plans import (
+        exchange_count,
+        hash_exchange_count,
+        physical_plan,
+    )
+
+    rr = spark.range(100).repartition(7)
+    assert exchange_count(rr) == 1
+
+    base = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("g")
+    )
+    agg = base.groupBy("g").count()
+    joined = agg.alias("a").join(agg.alias("b"), "g")
+    plan = physical_plan(joined)
+    if "ReusedExchange" in plan:  # Spark reuses the identical subtree
+        assert hash_exchange_count(joined) == 1, plan
+    else:  # pragma: no cover - planner chose not to reuse
+        assert hash_exchange_count(joined) <= 2
+
+
 def test_exchange_count_budgets(spark):
     """Shuffle-count budgets for the heaviest/claimed plans (judge ask
     r7 #6): SURVEY §2.5 asserts "one key shuffle end-to-end" for
@@ -415,17 +441,20 @@ def test_exchange_count_budgets(spark):
         assert hash_exchange_count(df) == 1, name
         assert exchange_count(df) <= 2, name
         release_caches()
+    # measured on the shipping plans with the line-based counter (which,
+    # unlike the first cut, sees the deliberate widen_narrow_scan
+    # RoundRobin repartitions and skips ReusedExchange lines — review r8)
     budgets = {
-        "q43_minhash_lsh_pairs": 3,
+        "q43_minhash_lsh_pairs": 5,
         "c88_decontaminate": 3,
         "a119_bloom_prefilter": 2,
         "a141_cluster_retention": 2,
         "d96_dup_clusters": 1,
-        "a0006_minhash_pairs_collapsed": 11,
-        "q44_ngram_jaccard_dups": 17,
-        "a027_triangle_census": 20,
-        "a004_containment_pairs": 77,
-        "a0007_jaccard_pairs_collapsed": 116,
+        "a0006_minhash_pairs_collapsed": 16,
+        "q44_ngram_jaccard_dups": 25,
+        "a027_triangle_census": 56,
+        "a004_containment_pairs": 153,
+        "a0007_jaccard_pairs_collapsed": 160,
     }
     over = []
     for name, budget in budgets.items():
