@@ -320,12 +320,46 @@ def _duck_sig(vec: str) -> str:
 
 @register(
     "a0054_jl_distortion",
-    f"""WITH sig AS (
-          SELECT vec_id, embedding, {_duck_sig('embedding')} AS s,
-                 {_duck_jl_vec('embedding')} AS proj,
-                 {_duck_dot2('embedding', 'embedding')} AS n64,
-                 {_duck_dot2('proj', 'proj', JL_DIM)} AS n16
-          FROM embeddings),
+    # The sign matrices are md5-CONSTANTS per (plane, dim) — DuckDB does
+    # not constant-fold md5 out of a per-row list_transform lambda, so
+    # the old inline form paid 1,536 md5 calls PER ROW (a 40 s oracle at
+    # sf0.1, review r8). Deriving them ONCE in CTEs — still from
+    # DuckDB's own md5, same seed strings, and folding in the identical
+    # left-to-right order (srow[i]·vec[i], i ascending) — keeps the
+    # recomputation independent and the doubles bit-identical.
+    f"""WITH jsign AS (
+          SELECT p, list(CASE WHEN substr(md5('j' || p || ':' || i), 1, 1)
+                              < '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS srow
+          FROM generate_series(0, {JL_DIM - 1}) t(p)
+               CROSS JOIN generate_series(0, {EMB_DIM - 1}) u(i)
+          GROUP BY p),
+        lsign AS (
+          SELECT p, list(CASE WHEN substr(md5(p || ':' || i), 1, 1)
+                              < '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS srow
+          FROM generate_series(0, 7) t(p)
+               CROSS JOIN generate_series(0, {EMB_DIM - 1}) u(i)
+          GROUP BY p),
+        prj AS (
+          SELECT e.vec_id, j.p,
+                 list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> j.srow[i] * CAST(e.embedding[i] AS DOUBLE))) / 4.0 AS v
+          FROM embeddings e CROSS JOIN jsign j),
+        proj AS (SELECT vec_id, list(v ORDER BY p) AS proj
+                 FROM prj GROUP BY vec_id),
+        sigp AS (
+          SELECT e.vec_id, l.p,
+                 CASE WHEN list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> l.srow[i] * CAST(e.embedding[i] AS DOUBLE))) >= 0
+                 THEN '1' ELSE '0' END AS bit
+          FROM embeddings e CROSS JOIN lsign l),
+        sigs AS (SELECT vec_id, string_agg(bit, '' ORDER BY p) AS s
+                 FROM sigp GROUP BY vec_id),
+        sig AS (
+          SELECT e.vec_id, e.embedding, sigs.s, proj.proj,
+                 {_duck_dot2('e.embedding', 'e.embedding')} AS n64,
+                 {_duck_dot2('proj.proj', 'proj.proj', JL_DIM)} AS n16
+          FROM embeddings e
+          JOIN proj USING (vec_id) JOIN sigs USING (vec_id)),
         pairs AS (
           SELECT sqrt(GREATEST(a.n64 + b.n64
                       - 2.0 * ({_duck_dot2('a.embedding', 'b.embedding')}), 0.0))
