@@ -105,7 +105,17 @@ class SnapshotBackfill:
         f = self._progress_file()
         if not f.exists():
             return 0
-        doc = json.loads(f.read_text())
+        try:
+            doc = json.loads(f.read_text())
+        except ValueError as exc:
+            # _save_done writes atomically (tmp + replace), so a torn
+            # file cannot come from a crashed backfill — only external
+            # corruption. Fail loudly rather than silently restarting a
+            # possibly-huge backfill from chunk 0 (review r8).
+            raise ValueError(
+                f"backfill progress file {f} is corrupt — delete it to "
+                "restart from chunk 0 (chunk re-application is idempotent)"
+            ) from exc
         stored_total = doc.get("total_chunks")
         stored_pos = doc.get("snapshot_pos")
         if stored_total is not None and stored_total != len(self.plan()):
@@ -125,7 +135,12 @@ class SnapshotBackfill:
         return doc.get("next_chunk", 0)
 
     def _save_done(self, next_chunk: int, total: int) -> None:
-        self._progress_file().write_text(
+        # atomic replace (review r8): a kill mid-write must never tear
+        # the progress file — resume trusts it (same tmp+replace
+        # discipline as the table store's pointers)
+        f = self._progress_file()
+        tmp = f.with_name(f.name + ".tmp")
+        tmp.write_text(
             json.dumps(
                 {
                     "table": self.table,
@@ -135,6 +150,7 @@ class SnapshotBackfill:
                 }
             )
         )
+        tmp.replace(f)
 
     # -- planning ----------------------------------------------------------
 

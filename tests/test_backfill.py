@@ -175,3 +175,25 @@ def test_null_chunk_key_rejected(spark, tmp_path):
     bf = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
     with pytest.raises(ValueError, match="NULL"):
         bf.plan()
+
+
+def test_progress_write_is_atomic_and_torn_file_is_loud(spark, tmp_path):
+    """review r8: _save_done must tmp+replace (a kill mid-write never
+    tears the progress file), and a corrupt file — only possible via
+    external damage — must raise a clear error, not restart silently."""
+    import os
+
+    import pytest
+
+    p = _pipeline(spark, tmp_path, "atomic")
+    src = _source_df(spark)
+    bf = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
+    bf.step()
+    f = bf._progress_file()
+    assert f.exists()
+    # the temp never lingers after a successful save
+    assert not [n for n in os.listdir(f.parent) if n.endswith(".tmp")]
+    f.write_text('{"table": "person", "next_ch')  # external corruption
+    bf2 = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
+    with pytest.raises(ValueError, match="corrupt"):
+        bf2.status()
