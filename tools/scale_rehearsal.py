@@ -5,6 +5,11 @@ count stays orders of magnitude under corpus², no pair blowup).
 
 Usage: python tools/scale_rehearsal.py [--sizes 5000,20000,50000]
        python tools/scale_rehearsal.py --hot 2000 [--sizes 20000]
+       python tools/scale_rehearsal.py --sizes 20000,50000,200000 --reps 1
+
+``--reps`` caps the per-cell repeat count (default 2 — min-of-2); use 1
+for the 200k quadratic-regime cells (q44/a0007 run ~10 min each there,
+see BASELINE "Appendix: 200k-doc decade").
 
 ``--hot N`` runs the SKEW rehearsal instead: the clustering consumers
 (d96/a141, whose edge generation star-collapses identical-signature
@@ -37,6 +42,9 @@ QUERIES = (
     # round-5 additions in the same family (inverted-index / sketch)
     "a0003_crosslang_dups",
     "a0005_kmv_overlap",
+    # round-7 collapsed production shapes (r8: part of the 200k decade)
+    "a0006_minhash_pairs_collapsed",
+    "a0007_jaccard_pairs_collapsed",
 )
 
 
@@ -46,9 +54,10 @@ def main() -> None:
     # raised IndexError / silently ignored the value).
     sizes = [5_000, 20_000, 50_000]
     hot = 0
+    reps = 2
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
-        if a.startswith("--sizes") or a.startswith("--hot"):
+        if a.startswith(("--sizes", "--hot", "--reps")):
             if "=" in a:
                 val = a.split("=", 1)[1]
             elif i + 1 < len(argv):
@@ -56,10 +65,12 @@ def main() -> None:
             else:
                 sys.exit(
                     "usage: scale_rehearsal.py [--sizes=5000,20000,50000]"
-                    " [--hot=2000]"
+                    " [--hot=2000] [--reps=2]"
                 )
             if a.startswith("--sizes"):
                 sizes = [int(x) for x in val.split(",")]
+            elif a.startswith("--reps"):
+                reps = int(val)
             else:
                 hot = int(val)
 
@@ -102,7 +113,7 @@ def main() -> None:
         cells = []
         for v in variants:
             best, rows = float("inf"), 0
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.time()
                 rows = qs[q](spark, dirs[v]).count()
                 best = min(best, time.time() - t0)
