@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 
 #: F2-estimator key-sample: keys whose first md5 hex digit is '0' (1/16).
 F2_SALT = "f2:"
@@ -148,7 +148,10 @@ def a118_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side filter, which is the point of the operator. Both are
     computed here to report the realized relative error."""
     li = tables(spark, sf_dir)["lineitem"]
-    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    # cached: the per-key count frame feeds BOTH the exact and the
+    # sampled estimate — uncached, each agg re-ran the full lineitem
+    # scan + count (review r8; released by operators.release_caches)
+    cnt = track_cache(li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c")))
     f2 = (F.col("c") * F.col("c")).cast("long")
     act = cnt.agg(F.sum(f2).alias("actual_f2"))
     sampled = cnt.filter(
@@ -420,7 +423,9 @@ def a123_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-cardinality agg broadcast back."""
     t = tables(spark, sf_dir)
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
-    rev = (
+    # cached: the join+agg feeds the segment totals AND the HHI pass —
+    # uncached, the orders⋈customer join ran twice (review r8)
+    rev = track_cache(
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "o_custkey")
@@ -470,7 +475,6 @@ def a124_session_gap_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.select(
         "user_id", (us - F.lag(us).over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
-    gap_s = (F.col("gap_us") / F.lit(1000000)).cast("long")
     bucket = F.floor(F.log2(F.lit(1) + F.col("gap_us") / F.lit(1000000))).cast("int")
     return (
         g.groupBy(bucket.alias("bucket"))
@@ -518,19 +522,23 @@ def a125_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every join after the first agg broadcasts or co-partitions on
     user_id."""
     ev = tables(spark, sf_dir)["events"]
-    v = (
+    # each stage frame is cached: every one is consumed 2-3 times (the
+    # next stage's join, the timing join, its count) and uncached every
+    # consumer re-executed the whole upstream chain — the counts row
+    # alone re-scanned events ~6x (review r8)
+    v = track_cache(
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_v"))
     )
-    c = (
+    c = track_cache(
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_v"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_c"))
     )
-    p = (
+    p = track_cache(
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_c"))
@@ -768,9 +776,14 @@ def a136_chisq_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     The contingency table is key-cardinality sized (types × 7), so
     after the one counting shuffle everything joins broadcast."""
     ev = tables(spark, sf_dir)["events"]
-    obs = ev.groupBy(
-        "event_type", (F.weekday(F.col("ts")) + 1).alias("dow")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    # cached: the ≤35-cell contingency table feeds the totals, both
+    # margins AND the statistic — uncached, the event scan ran four
+    # times (review r8; released by operators.release_caches)
+    obs = track_cache(
+        ev.groupBy(
+            "event_type", (F.weekday(F.col("ts")) + 1).alias("dow")
+        ).agg(F.count(F.lit(1)).alias("o"))
+    )
     tot = obs.agg(
         F.sum("o").cast("long").alias("n"),
         F.countDistinct("event_type").alias("r"),

@@ -362,10 +362,14 @@ def a008_welch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated shuffle."""
     ev = tables(spark, sf_dir)["events"]
     m = F.round(F.col("value") * 1000).cast("decimal(38,0)")
-    per = ev.select("event_type", m.alias("m")).groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("m").alias("s1"),
-        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    # cached: the per-type moment frame feeds the totals AND the test —
+    # uncached, the event scan ran twice (review r8)
+    per = track_cache(
+        ev.select("event_type", m.alias("m")).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("m").alias("s1"),
+            F.sum(F.col("m") * F.col("m")).alias("s2"),
+        )
     )
     tot = per.agg(
         F.sum("n").alias("tn"), F.sum("s1").alias("t1"), F.sum("s2").alias("t2")
@@ -1470,8 +1474,13 @@ def a021_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
     ).filter(F.col("nxt").isNotNull())
-    t = seq.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
-        F.count(F.lit(1)).alias("n")
+    # cached: the types² transition counts feed the row totals AND the
+    # probabilities — uncached, the events window pass ran twice
+    # (review r8)
+    t = track_cache(
+        seq.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     tot = t.groupBy("cur").agg(F.sum("n").alias("tn"))
     return (

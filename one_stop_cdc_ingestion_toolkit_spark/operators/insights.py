@@ -181,10 +181,14 @@ def a028_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     0 = Sunday (Spark's dayofweek is 1-based). One partial-agg shuffle
     to 168 cells; the total re-joins as a broadcast literal row."""
     ev = tables(spark, sf_dir)["events"]
-    cells = ev.groupBy(
-        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
-        F.hour("ts").cast("int").alias("hr"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # cached: the 168-cell frame feeds the total AND the lift projection
+    # — uncached, the corpus scan ran twice (review r8)
+    cells = track_cache(
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
     tot = cells.agg(F.sum("n").alias("total"))
     return (
         cells.crossJoin(F.broadcast(tot))

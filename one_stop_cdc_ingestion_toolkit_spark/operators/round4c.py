@@ -85,13 +85,18 @@ def a055_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations × segments × bands rows), with the corpus total carried by
     a broadcast 1-row frame — no global window, no second data scan."""
     c = tables(spark, sf_dir)["customer"]
-    qi = c.groupBy(
-        "c_nationkey",
-        "c_mktsegment",
-        F.floor(F.col("c_acctbal").cast("double") / BAL_BAND)
-        .cast("long")
-        .alias("bal_band"),
-    ).agg(F.count(F.lit(1)).alias("k"))
+    # cached: the class-size frame feeds the corpus total AND the tier
+    # rollup — uncached, the customer scan ran twice, contradicting the
+    # "no second data scan" claim below (review r8)
+    qi = track_cache(
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal").cast("double") / BAL_BAND)
+            .cast("long")
+            .alias("bal_band"),
+        ).agg(F.count(F.lit(1)).alias("k"))
+    )
     tiers = qi.select(
         F.when(F.col("k") == 1, 1)
         .when(F.col("k") < 5, 2)
