@@ -386,8 +386,25 @@ def ivf_assign(
             F.col(v_vec), F.col("cent_vec"), F.col("__vn"), F.col("__cn")
         ),
     )
-    w = W.partitionBy(v_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
     out_cols = [v_id, v_vec, "cent_id"] + (["__vn"] if keep_norm else [])
+    if n_best == 1:
+        # the common (corpus-side) case as a partial-aggregable max_by —
+        # the a110 argmax discipline (r8): the broadcast cross join
+        # keeps all N_CELLS scored rows of a vector in ONE partition, so
+        # the partial agg finishes map-side and the shuffle carries one
+        # row per vector, where the window shape shuffled N_CELLS rows
+        # per vector and then sorted them. The (cos, -cent_id) struct
+        # makes the order total — same winner as the window's
+        # (cos DESC, cent_id ASC).
+        ord_ = F.struct(
+            F.col("__cos").alias("c"), (-F.col("cent_id")).alias("nc")
+        )
+        return scored.groupBy(v_id).agg(
+            F.first(v_vec).alias(v_vec),
+            F.max_by("cent_id", ord_).alias("cent_id"),
+            F.first("__vn").alias("__vn"),
+        ).select(*out_cols)
+    w = W.partitionBy(v_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n_best)
