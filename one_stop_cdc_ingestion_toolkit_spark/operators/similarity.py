@@ -387,7 +387,12 @@ def ivf_assign(
         ),
     )
     out_cols = [v_id, v_vec, "cent_id"] + (["__vn"] if keep_norm else [])
-    if n_best == 1:
+    from pyspark.sql import types as T
+
+    numeric_id = isinstance(
+        centroids.schema["cent_id"].dataType, T.NumericType
+    )
+    if n_best == 1 and numeric_id:
         # the common (corpus-side) case as a partial-aggregable max_by —
         # the a110 argmax discipline (r8): the broadcast cross join
         # keeps all N_CELLS scored rows of a vector in ONE partition, so
@@ -395,7 +400,9 @@ def ivf_assign(
         # row per vector, where the window shape shuffled N_CELLS rows
         # per vector and then sorted them. The (cos, -cent_id) struct
         # makes the order total — same winner as the window's
-        # (cos DESC, cent_id ASC).
+        # (cos DESC, cent_id ASC). Gated on a NUMERIC cent_id (review
+        # r8): the negation tie-break would reject string/UUID ids the
+        # window path accepts — those fall through to the window.
         ord_ = F.struct(
             F.col("__cos").alias("c"), (-F.col("cent_id")).alias("nc")
         )

@@ -107,11 +107,13 @@ class SnapshotBackfill:
             return 0
         try:
             doc = json.loads(f.read_text())
+            if not isinstance(doc, dict):
+                raise ValueError(f"not an object: {doc!r:.40}")
         except ValueError as exc:
-            # _save_done writes atomically (tmp + replace), so a torn
-            # file cannot come from a crashed backfill — only external
-            # corruption. Fail loudly rather than silently restarting a
-            # possibly-huge backfill from chunk 0 (review r8).
+            # _save_done writes atomically (tmp + fsync + replace), so a
+            # torn file should not come from a crashed backfill — fail
+            # loudly rather than silently restarting a possibly-huge
+            # backfill from chunk 0 (review r8).
             raise ValueError(
                 f"backfill progress file {f} is corrupt — delete it to "
                 "restart from chunk 0 (chunk re-application is idempotent)"
@@ -137,19 +139,27 @@ class SnapshotBackfill:
     def _save_done(self, next_chunk: int, total: int) -> None:
         # atomic replace (review r8): a kill mid-write must never tear
         # the progress file — resume trusts it (same tmp+replace
-        # discipline as the table store's pointers)
+        # discipline as the table store's pointers). fsync before the
+        # rename: on a writeback filesystem the rename can be journaled
+        # before the data blocks land, which would re-create the torn
+        # file after a POWER loss, not just a process kill.
+        import os
+
         f = self._progress_file()
         tmp = f.with_name(f.name + ".tmp")
-        tmp.write_text(
-            json.dumps(
-                {
-                    "table": self.table,
-                    "next_chunk": next_chunk,
-                    "total_chunks": total,
-                    "snapshot_pos": self.snapshot_pos,
-                }
+        with tmp.open("w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "table": self.table,
+                        "next_chunk": next_chunk,
+                        "total_chunks": total,
+                        "snapshot_pos": self.snapshot_pos,
+                    }
+                )
             )
-        )
+            fh.flush()
+            os.fsync(fh.fileno())
         tmp.replace(f)
 
     # -- planning ----------------------------------------------------------

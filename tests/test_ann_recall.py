@@ -117,3 +117,25 @@ def test_lsh_signature_arrow_and_jvm_bit_identical(spark):
             ).collect()
         }
         assert a == b and len(a) > 0
+
+
+def test_ivf_assign_accepts_non_numeric_cent_id(spark):
+    """review r8: the max_by fast path's negation tie-break is gated on
+    numeric cent_ids — string ids must fall through to the window path
+    with identical argmax semantics."""
+    from pyspark.sql import functions as F
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import ivf_assign
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "v_id long, v_vec array<double>"
+    )
+    cents = spark.createDataFrame(
+        [("ca", [1.0, 0.1]), ("cb", [0.1, 1.0])],
+        "cent_id string, cent_vec array<double>",
+    )
+    got = {
+        r["v_id"]: r["cent_id"]
+        for r in ivf_assign(vecs, cents).collect()
+    }
+    assert got == {1: "ca", 2: "cb"}

@@ -197,3 +197,18 @@ def test_progress_write_is_atomic_and_torn_file_is_loud(spark, tmp_path):
     bf2 = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
     with pytest.raises(ValueError, match="corrupt"):
         bf2.status()
+
+
+def test_valid_but_non_object_progress_file_is_loud(spark, tmp_path):
+    """review r8: corruption into VALID non-object JSON must raise the
+    same clear 'corrupt' error, not an AttributeError."""
+    import pytest
+
+    p = _pipeline(spark, tmp_path, "nonobj")
+    src = _source_df(spark)
+    bf = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
+    bf.step()
+    bf._progress_file().write_text("42")
+    bf2 = SnapshotBackfill(p, "person", src, "firstName", chunk_size=3)
+    with pytest.raises(ValueError, match="corrupt"):
+        bf2.status()

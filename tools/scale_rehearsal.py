@@ -71,6 +71,8 @@ def main() -> None:
                 sizes = [int(x) for x in val.split(",")]
             elif a.startswith("--reps"):
                 reps = int(val)
+                if reps < 1:
+                    sys.exit("--reps must be >= 1")
             else:
                 hot = int(val)
 
