@@ -763,8 +763,12 @@ def a039_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 via TakeOrderedAndProject. skew_factor > ~4 on a head key is
     the standard trigger for salting (or AQE skew-join at runtime)."""
     li = tables(spark, sf_dir)["lineitem"]
-    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
-        F.count(F.lit(1)).alias("n")
+    # cached: the per-key counts feed the totals AND the share
+    # projection — uncached, the lineitem scan ran twice (review r8)
+    k = track_cache(
+        li.groupBy(F.col("l_suppkey").alias("key")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
     )
     g = k.agg(
         F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).alias("n_keys")

@@ -553,7 +553,11 @@ def a010_segment_dup_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide frequency then derives from this compact frame (a
     # re-agg, not a second explode), and the join back is digest-table
     # sized instead of occurrence-stream sized.
-    per_sd = segs.groupBy("source", "dig").agg(F.count(F.lit(1)).alias("m"))
+    # cached (review r8): per_sd feeds the corpus-wide re-agg AND the
+    # join back — uncached, the segment explode ran twice
+    per_sd = track_cache(
+        segs.groupBy("source", "dig").agg(F.count(F.lit(1)).alias("m"))
+    )
     per_d = per_sd.groupBy("dig").agg(F.sum("m").alias("c"))
     dup_m = F.when(F.col("c") > 1, F.col("m")).otherwise(F.lit(0))
     return (
@@ -1397,8 +1401,13 @@ def a020_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge list embeds the banded SimHash self-join; deg + every PR
     # iteration re-reads it, so persist once (released via release_caches)
     edges = track_cache(edges)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
+    # deg cached too (review r8): it is re-read by the node count, the
+    # initial ranks AND every iteration's rebuild — each was a fresh
+    # groupBy shuffle over the cached edges
+    deg = track_cache(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("d")
+        )
     )
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     pr = deg.crossJoin(F.broadcast(n)).select(

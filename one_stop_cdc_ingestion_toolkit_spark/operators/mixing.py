@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 
 #: epochs materialized by the e151 audit query.
 N_EPOCHS = 3
@@ -105,14 +105,18 @@ def a006_mix_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``explode(sequence(...))`` — rows never move, they multiply in
     place. The query audits n_orig → n_materialized per source."""
     d = tables(spark, sf_dir)["documents"]
-    f_tab = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_orig"),
-        (
-            F.lit(1)
-            + F.floor(F.avg(F.col("n_chars").cast("double")) / F.lit(200.0))
+    # cached (review r8): the factor table is broadcast into the repeat
+    # AND joined into the audit row — uncached, its corpus agg ran twice
+    f_tab = track_cache(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_orig"),
+            (
+                F.lit(1)
+                + F.floor(F.avg(F.col("n_chars").cast("double")) / F.lit(200.0))
+            )
+            .cast("int")
+            .alias("factor"),
         )
-        .cast("int")
-        .alias("factor"),
     )
     exploded = d.join(F.broadcast(f_tab), "source").select(
         "source",

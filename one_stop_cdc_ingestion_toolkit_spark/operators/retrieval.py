@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     _duck_cos,
     cosine_hoisted,
@@ -304,9 +304,15 @@ def a108_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserting the estimate landed within SKETCH_TOL of it; the oracle
     emits literal TRUE. Deterministic for fixed input — not flaky."""
     ev = tables(spark, sf_dir)["events"]
-    per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact"),
+    # cached (review r8): the per-type sketch frame feeds the per-group
+    # rows AND the merged-union row — uncached, the sketch-building
+    # event scan ran twice (the global exact rescan below is inherent:
+    # users span types, so it cannot derive from the per-type frame)
+    per = track_cache(
+        ev.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact"),
+        )
     )
     within = (
         F.abs(F.hll_sketch_estimate("sk") - F.col("exact"))

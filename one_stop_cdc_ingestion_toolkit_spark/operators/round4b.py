@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
 from one_stop_cdc_ingestion_toolkit_spark.operators.text import (
     fingerprint,
     quality_score,
@@ -221,9 +221,13 @@ def a045_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential order both engines share, so the doubles are
     bit-identical before the final round."""
     ev = tables(spark, sf_dir)["events"]
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # cached: the (type, day) counts feed the per-type stats AND the
+    # cusum window — uncached, the event scan ran twice (review r8)
+    daily = track_cache(
+        ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
     st = daily.groupBy("event_type").agg(
         (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mu"),
         F.count(F.lit(1)).alias("n_days"),
@@ -424,8 +428,12 @@ def a048_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    cb = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
-    cu = cb.groupBy("lang", "w1").agg(F.sum("nb").alias("nu"))
+    # cb/cu cached (review r8): the entropy join reads both alongside
+    # their own re-aggregations — uncached, the bigram explode ran 3x
+    cb = track_cache(
+        bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    )
+    cu = track_cache(cb.groupBy("lang", "w1").agg(F.sum("nb").alias("nu")))
     tl = cu.groupBy("lang").agg(F.sum("nu").alias("t"))
     joined = cb.join(cu, ["lang", "w1"]).join(F.broadcast(tl), ["lang"])
     nbd = F.col("nb").cast("double")

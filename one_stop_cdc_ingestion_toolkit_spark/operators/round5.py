@@ -467,7 +467,9 @@ def a0005_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m"),
         F.least(F.lit(KMV_K), F.count(F.lit(1))).alias("kk"),
     )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # cached (review r8): joined twice (both pair sides) — each join
+    # side re-ran the groupBy over the cached shingle frame
+    sizes = track_cache(sh.groupBy("source").agg(F.count(F.lit(1)).alias("n")))
     inter = (
         sh.select(F.col("source").alias("sa"), "h")
         .join(sh.select(F.col("source").alias("sb"), "h"), "h")

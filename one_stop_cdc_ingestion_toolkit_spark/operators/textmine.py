@@ -350,8 +350,12 @@ def a135_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs over source-cardinality rows."""
     d = tables(spark, sf_dir)["documents"]
     tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    t = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum(tok).alias("n_tok")
+    # cached: the per-source counts feed the totals AND the entropy fold
+    # — uncached, the tokenizing scan ran twice (review r8)
+    t = track_cache(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum(tok).alias("n_tok")
+        )
     )
     tot = t.agg(
         F.sum("n_docs").alias("td"),
