@@ -95,14 +95,19 @@ def tables(spark: SparkSession, sf_dir: str) -> Catalog:
     # garbage-collected — serving another session's catalog would hand
     # out DataFrames bound to a dead SparkContext (review r7)
     if cat is not None and cat.spark is spark:
+        # refresh recency so the fallback eviction below is true LRU —
+        # FIFO evicted a hot live session's catalog while stale entries
+        # inserted later survived (ADVICE r9)
+        _CATALOGS[key] = _CATALOGS.pop(key)
         return cat
-    if len(_CATALOGS) > 16:
-        # bound the cache: without eviction, stopped sessions and their
-        # cached DataFrames stay pinned for process lifetime. Evict dead
-        # sessions first; fall back to FIFO of the oldest entries — never
-        # clear() wholesale, which thrashed every LIVE session's schema
-        # cache whenever a 17th (session, sf_dir) combo appeared
-        # (ADVICE r8).
+    if len(_CATALOGS) >= 16:
+        # bound the cache at 16 (evict BEFORE insert — the old >16-after-
+        # insert check held 17 at steady state, ADVICE r9): without
+        # eviction, stopped sessions and their cached DataFrames stay
+        # pinned for process lifetime. Evict dead sessions first; fall
+        # back to LRU — never clear() wholesale, which thrashed every
+        # LIVE session's schema cache whenever a 17th (session, sf_dir)
+        # combo appeared (ADVICE r8).
         dead = [
             k
             for k, c in _CATALOGS.items()
@@ -110,7 +115,7 @@ def tables(spark: SparkSession, sf_dir: str) -> Catalog:
         ]
         for k in dead:
             del _CATALOGS[k]
-        while len(_CATALOGS) > 16:
+        while len(_CATALOGS) >= 16:
             del _CATALOGS[next(iter(_CATALOGS))]
     cat = _CATALOGS[key] = Catalog(spark, sf_dir)
     return cat

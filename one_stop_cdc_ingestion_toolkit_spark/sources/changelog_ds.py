@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import weakref
 from collections.abc import Iterator, Sequence
 
 import uuid
@@ -56,6 +57,19 @@ from pyspark.sql.datasource import (
 )
 
 FORMAT_NAME = "changelog"
+
+#: live UNKEYED stream readers by directory (weak: a stopped query's
+#: reader just gets collected). Unkeyed readers share one per-directory
+#: commit sidecar, and initialOffset() deletes it on fresh start — a
+#: second concurrent unkeyed reader would therefore clobber the first
+#: one's committed-offset base (ADVICE r9). Construction WARNS while a
+#: previous unkeyed reader for the directory is still alive (best
+#: effort: Spark may hold the prior query's reader briefly after stop,
+#: and concurrent queries may plan in separate worker processes — the
+#: durable fix is a streamId, which Pipeline now derives from its spec
+#: name). Keyed readers (streamId set) have per-stream sidecars and
+#: are exempt.
+_UNKEYED_READERS: weakref.WeakValueDictionary = weakref.WeakValueDictionary()
 
 #: schema is fixed: the Kafka-record shape Pipeline's decode expects.
 SCHEMA_DDL = "key string, value string"
@@ -156,6 +170,21 @@ class ChangelogStreamReader(DataSourceStreamReader):
         #: (ADVICE r8: a shared sidecar let one stream's committed offset
         #: become another's cap base). Pass a stable id per query.
         self.stream_id = options.get("streamid") or options.get("streamId")
+        if not self.stream_id:
+            key = os.path.abspath(self.path)
+            if _UNKEYED_READERS.get(key) is not None:
+                import warnings
+
+                warnings.warn(
+                    f"changelog: a second unkeyed stream reader for "
+                    f"{key!r} while another may still be running — "
+                    f"unkeyed readers share one commit sidecar, and a "
+                    f"fresh start (initialOffset) deletes it, resetting "
+                    f"the other stream's cap base; pass a distinct "
+                    f"streamId per query (ADVICE r9)",
+                    stacklevel=2,
+                )
+            _UNKEYED_READERS[key] = self
         #: append-once contract: cache (file -> line count) forever.
         self._sizes: dict[str, int] = {}
         #: high-water mark of any batch end this reader has planned.

@@ -47,7 +47,7 @@ class DedupIndex:
         id_col: str | None = None,
         text_col: str | None = None,
         n_buckets: int | None = None,
-        id_type: str = "long",
+        id_type: str | None = None,
     ):
         """``id_col``/``text_col`` are required for maintenance
         (:meth:`update`); lookups over an existing index need only the
@@ -59,7 +59,12 @@ class DedupIndex:
         document id's Spark SQL type name — only consulted when a lookup
         runs before any batch materialized the index, so the empty
         answer's schema matches what a materialized one would carry
-        (review r8)."""
+        (review r8). When omitted it is INFERRED from the stored data
+        table's ``id_col`` at lookup time; a lookup-only construction
+        (no id_col) over a never-materialized index with no stored data
+        table raises rather than guessing a type — a silent 'long'
+        default re-created the empty-vs-materialized schema mismatch on
+        string-keyed tables (ADVICE r9)."""
         self.store = store
         self.table = table
         self.index_table = f"{table}__dedup_idx"
@@ -165,10 +170,22 @@ class DedupIndex:
         """A never-materialized index (no batch touched the table yet, or
         every row was deleted) reads as EMPTY, not None — the lookups
         below must answer "no duplicates", not crash (r8 property test).
-        The id column takes the declared ``id_type`` so the empty and
-        materialized paths agree on schema (review r8)."""
+        The id column takes the declared ``id_type``, or is inferred from
+        the stored data table when the declaration was omitted, so the
+        empty and materialized paths agree on schema (ADVICE r9)."""
+        id_t = self.id_type
+        if id_t is None:
+            data = self.store.read(spark, self.table)
+            if data is not None and self.id_col in set(data.columns):
+                id_t = data.schema[self.id_col].dataType.simpleString()
+        if id_t is None:
+            raise ValueError(
+                f"DedupIndex({self.table!r}): cannot type the empty-index "
+                f"id column — pass id_type (or id_col over a stored "
+                f"table) for lookups that may precede the first update"
+            )
         return spark.createDataFrame(
-            [], f"id {self.id_type}, fp string, band_idx int, band_sig string"
+            [], f"id {id_t}, fp string, band_idx int, band_sig string"
         )
 
     def exact_duplicates(self, spark: SparkSession) -> DataFrame:

@@ -747,8 +747,17 @@ class Pipeline:
             )
 
             register_changelog(self.spark)
-            reader = self.spark.readStream.format("changelog").option(
-                "path", self.spec.source_dir
+            # streamid defaults to the pipeline name: unkeyed readers
+            # share one per-directory commit sidecar, so two pipelines
+            # over one source dir would clobber each other's cap base
+            # on fresh start (ADVICE r9)
+            reader = (
+                self.spark.readStream.format("changelog")
+                .option("path", self.spec.source_dir)
+                .option(
+                    "streamid",
+                    self.spec.options.get("streamid", self.spec.name),
+                )
             )
             cap = self.spec.options.get("max_records_per_batch")
             if cap:

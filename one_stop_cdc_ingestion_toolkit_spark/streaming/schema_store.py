@@ -141,14 +141,18 @@ class SchemaStore(SchemaRegistryClient):
     def register(self, subject: str, schema: T.StructType) -> int:
         """Register a schema version (auto-registration, SURVEY §2.1 A10).
 
-        No-op (returns the existing version) when the schema equals the
-        latest; raises :class:`IncompatibleSchemaError` when the
-        compatibility check fails; otherwise appends and returns the new
-        1-based version number.
+        Identical schemas dedup to the EARLIEST matching version with no
+        compatibility check — Confluent's per-subject contract, which the
+        HTTP client already follows: an A→B→A history returns version 1,
+        not a rejected/_appended_ version 3 (ADVICE r8 — the two backends
+        of the same drop-in interface must agree on reverts). Otherwise
+        raises :class:`IncompatibleSchemaError` when the compatibility
+        check fails, else appends and returns the new 1-based version.
         """
         versions = self.versions(subject)
-        if versions and versions[-1] == schema:
-            return len(versions)
+        for i, v in enumerate(versions):
+            if v == schema:
+                return i + 1
         if versions:
             self._check(versions[-1], schema, subject)
         versions.append(schema)

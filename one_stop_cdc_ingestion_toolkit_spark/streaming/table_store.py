@@ -61,15 +61,35 @@ def _complete_record_count(path: Path) -> int:
     return n
 
 
-def _start_fresh_line(path: Path, f) -> None:
+def _truncate_torn_tail(path: Path) -> None:
     """When the file's existing content does not end in a newline (a torn
-    append), emit one first so the new record cannot fuse with the torn
-    fragment into a doubly-corrupt line."""
-    if path.stat().st_size:
-        with path.open("rb") as rf:
-            rf.seek(-1, 2)
-            if rf.read(1) != b"\n":
-                f.write("\n")
+    append), REMOVE the fragment — equivalent to crashing one instruction
+    earlier, since the torn record never became durable. Truncation (not
+    sealing with a newline, ADVICE r9) keeps ``_complete_record_count``
+    exact: a sealed fragment became a newline-terminated junk line that
+    counted as a complete record once it was no longer last, so seq/epoch
+    numbers silently skipped values after the first repair."""
+    if not path.exists() or not path.stat().st_size:
+        return
+    with path.open("rb+") as f:
+        f.seek(0, 2)
+        size = f.tell()
+        f.seek(-1, 2)
+        if f.read(1) == b"\n":
+            return
+        # scan backwards in chunks for the last newline; everything
+        # after it is the torn fragment
+        pos, chunk = size, 4096
+        while pos > 0:
+            lo = max(0, pos - chunk)
+            f.seek(lo)
+            buf = f.read(pos - lo)
+            nl = buf.rfind(b"\n")
+            if nl != -1:
+                f.truncate(lo + nl + 1)
+                return
+            pos = lo
+        f.truncate(0)
 
 
 def key_bucket(n_buckets: int, *cols) -> Column:
@@ -109,14 +129,14 @@ class TableStore:
         """Append one pointer state to the table's _HISTORY jsonl.
 
         Torn-tail safe (crash-fuzz r8): a kill mid-append can leave a
-        PARTIAL last line with no trailing newline — seq is counted over
-        complete records only (the torn record never became readable, so
-        its seq is legitimately reused), and the append starts on a fresh
-        line so the new record can never fuse with the torn fragment."""
+        PARTIAL last line with no trailing newline — the fragment is
+        truncated away before counting (the torn record never became
+        readable, so its seq is legitimately reused), keeping seq exactly
+        the count of complete records with no gaps (ADVICE r9)."""
         hf = self._history_file(table)
+        _truncate_torn_tail(hf)
         seq = _complete_record_count(hf)
         with hf.open("a") as f:
-            _start_fresh_line(hf, f)
             f.write(json.dumps({"seq": seq, "kind": kind, "state": state}) + "\n")
 
     def history(self, table: str) -> list[dict]:
@@ -217,9 +237,9 @@ class TableStore:
             if seq is not None:
                 seqs[t] = seq
         ef = self._epoch_file()
+        _truncate_torn_tail(ef)
         epoch = _complete_record_count(ef)
         with ef.open("a") as f:
-            _start_fresh_line(ef, f)
             f.write(json.dumps({"epoch": epoch, "tables": seqs}) + "\n")
         return epoch
 

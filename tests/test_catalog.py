@@ -47,6 +47,36 @@ def test_cache_eviction_spares_live_sessions(spark):
         cat_mod._CATALOGS.update(saved)
 
 
+def test_cache_bound_is_16_and_hits_refresh_lru(spark):
+    """ADVICE r9: evict BEFORE insert so steady state holds ≤16 entries
+    (the old after-insert check held 17), and a cache HIT refreshes
+    recency so the fallback eviction is LRU, not FIFO — a hot live
+    session inserted early must outlive stale-but-alive entries."""
+    from types import SimpleNamespace
+
+    from one_stop_cdc_ingestion_toolkit_spark import catalog as cat_mod
+
+    saved = dict(cat_mod._CATALOGS)
+    try:
+        cat_mod._CATALOGS.clear()
+        hot = tables(spark, SF_DIR)  # inserted FIRST
+        live_sc = SimpleNamespace(_jsc=object())
+        for i in range(15):  # fill to the bound with live fakes
+            fake_spark = SimpleNamespace(sparkContext=live_sc)
+            cat_mod._CATALOGS[(id(fake_spark), f"/fake/{i}")] = (
+                SimpleNamespace(spark=fake_spark)
+            )
+        assert len(cat_mod._CATALOGS) == 16
+        assert tables(spark, SF_DIR) is hot  # HIT — refreshes recency
+        # a 17th key must evict the LRU (a fake), never the hot entry
+        tables(spark, SF_DIR.replace("sf0.001", "sf0.01"))
+        assert len(cat_mod._CATALOGS) <= 16  # bound holds at steady state
+        assert tables(spark, SF_DIR) is hot  # hot survived
+    finally:
+        cat_mod._CATALOGS.clear()
+        cat_mod._CATALOGS.update(saved)
+
+
 def test_register_views_sql(spark):
     cat = Catalog(spark, SF_DIR)
     cat.register_views(("region", "nation"))

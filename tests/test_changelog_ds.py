@@ -146,6 +146,10 @@ def test_pipeline_swaps_changelog_source(spark, tmp_path):
         for r in snap.collect()
     }
     assert state == GOLDEN_STATE
+    # ADVICE r9: the pipeline keys the commit sidecar by its spec name
+    # by default, so two pipelines over one source dir never share (or
+    # fresh-start-delete) each other's committed-offset base
+    assert (pathlib.Path(spec.source_dir) / "_changelog_committed-pds").exists()
 
 
 def test_late_out_of_order_update_respected_across_batches(spark, tmp_path):
@@ -356,6 +360,38 @@ def test_stream_id_keys_sidecar_per_stream(tmp_path):
                                 "streamid": "qb"})
     assert a2.latestOffset() == {"total": 30}
     assert b2.latestOffset() == {"total": 10}
+
+
+def test_second_unkeyed_reader_warns_keyed_does_not(tmp_path):
+    """ADVICE r9: unkeyed readers share one per-directory commit sidecar,
+    and a fresh start deletes it — constructing a second unkeyed reader
+    while the first is still alive must WARN (best-effort, in-process);
+    keyed readers and post-GC sequential restarts stay silent."""
+    import warnings as _w
+
+    from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+        ChangelogStreamReader,
+    )
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "seg0.json").write_text('{"key": "1", "value": "x"}\n')
+    opts = {"path": str(d)}
+    r1 = ChangelogStreamReader(opts)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        r2 = ChangelogStreamReader(opts)  # r1 still alive → warn
+    assert any("unkeyed" in str(w.message) for w in rec)
+    del r1, r2  # collected → registry entry (weak) vanishes
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ChangelogStreamReader(opts)  # sequential restart: silent
+    assert not rec
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        ChangelogStreamReader({**opts, "streamid": "qa"})
+        ChangelogStreamReader({**opts, "streamid": "qb"})  # keyed: exempt
+    assert not rec
 
 
 def test_stream_writer_refuses_reordering_commit(tmp_path):

@@ -220,6 +220,71 @@ def test_empty_dedup_index_matches_declared_id_type(spark, tmp_path):
     assert dict(exact.dtypes)["keeper"] == "string"
 
 
+def test_empty_dedup_index_infers_id_type_from_stored_table(spark, tmp_path):
+    """ADVICE r9: when id_type is omitted, the empty-index id column is
+    INFERRED from the stored data table — the old 'long' default
+    re-created the empty-vs-materialized schema mismatch on
+    string-keyed tables. A lookup-only construction (no id_col) over a
+    never-materialized index with nothing to infer from raises rather
+    than guessing."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.dedup_index import (
+        DedupIndex,
+    )
+
+    store = BucketedTableStore(tmp_path / "lake")
+    store.write(
+        spark.createDataFrame([("d1", "hello")], "doc_id string, text string"),
+        "docs",
+    )
+    idx = DedupIndex(store, "docs", "doc_id", "text")  # id_type omitted
+    pairs = idx.near_duplicate_pairs(spark)
+    assert pairs.isEmpty()
+    assert dict(pairs.dtypes)["id_a"] == "string"  # inferred, not long
+    bare = DedupIndex(store, "nope")  # lookup-only, nothing stored
+    with pytest.raises(ValueError, match="id_type"):
+        bare.exact_duplicates(spark)
+
+
+def test_seq_has_no_gaps_after_torn_tail_repair(spark, tmp_path):
+    """ADVICE r9: the torn fragment must be TRUNCATED, not sealed with a
+    newline — a sealed fragment became a counted junk line once it was
+    no longer last, so every later seq silently skipped a value. After
+    a torn tail + many appends, seqs must be exactly 0..n-1."""
+    store = TableStore(tmp_path / "lake", retain=8)
+    store.write(_df(spark, [(1, "a")]), "t")
+    hf = tmp_path / "lake" / "t" / "_HISTORY"
+    with hf.open("a") as f:
+        f.write('{"seq": 1, "kind": "TORNFRAG')  # torn append, no newline
+    for i in range(3):
+        store.write(_df(spark, [(2 + i, "x")]), "t")
+    seqs = [rec["seq"] for rec in store.history("t")]
+    assert seqs == [0, 1, 2, 3]  # consecutive — no gap where the junk sat
+    # the torn fragment is gone from disk entirely
+    assert "TORNFRAG" not in hf.read_text()
+
+
+def test_truncate_torn_tail_edge_cases(tmp_path):
+    """_truncate_torn_tail: fragment longer than one scan chunk, a file
+    that is ALL fragment (no newline anywhere), and a clean file."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.table_store import (
+        _truncate_torn_tail,
+    )
+
+    p = tmp_path / "f"
+    # fragment spanning multiple 4096-byte scan chunks
+    p.write_text('{"seq": 0}\n' + "x" * 10_000)
+    _truncate_torn_tail(p)
+    assert p.read_text() == '{"seq": 0}\n'
+    # all-fragment file truncates to empty
+    p.write_text("y" * 9_000)
+    _truncate_torn_tail(p)
+    assert p.read_text() == ""
+    # clean newline-terminated file untouched
+    p.write_text('{"seq": 0}\n{"seq": 1}\n')
+    _truncate_torn_tail(p)
+    assert p.read_text() == '{"seq": 0}\n{"seq": 1}\n'
+
+
 def test_torn_epoch_line_recovers(spark, tmp_path):
     """A kill mid-append to _EPOCHS must not poison epochs()/read_epoch,
     and the next log_epoch must start a fresh line (no record fusion)."""

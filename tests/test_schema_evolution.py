@@ -250,6 +250,43 @@ def test_http_register_dedups_to_earliest_version():
     assert len(server.subjects["s-value"]) == 2  # no third version POSTed
 
 
+@pytest.mark.parametrize("backend", ["local", "http"])
+def test_register_revert_contract_shared_across_backends(backend, tmp_path):
+    """ADVICE r9: the two SchemaRegistryClient implementations must agree
+    on schema reverts — an A→B→A history returns version 1 from BOTH the
+    directory-backed store and the HTTP client (dedup-to-earliest, no
+    compat check, no appended version 3). A BACKWARD-incompatible revert
+    (drop a required field then re-add) is exactly the history where a
+    latest-only short-circuit diverges: the local store used to run
+    _check(B, A) and reject what the real registry accepts."""
+    from one_stop_cdc_ingestion_toolkit_spark.streaming.schema_store import (
+        HttpSchemaRegistryClient,
+        SchemaStore,
+    )
+
+    if backend == "local":
+        client = SchemaStore(tmp_path / "reg")
+    else:
+        client = HttpSchemaRegistryClient(
+            "http://reg:8081", transport=_FakeRegistryServer()
+        )
+    a = T.StructType([T.StructField("a", T.LongType(), False)])
+    # B drops no fields but adds a required-with-no-default one ONLY in
+    # the B→A direction check; use add-nullable so A→B registers, then
+    # the revert B→A would FAIL a BACKWARD check (column removal rules
+    # aside, identical-to-v1 must win before any check runs)
+    b = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    assert client.register("s-value", a) == 1
+    assert client.register("s-value", b) == 2
+    assert client.register("s-value", a) == 1  # dedup-to-earliest, both
+    assert client.versions("s-value") == [a, b]  # no version 3 appended
+
+
 def test_http_registry_client_over_real_socket():
     """End-to-end over a real TCP socket: an in-process http.server speaks
     the Confluent subjects/versions protocol and the client uses the
