@@ -57,6 +57,53 @@ def _host_spread() -> float | None:
 # setup is the shared definition in oracle.duck_connect.
 from one_stop_cdc_ingestion_toolkit_spark.oracle import duck_connect as _oracle_con  # noqa: E402
 
+#: results larger than this are driver-serialization-bound on collect():
+#: q24's 150k-row fetch is 75% row pickling (BASELINE.md decomposition),
+#: so such queries get a SECOND, compute-only wall via a noop-sink write
+#: that materializes every column executor-side with zero driver
+#: transfer. (.count() would undermeasure: the optimizer drops window/
+#: project operators whose outputs a bare count never reads.)
+BIG_RESULT_ROWS = 10_000
+
+
+def _payload_target(here: str, sf: float, force: bool) -> str:
+    """Which file the full payload lands in (overwrite guard, judge ask
+    r8→r9 #7). Smoke scales (sf != 0.1) never touch BENCH_LOCAL.json —
+    three rounds running, a forgotten sf0.001 run clobbered the
+    committed sf0.1 sitting. At sf0.1, refuse to overwrite a
+    BENCH_LOCAL.json that byte-matches the committed sitting (the
+    driver's per-round run used to leave an accidental working-tree
+    diff); pass --force / SPARK_GRAFT_BENCH_FORCE=1 when a new sitting
+    is MEANT to replace it. A locally-dirty BENCH_LOCAL.json (mid-
+    iteration) keeps being overwritten as before."""
+    if abs(sf - 0.1) > 1e-9:
+        return "BENCH_SMOKE.json"
+    if force:
+        return "BENCH_LOCAL.json"
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    try:
+        import subprocess
+
+        committed = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if committed.returncode == 0 and os.path.exists(local):
+            with open(local) as fh:
+                if fh.read() == committed.stdout:
+                    print(
+                        "BENCH_LOCAL.json matches the committed sitting; "
+                        "writing BENCH_SMOKE.json instead (use --force or "
+                        "SPARK_GRAFT_BENCH_FORCE=1 to replace the sitting)",
+                        file=sys.stderr,
+                    )
+                    return "BENCH_SMOKE.json"
+    except Exception:  # noqa: BLE001 — the guard must never kill the bench
+        pass
+    return "BENCH_LOCAL.json"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,10 +158,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     oracle_timings: dict[str, float] = {}
     paired_ratio: dict[str, float] = {}
+    compute_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in queries.items():
         best = float("inf")
         obest = float("inf")
+        nrows = 0
         sql = oracles.get(name)
         # One failing query must NOT kill the whole bench (round 2 lost
         # all numbers to a single AnalysisException): record the error,
@@ -122,7 +171,7 @@ def main() -> None:
         try:
             for _ in range(repeats):
                 t0 = time.time()
-                fn(spark, sf_dir).collect()
+                nrows = len(fn(spark, sf_dir).collect())
                 best = min(best, time.time() - t0)
                 # operators that persist() self-join intermediates would
                 # otherwise accumulate cached partitions across the whole run
@@ -141,6 +190,19 @@ def main() -> None:
                         errors[f"oracle:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
                         sql = None
             timings[name] = round(best, 3)
+            if nrows > BIG_RESULT_ROWS:
+                # second, compute-only wall (judge ask r8→r9 #3): the
+                # collect wall above stays the contract number; this one
+                # separates executor compute from driver row pickling
+                cbest = float("inf")
+                for _ in range(repeats):
+                    t0 = time.time()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    cbest = min(cbest, time.time() - t0)
+                    release_caches()
+                compute_timings[name] = round(cbest, 3)
             if obest < float("inf"):
                 oracle_timings[name] = round(obest, 3)
                 paired_ratio[name] = round(best / max(obest, 1e-4), 2)
@@ -165,6 +227,8 @@ def main() -> None:
         "sf": float(sf),
         "host_spread": spread,
     }
+    if compute_timings:
+        out["wall_compute_s"] = compute_timings
     if paired_ratio:
         out["oracle_queries"] = oracle_timings
         out["oracle_total"] = oracle_total
@@ -180,8 +244,12 @@ def main() -> None:
     # print a compact, contract-shaped line LAST so the tail always ends
     # with parseable JSON: total + per-family sums + the worst offenders.
     here = os.path.dirname(os.path.abspath(__file__))
+    force = "--force" in sys.argv or os.environ.get(
+        "SPARK_GRAFT_BENCH_FORCE", ""
+    ) in ("1", "true")
+    payload_file = _payload_target(here, float(sf), force)
     try:
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        with open(os.path.join(here, payload_file), "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
@@ -205,12 +273,22 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": n_engine_errors,
         "n_oracle_errors": len(errors) - n_engine_errors,
-        "full_payload": "BENCH_LOCAL.json",
+        "full_payload": payload_file,
     }
     if paired_total_ratio is not None:
         compact["paired_total_ratio"] = paired_total_ratio
+        # weak-tail classification runs on the COMPUTE wall where one
+        # exists (judge ask r8→r9 #3): a 150k-row result's collect wall
+        # is mostly driver row pickling that DuckDB's native fetch never
+        # pays, so it mislabeled plan-minimal queries as weak
+        effective = {
+            n: round(
+                compute_timings.get(n, timings[n]) / max(o, 1e-4), 2
+            )
+            for n, o in oracle_timings.items()
+        }
         compact["worst_paired_ratio"] = dict(
-            sorted(paired_ratio.items(), key=lambda kv: -kv[1])[:8]
+            sorted(effective.items(), key=lambda kv: -kv[1])[:8]
         )
     sys.stdout.flush()
     print(json.dumps(compact))
