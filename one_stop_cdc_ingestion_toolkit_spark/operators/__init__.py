@@ -227,6 +227,7 @@ def load_all() -> dict[str, QuerySpec]:
         round4b,
         round4c,
         round5,
+        round9,
         selection,
         similarity,
         text,

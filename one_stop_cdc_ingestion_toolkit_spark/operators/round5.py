@@ -10,7 +10,9 @@
   length-prefixed frame container, the other missing multimodal verb.
   Real video codecs aren't in this container (documented stub per the
   build brief); the CONTAINER format, binary plumbing, Arrow batch
-  shape, and stride arithmetic are real and oracle-checked.
+  shape, and stride arithmetic are real and oracle-checked. Round 9
+  added a0008 (`round9.py`), the same verb over a REAL format — Y4M
+  streams genuinely decoded by `functions/y4m_codec.py`.
 - a0003: cross-lingual duplicate candidates — exact inverted-index
   pair generation (df-capped, the q44 discipline) restricted to pairs
   whose documents carry DIFFERENT lang tags: the translation-leak /

@@ -103,6 +103,7 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         "a0001_image_resize",
         "a0002_frame_sample",
         "a0004_phash_dedup",
+        "a0008_y4m_frame_luma",  # real Y4M decode rides the Arrow batch (r9)
         "a007_kmeans_clusters",
         "a012_simplified_silhouette",
         "a013_cluster_purity",
