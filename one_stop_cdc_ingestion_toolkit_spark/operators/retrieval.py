@@ -108,7 +108,15 @@ def tokenize(text: Column) -> Column:
 
 
 def _bm25_scores(d: DataFrame) -> DataFrame:
-    """(doc_id, score) — engine twin of _bm25_sql over a documents frame."""
+    """(doc_id, score) — engine twin of _bm25_sql over a documents frame.
+
+    The (doc_id, dl, tf*) projection feeds BOTH the corpus-stats
+    aggregate and the scoring scan; uncached, Spark tokenizes the whole
+    corpus TWICE (r9 stage decomposition: the double tokenize was ~70%
+    of a106's wall). The projection is 4 small ints per doc — unlike
+    the corpus itself it stays cacheable at any scale (this is the
+    module docstring's 'cached corpus-stats table', realized), and
+    release_caches() frees it between bench queries."""
     words = tokenize(F.col("text"))
     proj = d.select(
         "doc_id",
@@ -122,6 +130,7 @@ def _bm25_scores(d: DataFrame) -> DataFrame:
             for i, t in enumerate(QUERY_TERMS)
         ],
     )
+    proj = track_cache(proj)
     stats = proj.agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -448,6 +448,14 @@ def test_exchange_count_budgets(spark):
     budgets = {
         "q43_minhash_lsh_pairs": 5,
         "c88_decontaminate": 3,
+        # r9 weak-four floors (tools/weak4_stages.py decomposition):
+        # a106/a107's wall is the tokenize scan(s) + broadcast stats —
+        # ONE exchange total (the top-k presentation sort); a138's is
+        # ~entirely the shared minhash stage (islands+join ≈ 0.05 s),
+        # budget measured on the shipping plan
+        "a106_bm25_search": 1,
+        "a107_hybrid_rrf": 1,
+        "a138_span_dedup": 37,
         "a119_bloom_prefilter": 2,
         "a141_cluster_retention": 2,
         "d96_dup_clusters": 1,

@@ -196,14 +196,16 @@ def main() -> None:
         for qname, qstages in stages.items():
             for label, thunk in qstages:
                 t0 = time.time()
-                # intermediate stages count() (outputs can be data-sized
-                # gram streams; stage cost is compute, not fetch); the
-                # FULL query collect()s like bench.py so totals line up
+                # intermediate stages run a noop-sink write (outputs can
+                # be data-sized gram streams — compute, not fetch; and
+                # count() would let ColumnPruning skip projection-only
+                # work entirely, undermeasuring scan stages); the FULL
+                # query collect()s like bench.py so totals line up
                 df = thunk()
                 if label.startswith("FULL"):
                     df.collect()
                 else:
-                    df.count()
+                    df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 key = (qname, label)
                 best[key] = min(best.get(key, 9e9), dt)
