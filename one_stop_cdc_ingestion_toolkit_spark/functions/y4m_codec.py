@@ -55,7 +55,10 @@ class Y4MVideo:
     height: int
     colorspace: str
     frames: tuple  # tuple[(bytes, bytes, bytes), ...]
-    params: dict  # remaining stream params (F/I/A/X...), tag → value
+    #: remaining stream params, tag → value. The X (extension) tag is
+    #: REPEATABLE in the format, so "X" maps to a LIST of values in
+    #: header order; other tags are last-wins scalars.
+    params: dict
 
 
 def plane_sizes(width: int, height: int, colorspace: str) -> tuple[int, int, int]:
@@ -128,6 +131,11 @@ def decode_y4m(data: bytes) -> Y4MVideo:
             height = int(val)
         elif tag == "C":
             colorspace = "C" + val
+        elif tag == "X":
+            # X extension parameters are repeatable (e.g. XYSCSS= and
+            # XCOLORRANGE= side by side) — collect, don't clobber
+            # (review r9)
+            params.setdefault("X", []).append(val)
         else:
             params[tag] = val
     if width is None or height is None:

@@ -206,7 +206,24 @@ class ChangelogStreamReader(DataSourceStreamReader):
             with open(self._commit_file(), encoding="utf-8") as f:
                 return int(json.load(f)["total"])
         except (OSError, ValueError, KeyError):
-            return 0
+            pass
+        if self.stream_id:
+            # migration (review r9): a pre-streamId incarnation committed
+            # under the shared unkeyed sidecar. A KEYED restart WITH an
+            # existing checkpoint never calls initialOffset, so without
+            # this fallback the cap base would reset to 0 and latestOffset
+            # could regress below the checkpointed offset. Adopt the
+            # legacy value once; the next commit() writes the keyed file,
+            # which then takes precedence. (A genuinely fresh keyed start
+            # is unaffected: Spark calls initialOffset, which re-zeros
+            # the base after this seed.)
+            try:
+                legacy = os.path.join(self.path, "_changelog_committed")
+                with open(legacy, encoding="utf-8") as f:
+                    return int(json.load(f)["total"])
+            except (OSError, ValueError, KeyError):
+                pass
+        return 0
 
     def _refresh(self) -> list[tuple[str, int]]:
         """(file, lines) in replay order; scans only unseen files."""

@@ -362,6 +362,50 @@ def test_stream_id_keys_sidecar_per_stream(tmp_path):
     assert b2.latestOffset() == {"total": 10}
 
 
+def test_keyed_restart_adopts_legacy_unkeyed_sidecar(tmp_path):
+    """Review r9: a pipeline that committed offsets under the PRE-streamId
+    shared sidecar and restarts keyed (checkpoint intact → initialOffset
+    never called) must seed its cap base from the legacy file — a base
+    of 0 would let latestOffset regress below the checkpointed offset
+    and replay consumed records. After the first keyed commit, the keyed
+    sidecar takes precedence."""
+    import json as _json
+
+    from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+        ChangelogStreamReader,
+    )
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "seg0.json").write_text(
+        "".join(_json.dumps({"key": str(j), "value": "x"}) + "\n" for j in range(30))
+    )
+    # pre-upgrade incarnation: unkeyed, committed 20
+    old = ChangelogStreamReader({"path": str(d), "maxRecordsPerBatch": "10"})
+    old.latestOffset(); old.latestOffset()
+    old.commit({"total": 20})
+    del old
+    # post-upgrade keyed restart (checkpoint intact, no initialOffset)
+    r = ChangelogStreamReader(
+        {"path": str(d), "maxRecordsPerBatch": "10", "streamid": "pds"}
+    )
+    assert r.latestOffset() == {"total": 30}  # 20 + cap, NOT 0 + cap
+    r.commit({"total": 30})
+    assert (d / "_changelog_committed-pds").exists()
+    # keyed file now wins even if the legacy one goes stale
+    (d / "_changelog_committed").write_text('{"total": 5}')
+    r2 = ChangelogStreamReader(
+        {"path": str(d), "maxRecordsPerBatch": "10", "streamid": "pds"}
+    )
+    assert r2.latestOffset() == {"total": 30}  # capped from 30, not 5
+    # a genuinely FRESH keyed stream is unaffected: initialOffset re-zeros
+    r3 = ChangelogStreamReader(
+        {"path": str(d), "maxRecordsPerBatch": "10", "streamid": "new"}
+    )
+    assert r3.initialOffset() == {"total": 0}
+    assert r3.latestOffset() == {"total": 10}
+
+
 def test_second_unkeyed_reader_warns_keyed_does_not(tmp_path):
     """ADVICE r9: unkeyed readers share one per-directory commit sidecar,
     and a fresh start deletes it — constructing a second unkeyed reader

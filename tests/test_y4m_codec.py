@@ -27,7 +27,7 @@ def _golden_y4m() -> bytes:
     """4x2 C420, two frames, hand-muxed: stream header carries the
     tokens in a NON-canonical order plus an X extension; the second
     frame header carries a parameter that must be skipped."""
-    header = b"YUV4MPEG2 C420 F30:1 H2 Ip A1:1 W4 Xdummy=1\n"
+    header = b"YUV4MPEG2 C420 F30:1 H2 Ip A1:1 W4 XYSCSS=420JPEG Xdummy=1\n"
     # frame 1: Y = 1..8, U = [100, 101], V = [200, 201]
     f1 = b"FRAME\n" + bytes(range(1, 9)) + bytes([100, 101]) + bytes([200, 201])
     # frame 2: Y = 9..16, U = [110, 111], V = [210, 211]
@@ -44,7 +44,8 @@ def test_decode_golden_planes():
     v = decode_y4m(_golden_y4m())
     assert (v.width, v.height, v.colorspace) == (4, 2, "C420")
     assert v.params["F"] == "30:1"
-    assert v.params["X"] == "dummy=1"
+    # X is repeatable — both extension params survive, in header order
+    assert v.params["X"] == ["YSCSS=420JPEG", "dummy=1"]
     assert len(v.frames) == 2
     y, u, vv = v.frames[0]
     assert y == bytes(range(1, 9))

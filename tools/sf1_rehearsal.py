@@ -94,7 +94,9 @@ def main() -> None:
         if "=" in a:
             key, val = a.split("=", 1)
         else:
-            key, val = a, argv[i + 1] if i + 1 < len(argv) else None
+            if i + 1 >= len(argv):
+                sys.exit(f"usage: {a} needs a value")
+            key, val = a, argv[i + 1]
             i += 1
         if key == "--small":
             small = val

@@ -40,9 +40,15 @@ def main() -> None:
     i = 0
     while i < len(argv):
         if argv[i].startswith("--sizes"):
-            val = argv[i].split("=", 1)[1] if "=" in argv[i] else argv[i + 1]
+            if "=" in argv[i]:
+                val = argv[i].split("=", 1)[1]
+                i += 1
+            elif i + 1 < len(argv):
+                val = argv[i + 1]
+                i += 2
+            else:
+                sys.exit("usage: vocab_decade.py [--sizes N,N,...]")
             sizes = [int(x) for x in val.split(",")]
-            i += 1 if "=" in argv[i - 1] else 2
         elif argv[i] == "--skip-candidates":
             want_cands = False
             i += 1
