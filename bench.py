@@ -298,8 +298,21 @@ def main() -> None:
             )
             for n, o in oracle_timings.items()
         }
-        compact["worst_paired_ratio"] = dict(
+        # named `worst_effective_ratio` (ADVICE r10): the values are
+        # compute-wall-substituted, unlike the collect-wall-based
+        # `paired_ratio` map in the full payload — the old name
+        # `worst_paired_ratio` silently changed metric basis vs rounds
+        # ≤8. Emit the collect-based ranking alongside so cross-round
+        # comparisons have an explicit, stable basis.
+        compact["worst_effective_ratio"] = dict(
             sorted(effective.items(), key=lambda kv: -kv[1])[:8]
+        )
+        collect_ratios = {
+            n: round(timings[n] / max(o, 1e-4), 2)
+            for n, o in oracle_timings.items()
+        }
+        compact["worst_collect_ratio"] = dict(
+            sorted(collect_ratios.items(), key=lambda kv: -kv[1])[:8]
         )
     sys.stdout.flush()
     print(json.dumps(compact))

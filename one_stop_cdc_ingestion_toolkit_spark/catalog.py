@@ -117,5 +117,10 @@ def tables(spark: SparkSession, sf_dir: str) -> Catalog:
             del _CATALOGS[k]
         while len(_CATALOGS) >= 16:
             del _CATALOGS[next(iter(_CATALOGS))]
+    # pop before insert (ADVICE r10): if the key exists with a stale
+    # catalog (id() reuse after session GC), plain re-assignment keeps
+    # the OLD insertion position — the brand-new catalog would inherit
+    # stale recency and could be the first LRU eviction victim.
+    _CATALOGS.pop(key, None)
     cat = _CATALOGS[key] = Catalog(spark, sf_dir)
     return cat

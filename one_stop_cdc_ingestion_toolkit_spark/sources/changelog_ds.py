@@ -212,18 +212,36 @@ class ChangelogStreamReader(DataSourceStreamReader):
             # under the shared unkeyed sidecar. A KEYED restart WITH an
             # existing checkpoint never calls initialOffset, so without
             # this fallback the cap base would reset to 0 and latestOffset
-            # could regress below the checkpointed offset. Adopt the
-            # legacy value once; the next commit() writes the keyed file,
-            # which then takes precedence. (A genuinely fresh keyed start
-            # is unaffected: Spark calls initialOffset, which re-zeros
-            # the base after this seed.)
+            # could regress below the checkpointed offset. The adopted
+            # value is persisted to the KEYED sidecar immediately (ADVICE
+            # r9): an in-memory-only adoption left every future keyed
+            # stream in the directory inheriting the stale shared file —
+            # including a fresh keyed start that crashed after its first
+            # WAL'd offset but before its first commit(), whose
+            # initialOffset unlink removed only the keyed sidecar. With
+            # the write-through, the fallback fires at most once per
+            # stream_id, and initialOffset's {"total": 0} write (below)
+            # guarantees a keyed sidecar exists after first touch.
             try:
                 legacy = os.path.join(self.path, "_changelog_committed")
                 with open(legacy, encoding="utf-8") as f:
-                    return int(json.load(f)["total"])
+                    adopted = int(json.load(f)["total"])
+                self._write_committed(adopted)
+                return adopted
             except (OSError, ValueError, KeyError):
                 pass
         return 0
+
+    def _write_committed(self, total: int) -> None:
+        """Atomic-replace the (keyed) commit sidecar. Advisory state:
+        on OSError the worst case is the old cap-base regression risk."""
+        tmp = self._commit_file() + ".tmp"
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump({"total": int(total)}, f)
+            os.replace(tmp, self._commit_file())
+        except OSError:
+            pass
 
     def _refresh(self) -> list[tuple[str, int]]:
         """(file, lines) in replay order; scans only unseen files."""
@@ -241,15 +259,16 @@ class ChangelogStreamReader(DataSourceStreamReader):
         # 0, so the cap base must too: a stale sidecar from a previous
         # incarnation would otherwise make the first micro-batch plan
         # [0, committed+cap], silently bypassing maxRecordsPerBatch
-        # (ADVICE r8). The ON-DISK sidecar is removed too (review r8):
-        # resetting only the in-memory base left a crash window — die
-        # after the first offset is WAL'd but before the first commit(),
-        # and the restarted reader would re-seed from the stale file.
+        # (ADVICE r8). The ON-DISK sidecar is OVERWRITTEN with 0 rather
+        # than unlinked (ADVICE r9): an unlink removes only the keyed
+        # sidecar, so a keyed reader that crashed after its first WAL'd
+        # offset but before its first commit() would fall through
+        # _read_committed's legacy-migration path and seed from the
+        # shared unkeyed file — possibly another stream's offset.
+        # Writing {"total": 0} guarantees keyed state exists from first
+        # touch, so the fallback can never fire after a fresh start.
         self._planned = 0
-        try:
-            os.unlink(self._commit_file())
-        except OSError:
-            pass
+        self._write_committed(0)
         return {"total": 0}
 
     def latestOffset(self) -> dict:
@@ -284,13 +303,7 @@ class ChangelogStreamReader(DataSourceStreamReader):
         """Persist the committed offset (atomic replace) so a restarted
         reader's cap base starts at the stream's true position instead
         of 0 — see __init__."""
-        tmp = self._commit_file() + ".tmp"
-        try:
-            with open(tmp, "w", encoding="utf-8") as f:
-                json.dump({"total": int(end["total"])}, f)
-            os.replace(tmp, self._commit_file())
-        except OSError:
-            pass  # advisory state: worst case is the old regression risk
+        self._write_committed(end["total"])
 
 
 class _Written(WriterCommitMessage):

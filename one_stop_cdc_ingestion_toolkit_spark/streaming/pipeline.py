@@ -359,6 +359,20 @@ class Pipeline:
                 # (DDL events above) — use the latest version. A declared
                 # schema NOT in the registry is a new user declaration
                 # (redeployed spec) and must itself pass the gate below.
+                # NOTE (ADVICE r10): register() dedups to the EARLIEST
+                # identical version (Confluent semantics), so a genuine
+                # DDL revert A→B→A leaves versions[-1] == B and this
+                # decode path stays pinned to B: the reverted-away column
+                # reads as NULL from then on, and latest() reflects the
+                # widest historical schema, not the active writer's.
+                # That is BACKWARD-safe (B ⊇ A under the gate below, so
+                # every A-shaped payload decodes losslessly) and matches
+                # Confluent Schema Registry, which also returns the
+                # earliest id on re-register. If revert-following decode
+                # is ever wanted, track the active schema from the most
+                # recent successful register() call instead of
+                # versions[-1] — deliberately not done: flip-flopping
+                # writers would churn the decode schema per batch.
                 versions = self.schemas.versions(tspec.name)
                 if versions and tspec.row_schema in versions:
                     row_schema = versions[-1]

@@ -406,6 +406,56 @@ def test_keyed_restart_adopts_legacy_unkeyed_sidecar(tmp_path):
     assert r3.latestOffset() == {"total": 10}
 
 
+def test_keyed_fresh_start_crash_does_not_adopt_legacy(tmp_path):
+    """ADVICE r10: a FRESH keyed start that crashes after its first
+    WAL'd offset but before its first commit() must not fall through
+    to the shared legacy sidecar on restart — initialOffset now writes
+    {"total": 0} to the keyed sidecar (not just unlink), so keyed state
+    exists from first touch. Also: legacy adoption (the checkpoint-
+    intact migration path) write-throughs the keyed sidecar so the
+    fallback fires at most once."""
+    import json as _json
+
+    from one_stop_cdc_ingestion_toolkit_spark.sources.changelog_ds import (
+        ChangelogStreamReader,
+    )
+
+    d = tmp_path / "log"
+    d.mkdir()
+    (d / "seg0.json").write_text(
+        "".join(_json.dumps({"key": str(j), "value": "x"}) + "\n" for j in range(30))
+    )
+    # another (older, unkeyed) stream's committed offset sits in the dir
+    (d / "_changelog_committed").write_text('{"total": 20}')
+    # fresh keyed start: initialOffset fires, first offset is WAL'd by
+    # Spark, then the process dies before commit()
+    r = ChangelogStreamReader(
+        {"path": str(d), "maxRecordsPerBatch": "10", "streamid": "qx"}
+    )
+    assert r.initialOffset() == {"total": 0}
+    assert r.latestOffset() == {"total": 10}
+    del r  # crash: no commit()
+    # restart (checkpoint has the WAL'd offset → no initialOffset call):
+    # the cap base must be the keyed 0, NOT the legacy stream's 20
+    r2 = ChangelogStreamReader(
+        {"path": str(d), "maxRecordsPerBatch": "10", "streamid": "qx"}
+    )
+    assert r2.latestOffset() == {"total": 10}  # 0 + cap, not 20 + cap
+    # migration write-through: a DIFFERENT keyed stream with no keyed
+    # sidecar adopts the legacy value AND persists it keyed immediately,
+    # so later legacy drift can't re-infect it
+    r3 = ChangelogStreamReader(
+        {"path": str(d), "maxRecordsPerBatch": "10", "streamid": "qy"}
+    )
+    assert (d / "_changelog_committed-qy").exists()
+    (d / "_changelog_committed").write_text('{"total": 999}')
+    r4 = ChangelogStreamReader(
+        {"path": str(d), "maxRecordsPerBatch": "10", "streamid": "qy"}
+    )
+    assert r4.latestOffset() == {"total": 30}  # 20 + cap, not 999-capped
+    del r3
+
+
 def test_second_unkeyed_reader_warns_keyed_does_not(tmp_path):
     """ADVICE r9: unkeyed readers share one per-directory commit sidecar,
     and a fresh start deletes it — constructing a second unkeyed reader
