@@ -6,13 +6,14 @@
   resize runs on actual decoded pixels inside the Arrow batch; the
   oracle recomputes the kept-pixel sum directly from the source bytes,
   so a resize that samples the wrong pixels hash-fails.
-- a0002: video FRAME-SAMPLE — every-k-th-frame sampling out of a
-  length-prefixed frame container, the other missing multimodal verb.
-  Real video codecs aren't in this container (documented stub per the
-  build brief); the CONTAINER format, binary plumbing, Arrow batch
-  shape, and stride arithmetic are real and oracle-checked. Round 9
-  added a0008 (`round9.py`), the same verb over a REAL format — Y4M
-  streams genuinely decoded by `functions/y4m_codec.py`.
+- a0002: video FRAME-SAMPLE — every-k-th-frame sampling out of a REAL
+  YUV4MPEG2 stream, the other missing multimodal verb. Round 10
+  retires the original made-up length-prefixed container (VERDICT r9
+  "What's wrong" #1): the mux/demux now goes through
+  `functions/y4m_codec.py` in the C444 colorspace (full-resolution
+  chroma planes), exercising the codec branch a0008's C420 path does
+  not — no chroma subsampling, so every decoded byte maps 1:1 to a
+  source byte and the oracle's stride arithmetic counts each once.
 - a0003: cross-lingual duplicate candidates — exact inverted-index
   pair generation (df-capped, the q44 discipline) restricted to pairs
   whose documents carry DIFFERENT lang tags: the translation-leak /
@@ -62,10 +63,13 @@ from one_stop_cdc_ingestion_toolkit_spark.operators.multimodal import (
 #: a0001: nearest-neighbor downsample factor (8×4 → 4×2).
 RESIZE_FACTOR = 2
 
-#: a0002: fake-video container geometry — frame payload size (bytes),
-#: sampling stride (keep frames 0, k, 2k, …), and the doc bound shared
-#: with the other multimodal queries.
-FRAME_BYTES = 24
+#: a0002: Y4M C444 video geometry — 8x4 frames with THREE full-size
+#: planes (Y, U, V each 32 bytes → 96 payload bytes/frame; compare
+#: a0008's C420 48-byte frames), sampling stride (keep frames 0, k,
+#: 2k, …), and the doc bound shared with the other multimodal queries.
+FRAME_W, FRAME_H = 8, 4
+FRAME_PLANE_BYTES = FRAME_W * FRAME_H
+FRAME_BYTES = 3 * FRAME_PLANE_BYTES
 FRAME_STEP = 3
 FRAME_DOCS = 40
 
@@ -157,36 +161,38 @@ def a0001_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pack_frame_container(payload: bytes) -> bytes:
-    """Length-prefixed frame container: 4-byte big-endian frame count,
-    then ``n_frames`` fixed FRAME_BYTES payloads (tail remainder
-    dropped). The mux half of a0002's demux; also the writer a binary
-    `video` column would be produced with."""
-    import struct
+    """Mux raw payload bytes into a REAL YUV4MPEG2 C444 stream: each
+    consecutive FRAME_BYTES slice becomes one 8x4 frame's (Y, U, V)
+    full-size planes (tail remainder dropped). The writer a binary
+    `video` column would be produced with; `sample_frames` is its
+    genuine-decode inverse."""
+    from one_stop_cdc_ingestion_toolkit_spark.functions import y4m_codec
 
     n_frames = len(payload) // FRAME_BYTES
-    return struct.pack(">I", n_frames) + payload[: n_frames * FRAME_BYTES]
-
-
-def sample_frames(container: bytes, step: int = FRAME_STEP) -> list[bytes]:
-    """Demux + every-``step``-th-frame sample of a packed container.
-    Raises on a header/body length mismatch (truncated container)."""
-    import struct
-
-    if len(container) < 4:
-        raise ValueError(
-            f"frame container truncated: {len(container)} bytes, header needs 4"
+    planes = []
+    for f in range(n_frames):
+        chunk = payload[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
+        planes.append(
+            (
+                chunk[:FRAME_PLANE_BYTES],
+                chunk[FRAME_PLANE_BYTES : 2 * FRAME_PLANE_BYTES],
+                chunk[2 * FRAME_PLANE_BYTES :],
+            )
         )
-    (n_frames,) = struct.unpack(">I", container[:4])
-    body = container[4:]
-    if len(body) != n_frames * FRAME_BYTES:
-        raise ValueError(
-            f"frame container truncated: header says {n_frames} frames, "
-            f"body holds {len(body)} bytes"
-        )
-    return [
-        body[f * FRAME_BYTES : (f + 1) * FRAME_BYTES]
-        for f in range(0, n_frames, step)
-    ]
+    return y4m_codec.encode_y4m(planes, FRAME_W, FRAME_H, "C444")
+
+
+def sample_frames(
+    container: bytes, step: int = FRAME_STEP
+) -> list[tuple[bytes, bytes, bytes]]:
+    """Genuinely decode a Y4M stream (header-token parse, per-FRAME
+    demux, C444 plane split — `functions/y4m_codec.py`) and keep every
+    ``step``-th frame's (Y, U, V) planes. Raises ValueError on a
+    malformed or truncated stream (the codec's validation)."""
+    from one_stop_cdc_ingestion_toolkit_spark.functions import y4m_codec
+
+    video = y4m_codec.decode_y4m(container)
+    return list(video.frames[::step])
 
 
 @register(
@@ -209,19 +215,22 @@ def sample_frames(container: bytes, step: int = FRAME_STEP) -> list[bytes]:
        FROM b GROUP BY doc_id, n_frames ORDER BY doc_id""",
 )
 def a0002_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling, oracle-checked: each document's text bytes
-    are packed into a length-prefixed frame container (4-byte
-    big-endian frame count, then fixed FRAME_BYTES payloads — a real
-    codec's demux is stubbed per the build brief, the container and
-    plumbing are real), the container is parsed back inside the Arrow
-    batch, and every FRAME_STEP-th frame (0, k, 2k, …) is sampled. The
-    emitted (n_frames, n_sampled, Σ sampled-frame bytes) must equal the
+    """Video frame-sampling over REAL decoded Y4M, oracle-checked: each
+    document's text bytes are muxed into a genuine YUV4MPEG2 C444
+    stream (8x4 frames, three full-size planes — 96 bytes/frame), the
+    stream is decoded back by `functions/y4m_codec.py` inside the Arrow
+    batch (header-token parse, FRAME demux, plane split), and every
+    FRAME_STEP-th frame (0, k, 2k, …) is sampled. The emitted
+    (n_frames, n_sampled, Σ sampled-frame plane bytes) must equal the
     oracle's direct stride arithmetic over the same characters — a
-    sampler that mis-parses the header or strides wrong hash-fails.
+    decoder that mis-parses the header, mis-splits planes, or strides
+    wrong hash-fails. C444 is the codec branch a0008 (C420 + chroma
+    upsampling) does not touch: full-res chroma, every byte counted
+    exactly once.
 
     Scale: mapInPandas flatMap, zero shuffle; frame payloads never
-    leave the batch. At real scale the container bytes arrive as a
-    parquet `binary` column and the same parse/stride logic applies
+    leave the batch. At real scale the stream bytes arrive as a
+    parquet `binary` column and the same decode/stride logic applies
     per Arrow batch."""
     d = tables(spark, sf_dir)["documents"]
     src = d.filter(
@@ -239,7 +248,7 @@ def a0002_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ids.append(i)
                 nf.append(len(payload) // FRAME_BYTES)
                 ns.append(len(sampled))
-                fs.append(sum(sum(fr) for fr in sampled))
+                fs.append(sum(sum(plane) for fr in sampled for plane in fr))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),

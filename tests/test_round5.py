@@ -57,8 +57,9 @@ def test_image_resize_keeps_even_pixels(spark, tmp_path):
 
 
 def test_frame_sample_stride_math(spark, tmp_path):
-    # 7 frames of FRAME_BYTES 'A' chars (+ a tail remainder that must be
-    # dropped): sampled frames 0, 3, 6 -> 3 frames, sum = 3*24*65.
+    # 7 C444 frames of FRAME_BYTES 'A' chars (+ a tail remainder that
+    # must be dropped): sampled frames 0, 3, 6 -> 3 frames, each
+    # contributing all three 32-byte planes -> sum = 3*96*65.
     text = "A" * (7 * FRAME_BYTES + 5)
     short = "B" * (FRAME_BYTES - 1)  # under one frame: excluded
     rows = [(1, text, "en", "s", 0), (2, short, "en", "s", 0)]
@@ -173,17 +174,16 @@ def test_round5_oracles_survive_whitespace_and_case(spark, tmp_path):
 
 
 def test_frame_container_over_binary_column(spark, tmp_path):
-    """Substantiate a0002's scale claim: the same mux/demux runs over a
-    real parquet `binary` column (the production arrival shape), not
-    only text-derived bytes — and a truncated container is rejected."""
+    """Substantiate a0002's scale claim: the same Y4M mux/decode runs
+    over a real parquet `binary` column (the production arrival shape),
+    not only text-derived bytes — and malformed streams are rejected."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.round5 import (
         pack_frame_container,
         sample_frames,
     )
 
     payloads = {
-        1: bytes(range(7 * FRAME_BYTES + 5)) if FRAME_BYTES * 7 + 5 < 256
-        else bytes((j % 251) for j in range(7 * FRAME_BYTES + 5)),
+        1: bytes((j % 251) for j in range(7 * FRAME_BYTES + 5)),
         2: bytes((j * 3 % 256) for j in range(2 * FRAME_BYTES)),
     }
     rows = [(k, bytearray(pack_frame_container(v))) for k, v in payloads.items()]
@@ -197,7 +197,13 @@ def test_frame_container_over_binary_column(spark, tmp_path):
             out = []
             for i, blob in zip(pdf["doc_id"], pdf["video"]):
                 frames = sample_frames(bytes(blob))
-                out.append((int(i), len(frames), sum(sum(f) for f in frames)))
+                out.append(
+                    (
+                        int(i),
+                        len(frames),
+                        sum(sum(p) for f in frames for p in f),
+                    )
+                )
             yield pd.DataFrame(out, columns=["doc_id", "n_sampled", "frame_sum"])
 
     got = {
@@ -208,14 +214,20 @@ def test_frame_container_over_binary_column(spark, tmp_path):
     }
     for k, v in payloads.items():
         frames = sample_frames(pack_frame_container(v))
-        assert got[k] == (len(frames), sum(sum(f) for f in frames))
+        assert got[k] == (
+            len(frames),
+            sum(sum(p) for f in frames for p in f),
+        )
     # doc 1: 7 frames -> frames 0,3,6 sampled; doc 2: 2 frames -> frame 0
     assert got[1][0] == 3 and got[2][0] == 1
+    # the mux is a REAL Y4M stream, C444-tagged
+    header = pack_frame_container(payloads[1]).split(b"\n", 1)[0]
+    assert header.startswith(b"YUV4MPEG2") and b"C444" in header
 
-    # truncated container must be rejected, not silently mis-sampled
+    # malformed streams must be rejected, not silently mis-sampled
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="truncated"):
         sample_frames(pack_frame_container(payloads[1])[:-3])
-    with _pytest.raises(ValueError, match="truncated"):
-        sample_frames(b"\x00\x00")  # shorter than the 4-byte header
+    with _pytest.raises(ValueError, match="magic"):
+        sample_frames(b"\x00\x00")  # not a Y4M stream at all
