@@ -392,11 +392,20 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> 
     scalar count (the convergence test) — never row data.
     """
     fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # hash-partition the edge list by src ONCE (r10): the per-round
+    # message join is then co-partitioned with the node-partitioned
+    # label frame and adds NO exchange — the old shape re-shuffled the
+    # cached edge list by src EVERY round. At scale this converts
+    # O(rounds) edge shuffles into one.
     edges = track_cache(
         fwd.unionByName(
             pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
-        )
+        ).repartition("src").sortWithinPartitions("src")
     )
+    # distinct() leaves the label frame hash-partitioned by node — the
+    # same partitioning every round's output is restored to below, so
+    # the message join stays exchange-free for the whole loop
+    # (localCheckpoint preserves outputPartitioning in the LogicalRDD).
     ck = track_local_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -404,25 +413,37 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> 
     )
     labels = ck
     for _ in range(CC_MAX_ITERS):
-        nbr_min = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("cand"))
+        # one union'd candidate stream — own label (prev rides on the
+        # self row only) + neighbor labels — collapsed by ONE partial
+        # aggregation. The old shape spent three joins and ~6 exchanges
+        # per round (nbr_min join + left-join back + jump join); this
+        # one pays the co-partitioned message join (no exchange), one
+        # groupBy(node) exchange of (node, comp) longs, and the jump
+        # join's comp-keyed exchange. r10 interleaved A/B at sf0.1:
+        # 3.01 s old vs 3.10 s new (bench-neutral — the loop is
+        # per-round job-latency-bound at this scale), bit-identical
+        # labels; the win is the shuffle-bytes budget at scale, where
+        # the old shape re-shuffled the full edge list every round and
+        # this one moves label rows (3 longs) only.
+        msgs = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"),
+            F.col("comp"),
+            F.lit(None).cast("long").alias("prev"),
+        )
+        cand = labels.select(
+            "node", "comp", F.col("comp").alias("prev")
+        ).unionByName(msgs)
+        half = cand.groupBy("node").agg(
+            F.min("comp").alias("comp"),
+            # exactly one non-null per node (the self row): max == that value
+            F.max("prev").alias("prev"),
         )
         jump = labels.select(
             F.col("node").alias("jnode"), F.col("comp").alias("jcomp")
         )
         new_ck = track_local_checkpoint(
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
-            .select(
-                "node",
-                F.col("comp").alias("prev"),
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("cand"), F.col("comp"))
-                ).alias("comp"),
-            )
-            # pointer jump: comp := label(comp)
-            .join(jump, F.col("comp") == F.col("jnode"), "left")
+            # pointer jump: comp := min(comp, label(comp))
+            half.join(jump, F.col("comp") == F.col("jnode"), "left")
             .select(
                 "node",
                 "prev",
@@ -430,6 +451,9 @@ def connected_components(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> 
                     F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))
                 ).alias("comp"),
             )
+            # restore node partitioning so next round's message join and
+            # jump build stay exchange-free (rows are 3 longs)
+            .repartition("node")
         )
         # prev rides along in the checkpointed frame: the convergence test
         # is a filter over already-materialized data, not a self-join.
