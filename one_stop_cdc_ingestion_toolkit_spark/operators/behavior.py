@@ -58,12 +58,19 @@ def _global_ranked(df: DataFrame, order_cols: list) -> DataFrame:
     before = sizes.select(
         F.col("_pid").alias("_bpid"), F.col("_n").alias("_bn")
     )
+    # one P×P cross join derives BOTH the prefix sum and the grand total
+    # (r10 — the total used to be a separate aggregate + crossJoin,
+    # costing an extra broadcast-build job per ranking pass; P ≤
+    # shuffle.partitions, so the pair frame stays tiny)
     offsets = (
-        sizes.join(F.broadcast(before), F.col("_bpid") < F.col("_pid"), "left")
+        sizes.crossJoin(F.broadcast(before))
         .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_bn"), F.lit(0)).alias("_offset"))
-        .crossJoin(
-            F.broadcast(sizes.agg(F.sum("_n").alias("_total")))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_bpid") < F.col("_pid"), F.col("_bn"))),
+                F.lit(0),
+            ).alias("_offset"),
+            F.sum("_bn").alias("_total"),
         )
     )
     return (
@@ -240,23 +247,55 @@ def a024_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = cust.crossJoin(F.broadcast(maxd)).withColumn(
         "recency", F.datediff(F.to_date("maxd"), F.to_date("last_order"))
     )
-    # rank the three metrics INDEPENDENTLY off the cached customer frame
-    # (chaining them would make each round's range-sampling pass re-read
-    # the previous rounds' join output), then join the slim (custkey,
-    # bucket) frames back — ordinary key-partitioned joins at scale
+    # ONE exact-ranking pass for all three metrics (r10 — was three
+    # independent exact_ntile pipelines: 3 range shuffles, 3 offset
+    # broadcasts, 3 join-backs; 15 jobs / 74 plan exchanges). The
+    # metrics are stacked as (custkey, metric_idx, value) — 3n slim
+    # rows — and range-partitioned by (metric, value, custkey), a total
+    # order in which each metric's block is contiguous; the per-metric
+    # rank is then global_rank − metric_idx·n (every metric contributes
+    # exactly n = |customers| rows), and the NTILE closed form is
+    # unchanged. Same bucket per (customer, metric) as the independent
+    # passes: the per-metric total order and tie-break are identical.
     cust = track_cache(cust)
-    parts = {
-        col: exact_ntile(
-            cust.select("o_custkey", metric), [metric, "o_custkey"], 4, col
-        ).select("o_custkey", col)
-        for col, metric in [("r", "recency"), ("f", "freq"), ("m", "mon_cents")]
-    }
-    scored = (
-        cust.select("o_custkey", "mon_cents")
-        .join(parts["r"], "o_custkey")
-        .join(parts["f"], "o_custkey")
-        .join(parts["m"], "o_custkey")
+    stacked = cust.select(
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_metric"),
+                        F.col(metric).cast("long").alias("_v"),
+                    )
+                    for i, metric in enumerate(["recency", "freq", "mon_cents"])
+                ]
+            )
+        ).alias("_mv"),
+    ).select(
+        "o_custkey",
+        F.col("_mv._metric").alias("_metric"),
+        F.col("_mv._v").alias("_v"),
     )
+    ranked = _global_ranked(stacked, ["_metric", "_v", "o_custkey"])
+    n = (F.col("_total") / 3).cast("long")  # rows per metric
+    rank = F.col("_rank") - F.col("_metric") * n
+    k = 4
+    q = F.floor(n / k)
+    rem = n % k
+    head = (q + 1) * rem  # rows covered by the ceil-sized buckets
+    bucket = F.when(rank <= head, F.ceil(rank / (q + 1))).otherwise(
+        rem + F.ceil((rank - head) / q)
+    ).cast("int")
+    pivot = (
+        ranked.withColumn("_b", bucket)
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("_metric") == 0, F.col("_b"))).alias("r"),
+            F.max(F.when(F.col("_metric") == 1, F.col("_b"))).alias("f"),
+            F.max(F.when(F.col("_metric") == 2, F.col("_b"))).alias("m"),
+        )
+    )
+    scored = cust.select("o_custkey", "mon_cents").join(pivot, "o_custkey")
     return (
         scored.groupBy("r", "f", "m")
         .agg(
