@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register, track_cache
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    pin_broadcast_if_small,
+    register,
+    track_cache,
+)
 from one_stop_cdc_ingestion_toolkit_spark.operators.neardup2 import (
     _DUCK_BANDS_CTE,
     _DUCK_FIRST_MATCH,
@@ -124,13 +128,31 @@ def a027_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     rank1 = F.struct(F.col("e1.dd"), F.col("e1.dst"))
     rank2 = F.struct(F.col("e2.dd"), F.col("e2.dst"))
+    # broadcast-pin the oriented edge list for the CLOSING join when it
+    # fits (r10, guide §3.1): that join otherwise SHUFFLES the wedge
+    # stream — Σ outdeg² rows, ~370x the edge count on this graph — by
+    # (dst_a, dst_b) just to meet the m-row edge side, and the wedge
+    # shuffle dominated the whole query. Pinned, wedges stream straight
+    # from the merge join into a map-side hash probe and never hit an
+    # exchange; only the 3-long edge rows are replicated. The wedge
+    # join itself stays sort-merge (its two inputs are the SAME cached
+    # frame — one reused exchange of m rows; broadcasting there too was
+    # measured slower: a second 166k-row broadcast build per run buys
+    # no shuffle savings the reused exchange wasn't already giving).
+    # est_bytes over-estimates at 64 B/row (3 longs + row overhead);
+    # above the 64 MB budget (or spark.cdcToolkit.verifyJoin=shuffle)
+    # the planner keeps the old sort-merge shape — the probe count runs
+    # on the already-cached edge frame. Interleaved A/B/C at sf0.1,
+    # min-of-4 one window: old both-SMJ 5.54 s, both-broadcast+widen
+    # 3.83 s, this shape 2.98 s — identical output rows.
+    e3b = pin_broadcast_if_small(e3, lambda: edges.count() * 64)
     tri = (
         e1.join(
             e2,
             (F.col("e1.src") == F.col("e2.src")) & (rank1 < rank2),
         )
         .join(
-            e3,
+            e3b,
             (F.col("e3.src") == F.col("e1.dst"))
             & (F.col("e3.dst") == F.col("e2.dst")),
         )

@@ -461,7 +461,13 @@ def test_exchange_count_budgets(spark):
         "d96_dup_clusters": 1,
         "a0006_minhash_pairs_collapsed": 16,
         "q44_ngram_jaccard_dups": 25,
-        "a027_triangle_census": 56,
+        # r10: the closing join's gated broadcast pin (insights.py —
+        # wedge stream no longer shuffled) adds a BroadcastExchange
+        # whose plan text re-prints the cached oe lineage, so the LINE
+        # count jumps 56 -> 162 while physical shuffles DROP (the
+        # (dst_a, dst_b) exchange of the Σ outdeg² wedge stream is
+        # gone; interleaved A/B 5.54 -> 2.98 s at sf0.1)
+        "a027_triangle_census": 162,
         "a004_containment_pairs": 153,
         "a0007_jaccard_pairs_collapsed": 160,
     }
