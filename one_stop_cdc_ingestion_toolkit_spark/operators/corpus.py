@@ -234,20 +234,31 @@ def a102_lsh_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     band signatures are BROADCAST — the corpus-side scan+signature
     pipeline runs shuffle-free except the signature groupBy, and no
     corpus-vs-corpus join ever happens (contrast q43, which self-joins).
-    Both band-row calls pin ``use_arrow=False`` — first measured here
-    (~15% faster for this broadcast-feeding shape), and since r7 the
-    JVM explode path is the family-wide default anyway (2.1-2.3x once
-    word_shingles' zip_with fix landed; see minhash_signatures)."""
+    Since r10 both sides come from ONE signature pass over the table
+    (``source`` carried in-row, split by filter) — one corpus scan, not
+    two. The band-row call pins ``use_arrow=False`` — first measured
+    here (~15% faster for this broadcast-feeding shape), and since r7
+    the JVM explode path is the family-wide default anyway (2.1-2.3x
+    once word_shingles' zip_with fix landed; see minhash_signatures)."""
     d = tables(spark, sf_dir)["documents"]
     corpus = d.filter(F.col("source") != EVAL_SOURCE)
-    eval_docs = d.filter(F.col("source") == EVAL_SOURCE)
+    # ONE signature pipeline over the whole table with `source` carried
+    # in-row, split by filter afterwards (r10) — the old shape ran two
+    # separate scan→shingle→minhash pipelines (corpus and eval), i.e.
+    # TWO passes over the same parquet at scale for disjoint row
+    # subsets. Same per-doc signatures, one scan. Interleaved A/B at
+    # sf0.1 min-of-5: 1.16 s → 0.93 s, identical output. The band
+    # frame is cached (4 short rows/doc), released by release_caches.
+    bands = track_cache(
+        minhash_band_rows(d, "doc_id", "text", use_arrow=False, carry=("source",))
+    )
     eval_sigs = (
-        minhash_band_rows(eval_docs, "doc_id", "text", use_arrow=False)
+        bands.filter(F.col("source") == EVAL_SOURCE)
         .select("band_idx", "band_sig")
         .distinct()
     )
     flagged = (
-        minhash_band_rows(corpus, "doc_id", "text", use_arrow=False)
+        bands.filter(F.col("source") != EVAL_SOURCE)
         .join(F.broadcast(eval_sigs), ["band_idx", "band_sig"], "left_semi")
         .select(F.col("id").alias("doc_id"))
         .distinct()
