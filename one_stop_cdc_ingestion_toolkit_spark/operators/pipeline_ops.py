@@ -377,6 +377,8 @@ def clean_corpus(
         quality_score,
     )
 
+    from one_stop_cdc_ingestion_toolkit_spark.operators import track_cache
+
     good = df.filter(quality_score(F.col(text_col)) >= min_quality)
     w = W.partitionBy(fingerprint(F.col(text_col))).orderBy(id_col)
     uniq = (
@@ -386,6 +388,13 @@ def clean_corpus(
     )
     if not near_dup:
         return uniq
+    # uniq feeds BOTH the near-dup pair generator and the final
+    # anti-join — uncached, the quality gate + fingerprint window (a
+    # full-TEXT shuffle) ran twice (r10). persist() is MEMORY_AND_DISK,
+    # so at scale this trades a second corpus-wide text shuffle for one
+    # spillable materialization. Interleaved A/B at sf0.1 min-of-5
+    # (c91): 1.37 -> 0.95 s, identical output.
+    uniq = track_cache(uniq)
     pairs = minhash_lsh_pairs(uniq, id_col, text_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return uniq.join(losers, id_col, "left_anti")
