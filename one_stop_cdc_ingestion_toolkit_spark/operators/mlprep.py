@@ -493,31 +493,43 @@ def a115_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     are contaminated; this reports how exposed the benchmark is). One
     number a release gate can threshold on.
 
-    Single corpus scan, single partial-aggregated shuffle on the gram:
-    per-gram eval/corpus presence flags fold map-side (bool OR), so no
-    join, no second scan, no broadcast — the per-gram row is two
-    booleans regardless of document frequency."""
+    Shape (r10, guide §3.2 — pre-filter the big side): the eval set is 5
+    docs by construction, so its distinct gram-hash set is broadcast and
+    the corpus-side explode feeds a map-side semi-join. The previous
+    shape ("no join" — one groupBy over EVERY corpus gram folding
+    eval/corpus presence flags) shuffled the whole distinct-gram universe
+    to answer a question about the eval set's few hundred grams; the sf10
+    decade measured it 12.9x behind DuckDB for exactly that reason. Now
+    the only shuffled rows are corpus hits on eval grams (≤ |eval grams|
+    after the map-side partial distinct); per-doc gram dedup happens
+    in-row (hashed_shingles — same xxhash64 the old groupBy keyed on, so
+    the distinct-hash counts are bit-identical, collisions included)."""
     from one_stop_cdc_ingestion_toolkit_spark.operators import widen_narrow_scan
-    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import hashed_shingles
 
-    # widen the single-split scan so the CPU-heavy gram explode + map-side
-    # partial agg parallelize (no-op at real scale)
-    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
-    gx = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k=COVERAGE_K)).alias("g")
+    d = tables(spark, sf_dir)["documents"]
+    eval_grams = (
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode(hashed_shingles(F.col("text"), k=COVERAGE_K)).alias("g"))
+        .distinct()
     )
-    # only gram IDENTITY matters downstream → xxhash64-compress the
-    # shuffle key (the a134 discipline; raw-gram oracle checks the counts)
-    flags = gx.groupBy(F.xxhash64("g").alias("g")).agg(
-        F.max(F.col("doc_id") < 5).alias("ie"),
-        F.max(F.col("doc_id") >= 5).alias("ic"),
+    # widen the single-split scan so the CPU-heavy gram explode + probe
+    # parallelize (no-op at real scale); the doc_id >= 5 predicate still
+    # reaches the scan through the round-robin exchange
+    corpus = (
+        widen_narrow_scan(d)
+        .filter(F.col("doc_id") >= 5)
+        .select(F.explode(hashed_shingles(F.col("text"), k=COVERAGE_K)).alias("g"))
     )
-    n_found = F.count_if(F.col("ie") & F.col("ic"))
-    n_eval = F.count_if(F.col("ie"))
-    return flags.agg(
-        n_eval.alias("n_eval_grams"),
-        n_found.alias("n_found"),
-        F.round(n_found.cast("double") / n_eval, 4).alias("coverage"),
+    found = corpus.join(F.broadcast(eval_grams), "g", "left_semi").distinct()
+    n_eval = eval_grams.agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_eval.crossJoin(n_found).select(
+        "n_eval_grams",
+        "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_eval_grams"), 4).alias(
+            "coverage"
+        ),
     )
 
 

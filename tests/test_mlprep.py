@@ -142,15 +142,21 @@ def test_contamination_coverage_bounds(spark):
     assert 0.0 <= r["coverage"] <= 1.0
 
 
-def test_coverage_plan_is_single_pass(spark):
-    """One scan, one gram shuffle, no join: presence flags fold map-side."""
+def test_coverage_plan_broadcasts_eval_grams(spark):
+    """r10 shape (guide §3.2): the 5-doc eval gram set is broadcast and
+    the corpus explode probes it map-side — the only shuffled gram rows
+    are eval-gram hits, never the whole distinct-gram universe. The eval
+    side's doc_id < 5 predicate must reach its parquet scan."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
         a115_contamination_coverage,
     )
 
     plan = physical_plan(a115_contamination_coverage(spark, SF_DIR))
-    assert "Join" not in plan
-    assert "partial_max" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # no corpus-wide flag fold anymore: presence comes from the semi join
+    assert "partial_max" not in plan
+    assert "LessThan(doc_id,5)" in plan.replace(" ", "")
 
 
 def test_rolling_anomaly_excludes_current_hour(spark):

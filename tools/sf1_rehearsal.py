@@ -86,6 +86,7 @@ def main() -> None:
     small = "/tmp/sfgen01"
     big = "/tmp/sf1"
     reps = 2
+    out_name = "SF1_REHEARSAL.json"
     names = list(QUERIES)
     argv = sys.argv[1:]
     i = 0
@@ -106,6 +107,11 @@ def main() -> None:
             reps = int(val)
         elif key == "--queries":
             names = val.split(",")
+        elif key == "--out":
+            # the sf3/sf10 decade sittings (VERDICT r9 ask #1) reuse this
+            # harness; a distinct output name keeps each scale's committed
+            # artifact instead of clobbering SF1_REHEARSAL.json
+            out_name = val
         else:
             sys.exit(f"unknown arg {key}")
         i += 1
@@ -204,7 +210,7 @@ def main() -> None:
         },
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SF1_REHEARSAL.json"), "w") as fh:
+    with open(os.path.join(here, out_name), "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
 
