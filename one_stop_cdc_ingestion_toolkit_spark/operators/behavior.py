@@ -277,7 +277,9 @@ def a024_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_mv._v").alias("_v"),
     )
     ranked = _global_ranked(stacked, ["_metric", "_v", "o_custkey"])
-    n = (F.col("_total") / 3).cast("long")  # rows per metric
+    # rows per metric: integral division (ADVICE r10 — the double-divide
+    # form silently depended on _total < 2^53; `div` is exact at any n)
+    n = F.expr("_total div 3")
     rank = F.col("_rank") - F.col("_metric") * n
     k = 4
     q = F.floor(n / k)

@@ -1260,17 +1260,20 @@ def a019_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominate the stream", answerable from 256 counters instead of a
     full per-key table.
 
-    TWO corpus scans total (r8 rewrite, weak-tail triage): one builds
-    the counters (the md5 explode evaluated ONCE — the old est path
-    re-evaluated the full-corpus explode a second time just to look up
-    k users' buckets), one builds the truth counts. The top-k users'
-    buckets are re-derived on the k-row frame itself (same
-    deterministic md5 expression → identical buckets), the stream total
-    is the sum of one counter row's column (each event contributes
-    exactly one row per r, an exact integer), and both the counter grid
-    and the k-row side are broadcast. The contract booleans
-    (no-underestimate, eps-bound) are exact-integer facts both engines
-    agree on bit-for-bit."""
+    ONE corpus scan total (r11 rewrite; r8 had two): the per-user truth
+    counts are computed first (map-side partial agg on user_id — the
+    shuffle carries |users| rows, not events), and the counter grid is
+    derived FROM them: every event of a user lands in exactly that
+    user's (r, bucket) cells, so c(r, bucket) = Σ true_n over users
+    hashing there — bit-identical integers with the md5 work cut from
+    CMS_D·|events| to CMS_D·|users| (~66x fewer md5s at the fixtures'
+    events-per-user). The top-k users' buckets are re-derived on the
+    k-row frame itself (same deterministic md5 expression → identical
+    buckets), the stream total is the sum of one counter row's column
+    (each event contributes exactly one row per r, an exact integer),
+    and both the counter grid and the k-row side are broadcast. The
+    contract booleans (no-underestimate, eps-bound) are exact-integer
+    facts both engines agree on bit-for-bit."""
     ev = tables(spark, sf_dir)["events"]
 
     def rb_explode(df: DataFrame) -> DataFrame:
@@ -1306,15 +1309,19 @@ def a019_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rb"),
         ).select(*df.columns, "rb.r", "rb.bucket")
 
-    # cached: 256 rows consumed by BOTH the estimate join and the stream
-    # total below — without the cache each consumer re-runs the corpus
-    # explode scan (released by operators.release_caches)
-    counters = track_cache(
-        rb_explode(ev.select("user_id"))
-        .groupBy("r", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # cached: |users| rows consumed by the counter grid AND the top-k
+    # sort (released by operators.release_caches)
+    truth = track_cache(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
     )
-    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_n"))
+    # cached: 256 rows consumed by BOTH the estimate join and the stream
+    # total below. Derived from truth, not a second corpus explode:
+    # c(r, bucket) = Σ true_n over the users hashing to that cell.
+    counters = track_cache(
+        rb_explode(truth)
+        .groupBy("r", "bucket")
+        .agg(F.sum("true_n").cast("long").alias("c"))
+    )
     top = truth.orderBy(F.col("true_n").desc(), "user_id").limit(CMS_TOPK)
     est = (
         rb_explode(top)

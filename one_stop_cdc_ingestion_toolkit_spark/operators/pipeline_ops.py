@@ -222,6 +222,78 @@ def c86_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bigram_stats_batches(*args):
+    """mapInArrow kernel for c87: per-document bigram count and the
+    most-frequent-bigram count, computed fully vectorized inside each
+    Arrow batch (guide §4.2 — hand whole batches to native libraries).
+
+    Semantics pinned to the JVM formulation it replaces:
+    - words = split(lower(text), \\s+) with Java's limit=-1 (leading AND
+      trailing empty tokens kept). Java ``\\s`` is the ASCII class
+      ``[ \\t\\n\\x0b\\f\\r]``, spelled out here because RE2's ``\\s``
+      omits ``\\x0b``.
+    - docs with < 2 words emit nothing (explode of an empty shingle
+      array dropped them).
+    - rep_ratio = IEEE double division max_count/total of two exactly
+      representable ints — bit-identical to the old cast+divide.
+
+    Per batch: lower+split in Arrow C++, words dictionary-encoded, then
+    (doc, bigram) run-lengths via one lexsort — no per-row Python, no
+    per-gram JVM row ever reaches a shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # pyspark 4.1 invokes map-iter UDFs as f(split_index, iterator)
+    it = args[-1]
+    for rb in it:
+        if rb.num_rows == 0:
+            continue
+        doc_id = rb.column(0).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(rb.column(1), "")),
+            "[ \t\n\x0b\f\r]+",
+        )
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        flat = pc.list_flatten(words).dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = lens.shape[0]
+        di = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        # adjacent pairs within a doc: mask out the cross-doc seams
+        valid = di[:-1] == di[1:]
+        u = np.int64(len(flat.dictionary))
+        bg = (codes[:-1] * u + codes[1:])[valid]
+        dib = di[:-1][valid]
+        if bg.shape[0] == 0:
+            continue
+        order = np.lexsort((bg, dib))
+        bgs, dis = bg[order], dib[order]
+        new = np.empty(bgs.shape[0], dtype=bool)
+        new[0] = True
+        np.logical_or(bgs[1:] != bgs[:-1], dis[1:] != dis[:-1], out=new[1:])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, bgs.shape[0]))
+        cdi = dis[starts]
+        dnew = np.empty(cdi.shape[0], dtype=bool)
+        dnew[0] = True
+        dnew[1:] = cdi[1:] != cdi[:-1]
+        dstarts = np.flatnonzero(dnew)
+        keep = cdi[dstarts]  # doc indices with >= 1 bigram, ascending
+        maxc = np.maximum.reduceat(counts, dstarts)
+        total = lens[keep] - 1
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_id[keep], type=pa.int64()),
+                pa.array(total, type=pa.int64()),
+                pa.array(maxc.astype(np.float64) / total.astype(np.float64)),
+            ],
+            ["doc_id", "n_bigrams", "rep_ratio"],
+        )
+
+
+
+
 @register(
     "c87_repetition_ratio",
     f"""WITH w AS (
@@ -246,32 +318,24 @@ def c87_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signal: most-frequent-bigram share of all bigrams —
     boilerplate/spam detector (high ratio = templated text).
 
-    Two partial aggregations keyed by doc (map-side combine both
-    times), never a per-doc collect; the exact-operand division keeps
-    the double cross-engine stable. The single-split scan is widened
-    first so the explode + map-side partial agg parallelize (measured
-    0.80 → 0.53 s at sf0.1). A within-row formulation (array_sort +
-    aggregate-fold for the longest run) was tried and is ~2.6× SLOWER:
-    higher-order folds run interpreted (CodegenFallback), so 250k
-    struct-building fold steps cost more than the two short-key
-    shuffles they avoid."""
+    r11 (guide §4.2/§2.3 — move the boundary, not the rows): both
+    aggregations are doc-local, so the whole statistic is computed
+    IN-ROW by one Arrow kernel (``_bigram_stats_batches``) — the old
+    shape exploded every bigram into a row and paid two corpus-sized
+    hash aggregations ((doc, bigram) then doc); DuckDB never
+    materializes that gram stream, which is exactly why it was 6.2x
+    ahead at sf10. Now no per-gram row exists outside the batch kernel
+    and the only shuffle is the final per-doc sort. Two JVM-side
+    in-row variants were measured and rejected: higher-order
+    array folds (r9: interpreted CodegenFallback, 2.6x slower) and the
+    doc-clustered single-shuffle shape (r10: fewer exchanges but
+    corpus-sized text rows shuffled, 0.88-0.93x)."""
     from one_stop_cdc_ingestion_toolkit_spark.operators import widen_narrow_scan
-    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
-    d = widen_narrow_scan(tables(spark, sf_dir)["documents"])
-    bg = d.select(
-        "doc_id",
-        F.explode(word_shingles(F.col("text"), k=2)).alias("bigram"),
-    )
-    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        counts.groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            (F.max("c").cast("double") / F.sum("c")).alias("rep_ratio"),
-        )
-        .orderBy("doc_id")
-    )
+    d = widen_narrow_scan(tables(spark, sf_dir)["documents"].select("doc_id", "text"))
+    return d.mapInArrow(
+        _bigram_stats_batches, "doc_id long, n_bigrams long, rep_ratio double"
+    ).orderBy("doc_id")
 
 
 DECONTAM_K = 5  # overlap n-gram width (13 in practice; 5 fits the fixture)

@@ -323,23 +323,35 @@ def a0004_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         weights = (np.int64(1) << np.arange(PHASH_PIXELS, dtype=np.int64))
         for pdf in it:
-            ids, hs = [], []
-            for i, t in zip(pdf["doc_id"], pdf["t"]):
-                pixels = bytes(min(ord(c), 255) for c in t[:n_bytes]).ljust(
-                    n_bytes, b"\0"
+            n = len(pdf)
+            if n == 0:
+                continue
+            # r11 (guide §4.2): prep and hash vectorized across the
+            # batch — the per-character ord() generator and per-image
+            # bit packing were 26 of the 58 µs/image (microbench in
+            # OPTIMIZATION_r11.md); the PNG roundtrip stays per-row by
+            # nature (its ~17 µs/image after the filter-0 fast path is
+            # the codec floor).
+            mats = np.zeros((n, n_bytes), dtype=np.uint8)
+            for i, t in enumerate(pdf["t"]):
+                cp = np.frombuffer(
+                    t[:n_bytes].encode("utf-32-le"), dtype=np.uint32
                 )
+                mats[i, : cp.shape[0]] = np.minimum(cp, 255)
+            dec = np.empty_like(mats)
+            for i in range(n):
                 img = png_codec.decode_png(
-                    png_codec.encode_png(pixels, PNG_W, PNG_H, 3)
+                    png_codec.encode_png(mats[i].tobytes(), PNG_W, PNG_H, 3)
                 )
-                arr = np.frombuffer(bytes(img.pixels), dtype=np.uint8)
-                gray = arr.reshape(PHASH_PIXELS, 3).astype(np.int64).sum(axis=1) // 3
-                bits = PHASH_PIXELS * gray > gray.sum()
-                ids.append(i)
-                hs.append(int(weights[bits].sum()))
+                dec[i] = np.frombuffer(bytes(img.pixels), dtype=np.uint8)
+            gray = dec.reshape(n, PHASH_PIXELS, 3).astype(np.int64).sum(axis=2) // 3
+            bits = PHASH_PIXELS * gray > gray.sum(axis=1, keepdims=True)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "phash": pd.Series(hs, dtype="int64"),
+                    "doc_id": pd.Series(
+                        pdf["doc_id"].to_numpy(), dtype="int64"
+                    ),
+                    "phash": pd.Series(bits.dot(weights), dtype="int64"),
                 }
             )
 

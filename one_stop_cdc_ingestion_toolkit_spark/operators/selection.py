@@ -85,6 +85,113 @@ def _bucket(col: F.Column, n: int) -> F.Column:
 # ---------------------------------------------------------------------------
 
 
+def _dsir_split_batch(rb, text_idx):
+    """Shared tokenize step for the a140 Arrow kernels: lowercase +
+    ASCII-whitespace split in Arrow C++, then dictionary-encode so the
+    md5 bucket hash runs once per DISTINCT word in the batch, not once
+    per occurrence (the fixtures' generator vocabulary is tiny, and any
+    natural-language vocabulary is orders of magnitude smaller than its
+    corpus). Returns (doc word-lengths, per-word doc index, per-word
+    bucket, per-word keep mask) with empty tokens masked out — identical
+    to ``_word_rows``'s ``word != ''`` filter; the ``trim`` in
+    ``_WORDS_SQL`` only ever removes tokens that the empty-filter drops
+    anyway."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    words = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(rb.column(text_idx), "")),
+        "[ \t\n\x0b\x0c\r]+",
+    )
+    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    lens = lens.astype(np.int64)
+    flat = pc.list_flatten(words).dictionary_encode()
+    codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = flat.dictionary.to_pylist()
+    # same bytes as _bucket: first 8 hex chars of md5(utf-8 word), base
+    # 16 -> 10, mod DSIR_BUCKETS
+    ubuck = np.array(
+        [
+            int(hashlib.md5(u.encode("utf-8")).hexdigest()[:8], 16) % DSIR_BUCKETS
+            for u in uniq
+        ],
+        dtype=np.int64,
+    )
+    ukeep = np.array([u != "" for u in uniq], dtype=bool)
+    di = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    return lens, di, ubuck[codes], ukeep[codes]
+
+
+def _dsir_count_batches(*args):
+    """Kernel 1: per-batch (bucket, raw, target) partial counts — at
+    most DSIR_BUCKETS rows leave each batch, so the downstream shuffle
+    is constant-size at any corpus size (guide §2.3: aggregate before
+    you shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    it = args[-1]
+    for rb in it:
+        if rb.num_rows == 0:
+            continue
+        _, di, wbuck, keep = _dsir_split_batch(rb, 1)
+        lang_en = np.asarray(
+            [v == DSIR_TARGET_LANG for v in rb.column(0).to_pylist()], dtype=bool
+        )
+        kb = wbuck[keep]
+        r_part = np.bincount(kb, minlength=DSIR_BUCKETS)
+        t_part = np.bincount(kb[lang_en[di[keep]]], minlength=DSIR_BUCKETS)
+        nz = np.flatnonzero(r_part)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(nz, type=pa.int64()),
+                pa.array(r_part[nz], type=pa.int64()),
+                pa.array(t_part[nz], type=pa.int64()),
+            ],
+            ["b", "r_part", "t_part"],
+        )
+
+
+def _dsir_score_batches(lam_pairs):
+    """Kernel 2 factory: per-document importance weight w = Σ over the
+    doc's words of lam(bucket(word)), summed in within-doc word order
+    (np.bincount weighted accumulation). ``lam_pairs`` is the collected
+    (bucket, lam) table — bounded by the DSIR_BUCKETS constant, never by
+    data — closed over so each doc row crossing the Arrow boundary
+    carries zero extra columns. Docs with no non-empty token emit
+    nothing (they had no word rows before either)."""
+
+    def kernel(*args):
+        import numpy as np
+        import pyarrow as pa
+
+        lam_vec = np.zeros(DSIR_BUCKETS, dtype=np.float64)
+        for b, lam in lam_pairs:
+            lam_vec[b] = lam
+        it = args[-1]
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            lens, di, wbuck, keep = _dsir_split_batch(rb, 1)
+            ndocs = lens.shape[0]
+            dik = di[keep]
+            w = np.bincount(dik, weights=lam_vec[wbuck[keep]], minlength=ndocs)
+            nword = np.bincount(dik, minlength=ndocs)
+            has = nword > 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rb.column(0).to_numpy(zero_copy_only=False)[has]),
+                    pa.array(w[has], type=pa.float64()),
+                ],
+                ["source", "w"],
+            )
+
+    return kernel
+
+
+
 @register(
     "a140_dsir_importance",
     rf"""WITH wn AS (
@@ -127,33 +234,25 @@ def a140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, summed over each document's words; reported per source as
     the mean weight and how many docs score target-like (w > 0).
 
-    Scale shape: the explode is linear; bucket counts are
-    DSIR_BUCKETS-key map-side-combined aggs (partials merge — the
-    shuffle carries that many rows per task); the ratio table is
-    broadcast; the only data-sized shuffle keys on doc_id. Ratios are
-    computed as ONE double division of exactly-representable products,
-    so both engines emit bit-identical lambdas. (A literal docstring —
-    the old ``.format(...)`` version made the first statement an
-    expression, so ``__doc__`` was None and the string was rebuilt per
-    call, review r7.)"""
-    d = tables(spark, sf_dir)["documents"]
-    # cached: the exploded word stream feeds the bucket model AND the
-    # per-doc scoring join — one explode instead of two. (At full scale,
-    # recomputing the projection+explode is cheaper than caching a corpus;
-    # there, drop the cache and let the scan run twice.)
-    wn = track_cache(
-        _word_rows(d, "doc_id", "source", "lang").withColumn(
-            "b", _bucket(F.col("word"), DSIR_BUCKETS)
-        )
-    )
-    # ONE pass over the word stream derives raw AND target bucket counts
-    # (conditional agg); the corpus totals come from the B-row frame, not
-    # another corpus scan. Previous shape aggregated wn three times.
-    counts = wn.groupBy("b").agg(
-        F.count(F.lit(1)).alias("r"),
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("t"),
+    Scale shape (r11, guide §4.2/§2.3): the word stream never leaves the
+    Arrow kernels. Kernel 1 emits at most DSIR_BUCKETS partial-count
+    rows per batch (the only corpus-wide shuffle is that constant-size
+    fold); the ratio table is derived in Spark from exact integer counts
+    — ONE double division of exactly-representable products, so both
+    engines emit bit-identical lambdas — then materialized (bounded by
+    the DSIR_BUCKETS constant, the same driver round-trip a broadcast
+    join performs) and closed over by kernel 2, which scores each doc
+    in-row and emits one slim (source, w) row per doc. The r10 shape
+    exploded 27M word rows at sf10, cached them, md5-hashed every
+    occurrence, and paid a 27M-row broadcast-join + doc-keyed hash agg
+    (measured 5.7 s of its 6.5 s wall); per-occurrence md5 now runs once
+    per distinct word per batch via dictionary encoding."""
+    doc = tables(spark, sf_dir)["documents"]
+    counts = (
+        widen_narrow_scan(doc.select("lang", "text"))
+        .mapInArrow(_dsir_count_batches, "b long, r_part long, t_part long")
+        .groupBy("b")
+        .agg(F.sum("r_part").alias("r"), F.sum("t_part").alias("t"))
     )
     tot = counts.agg(
         F.sum("r").alias("rt"), F.sum("t").alias("tt")
@@ -170,10 +269,9 @@ def a140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lam"),
         )
     )
-    dw = (
-        wn.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
-        .agg(F.min("source").alias("source"), F.sum("lam").alias("w"))
+    lam_pairs = [(row["b"], row["lam"]) for row in lam.collect()]
+    dw = widen_narrow_scan(doc.select("source", "text")).mapInArrow(
+        _dsir_score_batches(lam_pairs), "source string, w double"
     )
     return (
         dw.groupBy("source")

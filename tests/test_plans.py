@@ -119,6 +119,13 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         # cross-check in test_quantization.py) — also an lsh_signature
         # consumer for its candidate pairs
         "a0054_jl_distortion",
+        # r11 gram-kernel family (guide §4.2): doc-local bigram/word
+        # statistics computed in one Arrow batch pass instead of
+        # exploding per-gram rows into corpus-sized hash aggregations —
+        # c87 interleaved A/B 7.25 -> ~2.2 s at sf10, a140 6.5 -> ~2 s;
+        # oracle parity + old-vs-new collected-row equality asserted
+        "c87_repetition_ratio",
+        "a140_dsir_importance",
     }
     offenders = []
     for name, spec in sorted(load_all().items()):
@@ -128,7 +135,16 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         if "BatchEvalPython" in plan:
             offenders.append((name, "row-at-a-time Python UDF"))
         if (
-            any(k in plan for k in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"))
+            any(
+                k in plan
+                for k in (
+                    "MapInPandas",
+                    "FlatMapGroupsInPandas",
+                    "ArrowEvalPython",
+                    # r11: the sweep was blind to mapInArrow stages
+                    "MapInArrow",
+                )
+            )
             and name not in allowed_pandas
         ):
             offenders.append((name, "pandas stage outside allowlist"))
@@ -147,16 +163,34 @@ def test_decontaminate_broadcasts_eval_grams(spark):
 
 
 def test_new_aggregating_ops_have_partial_phase(spark):
-    """c80/c84/c87: their aggregations must plan map-side partials."""
+    """c80/c84: their aggregations must plan map-side partials. (c87
+    left this list in r11: both of its aggregations are doc-local, so
+    they now run inside the Arrow bigram kernel and the plan has no
+    Spark aggregation at all — see test_c87_kernel_plan_has_no_gram_agg.)"""
     from one_stop_cdc_ingestion_toolkit_spark.operators.pipeline_ops import (
         c80_stratified_sample,
         c84_length_histogram,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    for fn in (c80_stratified_sample, c84_length_histogram):
+        assert "partial_" in physical_plan(fn(spark, SF_DIR)), fn.__name__
+
+
+def test_c87_kernel_plan_has_no_gram_agg(spark):
+    """r11: c87 computes both doc-local aggregations inside one Arrow
+    kernel — the plan must contain the MapInArrow stage and NO gram- or
+    doc-keyed hash aggregation (the old shape's two corpus-sized
+    exchanges), only the final presentation sort."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.pipeline_ops import (
         c87_repetition_ratio,
     )
     from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
 
-    for fn in (c80_stratified_sample, c84_length_histogram, c87_repetition_ratio):
-        assert "partial_" in physical_plan(fn(spark, SF_DIR)), fn.__name__
+    plan = physical_plan(c87_repetition_ratio(spark, SF_DIR))
+    assert "MapInArrow" in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "hashpartitioning" not in plan  # widen round-robin + range sort only
 
 
 def test_persisting_operators_release_caches(spark):
@@ -483,6 +517,37 @@ def test_exchange_count_budgets(spark):
     assert not over, f"shuffle budget exceeded (name, got, budget): {over}"
 
 
+def test_triangle_closing_join_is_broadcast(spark):
+    """ADVICE r10: the a027 exchange-line budget is dominated by lineage
+    reprints, so it alone would not catch pin_broadcast_if_small
+    silently falling back to sort-merge (est-bytes drift, conf change) —
+    which would quietly re-shuffle the Σ outdeg² wedge stream and undo
+    the measured 5.54→2.98 s win. Pin the strategy: under the default
+    verifyJoin=auto the plan must contain a BroadcastHashJoin (the
+    closing probe) and no wedge-keyed SortMergeJoin above it."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators import release_caches
+    from one_stop_cdc_ingestion_toolkit_spark.operators.insights import (
+        a027_triangle_census,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.plans import physical_plan
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators import VERIFY_JOIN_CONF
+
+    assert spark.conf.get(VERIFY_JOIN_CONF, "auto") == "auto"
+    plan = physical_plan(a027_triangle_census(spark, SF_DIR))
+    release_caches()
+    assert "BroadcastHashJoin" in plan, "closing join lost its broadcast pin"
+    # the wedge self-join stays sort-merge by design (one reused
+    # exchange over the cached edge frame); the CLOSING join must not —
+    # its shuffled form shows up as an exchange keyed by BOTH wedge
+    # endpoints (hashpartitioning(dst#…, dst#…), r10 before-plan:584)
+    import re
+
+    assert not re.search(r"hashpartitioning\(dst#\d+L?, dst#", plan), (
+        "wedge stream is being shuffled again"
+    )
+
+
 def test_rfm_has_no_global_window(spark):
     """a024's quartile assignment must never plan a zero-partition
     WindowExec (VERDICT r3 #3): every Window in the physical plan is
@@ -504,3 +569,73 @@ def test_rfm_has_no_global_window(spark):
         assert "_pid" in spec.split("specifiedwindowframe")[0], (
             f"zero-partition window found: {line.strip()[:160]}"
         )
+
+
+def test_rfm_stacked_ntile_small_inputs(spark, tmp_path):
+    """ADVICE r10: the stacked-NTILE closed form divides by q = n div 4,
+    which is 0 when n < 4 — safe only because the head branch then
+    covers every rank. Pin that edge (n=3) plus the first q>0 shape
+    (n=5) against Spark's own NTILE(4) on the same per-customer
+    aggregates."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from one_stop_cdc_ingestion_toolkit_spark.operators.behavior import (
+        a024_rfm_segments,
+    )
+
+    for n_cust in (3, 5):
+        rows = []
+        day0 = datetime.datetime(1995, 1, 1)
+        for c in range(1, n_cust + 1):
+            # c orders, last order c days after day0, price 100.5*c
+            for k in range(c):
+                rows.append(
+                    (
+                        len(rows) + 1,
+                        c,
+                        day0 + datetime.timedelta(days=c + k),
+                        100.5 * c,
+                    )
+                )
+        sf_dir = tmp_path / f"rfm{n_cust}"
+        sf_dir.mkdir()
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+        ).write.parquet(str(sf_dir / "orders.parquet"))
+
+        got = {
+            (r["r"], r["f"], r["m"]): (r["n_customers"], r["total_monetary"])
+            for r in a024_rfm_segments(spark, str(sf_dir)).collect()
+        }
+        # reference: per-customer metrics + Spark NTILE(4), same
+        # tie-break (value, custkey)
+        o = spark.read.parquet(str(sf_dir / "orders.parquet"))
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        cust = o.groupBy("o_custkey").agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(cents).alias("mon_cents"),
+        )
+        maxd = cust.agg(F.max("last_order").alias("maxd"))
+        cust = cust.crossJoin(maxd).withColumn(
+            "recency", F.datediff(F.to_date("maxd"), F.to_date("last_order")).cast("long")
+        )
+        ref = cust
+        for col, alias in (("recency", "r"), ("freq", "f"), ("mon_cents", "m")):
+            ref = ref.withColumn(
+                alias,
+                F.ntile(4).over(W.orderBy(F.col(col), F.col("o_custkey"))),
+            )
+        want = {
+            (r["r"], r["f"], r["m"]): (r["n_customers"], r["total_monetary"])
+            for r in ref.groupBy("r", "f", "m")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                (F.sum("mon_cents").cast("double") / 100).alias("total_monetary"),
+            )
+            .collect()
+        }
+        assert got == want, (n_cust, got, want)

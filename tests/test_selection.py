@@ -42,12 +42,18 @@ def test_dsir_covers_every_doc_with_words(spark):
     assert bad == 0
 
 
-def test_dsir_ratio_table_is_broadcast(spark):
-    """The lambda table join and the totals join must both be broadcast —
-    the only data-sized shuffle keys on doc_id."""
+def test_dsir_word_stream_never_shuffles(spark):
+    """r11 shape: the word stream lives entirely inside the Arrow
+    kernels — the scoring plan is scan → widen → MapInArrow → per-source
+    agg, with no join and no word- or doc-keyed exchange; the lambda
+    table is applied in-kernel (bounded DSIR_BUCKETS materialization),
+    so the returned plan must not contain any join at all."""
     plan = physical_plan(a140_dsir_importance(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "MapInArrow" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, node
+    # the only hash exchange carries per-source partial aggregates
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_retention_agrees_with_clusters(spark):
