@@ -470,6 +470,81 @@ def a114_session_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 COVERAGE_K = 5
 
 
+def _coverage_probe_batches(eval_grams):
+    """a115 corpus-side Arrow kernel factory: emit the distinct eval
+    grams found in each batch — at most |eval grams| rows leave a batch,
+    and no corpus gram ever becomes a row (guide §4.2/§2.3; the r10
+    shape's JVM zip_with + xxhash64 + array_distinct explode was ~all of
+    the 5 s sf10 wall).
+
+    ``eval_grams`` is the collected eval-set gram list — bounded by the
+    fixed 5-doc eval definition (doc_id < 5), not by corpus size; the
+    same rows the r10 shape's F.broadcast(eval_grams) shipped to every
+    executor. Matching is exact: candidate positions come from a
+    vectorized polynomial hash over the batch's word dictionary codes,
+    then every candidate gram is re-verified by string equality, so hash
+    collisions can only cost a string compare, never a wrong row."""
+    # pre-split once: a gram is COVERAGE_K words joined by single spaces
+    # (word_shingles' concat_ws), and words cannot contain whitespace
+    eval_words = [g.split(" ") for g in eval_grams]
+    eval_set = frozenset(eval_grams)
+
+    def kernel(*args):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        K = np.uint64(1000003)
+        it = args[-1]
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            words = pc.split_pattern_regex(
+                pc.utf8_lower(pc.fill_null(rb.column(0), "")),
+                "[ \t\n\x0b\x0c\r]+",
+            )
+            lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+            lens = lens.astype(np.int64)
+            flat = pc.list_flatten(words).dictionary_encode()
+            codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+            uniq = flat.dictionary.to_pylist()
+            if codes.shape[0] < COVERAGE_K:
+                continue
+            code_of = {w: i for i, w in enumerate(uniq)}
+            # eval grams whose words all exist in this batch's dictionary
+            # are the only possible matches
+            ehash = []
+            for ws in eval_words:
+                try:
+                    cs = [code_of[w] for w in ws]
+                except KeyError:
+                    continue
+                h = 0  # python ints, masked: silent 64-bit wraparound
+                for c in cs:
+                    h = (h * 1000003 + c) & 0xFFFFFFFFFFFFFFFF
+                ehash.append(h)
+            if not ehash:
+                continue
+            di = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+            h = codes[: -(COVERAGE_K - 1)].copy()
+            for j in range(1, COVERAGE_K):
+                h *= K
+                h += codes[j : codes.shape[0] - (COVERAGE_K - 1) + j]
+            valid = di[: -(COVERAGE_K - 1)] == di[COVERAGE_K - 1 :]
+            cand = np.flatnonzero(valid & np.isin(h, np.array(ehash, np.uint64)))
+            hits = set()
+            for p in cand:
+                g = " ".join(uniq[int(c)] for c in codes[p : p + COVERAGE_K])
+                if g in eval_set:
+                    hits.add(g)
+            if hits:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(sorted(hits), type=pa.string())], ["g"]
+                )
+
+    return kernel
+
+
 @register(
     "a115_contamination_coverage",
     f"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
@@ -493,35 +568,41 @@ def a115_contamination_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     are contaminated; this reports how exposed the benchmark is). One
     number a release gate can threshold on.
 
-    Shape (r10, guide §3.2 — pre-filter the big side): the eval set is 5
-    docs by construction, so its distinct gram-hash set is broadcast and
-    the corpus-side explode feeds a map-side semi-join. The previous
-    shape ("no join" — one groupBy over EVERY corpus gram folding
-    eval/corpus presence flags) shuffled the whole distinct-gram universe
-    to answer a question about the eval set's few hundred grams; the sf10
-    decade measured it 12.9x behind DuckDB for exactly that reason. Now
-    the only shuffled rows are corpus hits on eval grams (≤ |eval grams|
-    after the map-side partial distinct); per-doc gram dedup happens
-    in-row (hashed_shingles — same xxhash64 the old groupBy keyed on, so
-    the distinct-hash counts are bit-identical, collisions included)."""
+    Shape (r11, guide §4.2 — move the boundary, not the rows; r10 used
+    §3.2's broadcast semi-join): the eval set is 5 docs by construction,
+    so its distinct gram set is a bounded materialization (the same rows
+    r10's F.broadcast collected) closed over by the corpus-side Arrow
+    kernel, which emits at most |eval grams| hit rows per batch — the
+    corpus gram stream never becomes rows at all, where r10's JVM
+    explode (zip_with + xxhash64 + array_distinct per doc) was ~all of
+    the remaining 5 s sf10 wall. Distinctness is now on gram STRINGS on
+    both sides — exactly what the oracle counts — instead of xxhash64
+    values (identical output whenever the hash was collision-free, i.e.
+    everywhere the old shape agreed with the oracle)."""
     from one_stop_cdc_ingestion_toolkit_spark.operators import widen_narrow_scan
-    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import hashed_shingles
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import word_shingles
 
     d = tables(spark, sf_dir)["documents"]
     eval_grams = (
         d.filter(F.col("doc_id") < 5)
-        .select(F.explode(hashed_shingles(F.col("text"), k=COVERAGE_K)).alias("g"))
+        .select(F.explode(word_shingles(F.col("text"), k=COVERAGE_K)).alias("g"))
         .distinct()
     )
-    # widen the single-split scan so the CPU-heavy gram explode + probe
-    # parallelize (no-op at real scale); the doc_id >= 5 predicate still
+    # bounded: the eval set is the fixed 5-doc slice (pushed scan), a few
+    # hundred grams at any corpus size — the kernel closure gets exactly
+    # what the broadcast hash relation held before
+    eval_list = sorted(r["g"] for r in eval_grams.collect())
+    # widen the single-split scan so the CPU-heavy gram probe
+    # parallelizes (no-op at real scale); the doc_id >= 5 predicate still
     # reaches the scan through the round-robin exchange
     corpus = (
-        widen_narrow_scan(d)
+        widen_narrow_scan(d.select("doc_id", "text"))
         .filter(F.col("doc_id") >= 5)
-        .select(F.explode(hashed_shingles(F.col("text"), k=COVERAGE_K)).alias("g"))
+        .select("text")
     )
-    found = corpus.join(F.broadcast(eval_grams), "g", "left_semi").distinct()
+    found = corpus.mapInArrow(
+        _coverage_probe_batches(eval_list), "g string"
+    ).distinct()
     n_eval = eval_grams.agg(F.count(F.lit(1)).alias("n_eval_grams"))
     n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
     return n_eval.crossJoin(n_found).select(

@@ -142,21 +142,25 @@ def test_contamination_coverage_bounds(spark):
     assert 0.0 <= r["coverage"] <= 1.0
 
 
-def test_coverage_plan_broadcasts_eval_grams(spark):
-    """r10 shape (guide §3.2): the 5-doc eval gram set is broadcast and
-    the corpus explode probes it map-side — the only shuffled gram rows
-    are eval-gram hits, never the whole distinct-gram universe. The eval
-    side's doc_id < 5 predicate must reach its parquet scan."""
+def test_coverage_plan_probes_in_kernel(spark):
+    """r11 shape (guide §4.2; r10 used a broadcast LeftSemi): the corpus
+    gram probe runs inside an Arrow kernel that emits only eval-gram
+    hits — the plan must show the MapInArrow stage, no join of any kind,
+    no corpus-wide flag fold, and both pushed doc_id predicates (eval
+    side < 5, corpus side >= 5) reaching their parquet scans."""
     from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import (
         a115_contamination_coverage,
     )
 
     plan = physical_plan(a115_contamination_coverage(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "SortMergeJoin" not in plan
-    # no corpus-wide flag fold anymore: presence comes from the semi join
+    assert "MapInArrow" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan, node
+    # no corpus-wide flag fold anymore: presence comes from the kernel
     assert "partial_max" not in plan
-    assert "LessThan(doc_id,5)" in plan.replace(" ", "")
+    squashed = plan.replace(" ", "")
+    assert "LessThan(doc_id,5)" in squashed
+    assert "GreaterThanOrEqual(doc_id,5)" in squashed
 
 
 def test_rolling_anomaly_excludes_current_hour(spark):

@@ -126,6 +126,7 @@ def test_no_accidental_cartesian_or_row_python_udf(spark):
         # oracle parity + old-vs-new collected-row equality asserted
         "c87_repetition_ratio",
         "a140_dsir_importance",
+        "a115_contamination_coverage",
     }
     offenders = []
     for name, spec in sorted(load_all().items()):

@@ -186,10 +186,40 @@ def old_a140(spark, sf_dir):
     )
 
 
+def old_a115(spark, sf_dir):
+    """r10 shape: corpus-side JVM hashed_shingles explode feeding a
+    broadcast LeftSemi against the eval gram-hash set."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.dedup import hashed_shingles
+    from one_stop_cdc_ingestion_toolkit_spark.operators.mlprep import COVERAGE_K
+
+    d = tables(spark, sf_dir)["documents"]
+    eval_grams = (
+        d.filter(F.col("doc_id") < 5)
+        .select(F.explode(hashed_shingles(F.col("text"), k=COVERAGE_K)).alias("g"))
+        .distinct()
+    )
+    corpus = (
+        widen_narrow_scan(d)
+        .filter(F.col("doc_id") >= 5)
+        .select(F.explode(hashed_shingles(F.col("text"), k=COVERAGE_K)).alias("g"))
+    )
+    found = corpus.join(F.broadcast(eval_grams), "g", "left_semi").distinct()
+    n_eval = eval_grams.agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return n_eval.crossJoin(n_found).select(
+        "n_eval_grams",
+        "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_eval_grams"), 4).alias(
+            "coverage"
+        ),
+    )
+
+
 PAIRS = {
     "c87_repetition_ratio": old_c87,
     "a019_countmin_heavy_hitters": old_a019,
     "a140_dsir_importance": old_a140,
+    "a115_contamination_coverage": old_a115,
 }
 
 
