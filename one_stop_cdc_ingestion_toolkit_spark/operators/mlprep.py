@@ -489,13 +489,12 @@ def _coverage_probe_batches(eval_grams):
     eval_words = [g.split(" ") for g in eval_grams]
     eval_set = frozenset(eval_grams)
 
-    def kernel(*args):
+    def kernel(it):
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
         K = np.uint64(1000003)
-        it = args[-1]
         for rb in it:
             if rb.num_rows == 0:
                 continue

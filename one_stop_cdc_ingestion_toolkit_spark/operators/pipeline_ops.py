@@ -222,7 +222,7 @@ def c86_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _bigram_stats_batches(*args):
+def _bigram_stats_batches(it):
     """mapInArrow kernel for c87: per-document bigram count and the
     most-frequent-bigram count, computed fully vectorized inside each
     Arrow batch (guide §4.2 — hand whole batches to native libraries).
@@ -244,8 +244,6 @@ def _bigram_stats_batches(*args):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    # pyspark 4.1 invokes map-iter UDFs as f(split_index, iterator)
-    it = args[-1]
     for rb in it:
         if rb.num_rows == 0:
             continue

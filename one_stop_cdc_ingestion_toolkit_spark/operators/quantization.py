@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from one_stop_cdc_ingestion_toolkit_spark.catalog import tables
-from one_stop_cdc_ingestion_toolkit_spark.operators import register
+from one_stop_cdc_ingestion_toolkit_spark.operators import (
+    register,
+    widen_narrow_scan,
+)
 from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
     EMB_DIM,
     cosine,
@@ -146,6 +149,64 @@ def a051_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mk_panel_batches(qrows):
+    """a0052 corpus-side kernel factory (r11, guide §4.2): both cosines
+    of every (corpus row × sampled query) pair computed vectorized in
+    one Arrow pass. ``qrows`` is the collected (q_id, q_vec) sample —
+    bounded by the MK_QUERIES constant, never by data. All folds
+    (corpus norms, query norms, dots, full and {PREFIX_DIM}-prefix) run
+    in the HOF fold's left-to-right dimension order and the cosine as
+    dot/(qn*cn) — the identical IEEE sequence, so the scores the Spark
+    windows rank downstream are bit-equal to the r10 join shape (which
+    paid 2·MK_QUERIES interpreted folds per corpus row)."""
+    import numpy as np
+
+    qids = [int(q) for q, _ in qrows]
+    QV = [np.asarray(v, dtype=np.float64) for _, v in qrows]
+
+    def _fold_dot(A, B, d):
+        acc = A[:, 0] * B[:, 0]
+        for i in range(1, d):
+            acc = acc + A[:, i] * B[:, i]
+        return acc
+
+    def kernel(it):
+        import pyarrow as pa
+
+        for rb in it:
+            if rb.num_rows == 0:
+                continue
+            cids = rb.column(0).to_numpy(zero_copy_only=False)
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in rb.column(1).to_pylist()]
+            )
+            n = X.shape[0]
+            cnf = np.sqrt(_fold_dot(X, X, X.shape[1]))
+            cnt = np.sqrt(_fold_dot(X, X, PREFIX_DIM))
+            out_q, out_c, out_cf, out_ct = [], [], [], []
+            for qid, qv in zip(qids, QV):
+                Q = np.broadcast_to(qv, X.shape)
+                qnf = float(np.sqrt(_fold_dot(qv[None, :], qv[None, :], qv.shape[0]))[0])
+                qnt = float(np.sqrt(_fold_dot(qv[None, :], qv[None, :], PREFIX_DIM))[0])
+                cf = _fold_dot(Q, X, X.shape[1]) / (qnf * cnf)
+                ct = _fold_dot(Q, X, PREFIX_DIM) / (qnt * cnt)
+                out_q.append(np.full(n, qid, dtype=np.int64))
+                out_c.append(cids)
+                out_cf.append(cf)
+                out_ct.append(ct)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                    pa.array(np.concatenate(out_cf), type=pa.float64()),
+                    pa.array(np.concatenate(out_ct), type=pa.float64()),
+                ],
+                ["q_id", "c_id", "cf", "ct"],
+            )
+
+    return kernel
+
+
 @register(
     "a0052_matryoshka_recall",
     f"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
@@ -183,35 +244,22 @@ def a052_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approximation, so the exact ranking is the point — run it on a
     sampled corpus slab at 100 TB, never the whole corpus)."""
     emb = tables(spark, sf_dir)["embeddings"]
-    # both norms (full and prefix) hoisted to once-per-row on each side
-    # (r8): cosine() inside the pair loop re-folds them per (q, c) pair
-    qs = (
-        emb.filter(F.col("vec_id") < MK_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-        .withColumn("__qnf", norm(F.col("q_vec")))
-        .withColumn("__qnt", norm(F.slice(F.col("q_vec"), 1, PREFIX_DIM)))
-    )
-    cs = emb.withColumn("__cnf", norm(F.col("embedding"))).withColumn(
-        "__cnt", norm(F.slice(F.col("embedding"), 1, PREFIX_DIM))
-    )
+    # bounded materialization: MK_QUERIES rows by the query-sample
+    # constant — the same rows the r10 shape's F.broadcast collected;
+    # the corpus-side kernel computes both cosines per (row, query)
+    # vectorized instead of 2·MK_QUERIES interpreted folds per row
+    qrows = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < MK_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
     scored = (
-        cs.crossJoin(F.broadcast(qs))
-        .withColumn(
-            "cf",
-            cosine_hoisted(
-                F.col("q_vec"), F.col("embedding"), F.col("__qnf"), F.col("__cnf")
-            ),
+        widen_narrow_scan(emb.select("vec_id", "embedding"))
+        .mapInArrow(
+            _mk_panel_batches(qrows),
+            "q_id long, c_id long, cf double, ct double",
         )
-        .withColumn(
-            "ct",
-            cosine_hoisted(
-                F.slice(F.col("q_vec"), 1, PREFIX_DIM),
-                F.slice(F.col("embedding"), 1, PREFIX_DIM),
-                F.col("__qnt"),
-                F.col("__cnt"),
-            ),
-        )
-        .select("q_id", F.col("vec_id").alias("c_id"), "cf", "ct")
     )
     wf = W.partitionBy("q_id").orderBy(F.col("cf").desc(), F.col("c_id"))
     wt = W.partitionBy("q_id").orderBy(F.col("ct").desc(), F.col("c_id"))
@@ -318,6 +366,62 @@ def _duck_sig(vec: str) -> str:
     return " || ".join(bits)
 
 
+def _jl_bucket_hist(pdf):
+    """a0054 per-signature-bucket kernel (r11, guide §4.2): all pairwise
+    distance ratios of one LSH bucket computed vectorized, only the
+    bucket's histogram partials leave Python. The r10 shape streamed
+    every pair as a row and paid TWO interpreted HOF dot folds per pair
+    (~7M pairs × 80 fold steps at sf3 — 171 s, THE bench straggler);
+    here each vector crosses the boundary once per bucket and the dot
+    products run as 64 (resp. 16) vectorized multiply-adds in exactly
+    the fold's left-to-right dimension order, so every double —
+    distances, ratios, bin edges — is bit-identical to the JVM fold and
+    the oracle's list_sum. Pair chunking bounds peak memory on hot
+    buckets (identical-vector clusters make bucket sizes, and so pair
+    counts, data-bound by design — same as the join it replaces)."""
+    import numpy as np
+
+    n = len(pdf)
+    if n < 2:
+        return pd.DataFrame({"ratio_bin": [], "n_pairs": []}).astype(
+            {"ratio_bin": "float64", "n_pairs": "int64"}
+        )
+    X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    P = np.array([np.asarray(v, dtype=np.float64) for v in pdf["proj"]])
+    n64 = pdf["n64"].to_numpy(dtype=np.float64)
+    n16 = pdf["n16"].to_numpy(dtype=np.float64)
+    ii, jj = np.triu_indices(n, 1)
+    bins: dict[float, int] = {}
+    CHUNK = 1_000_000
+    for start in range(0, ii.size, CHUNK):
+        a = ii[start : start + CHUNK]
+        b = jj[start : start + CHUNK]
+        Xa, Xb = X[a], X[b]
+        acc64 = Xa[:, 0] * Xb[:, 0]
+        for i in range(1, X.shape[1]):
+            acc64 = acc64 + Xa[:, i] * Xb[:, i]
+        Pa, Pb = P[a], P[b]
+        acc16 = Pa[:, 0] * Pb[:, 0]
+        for i in range(1, P.shape[1]):
+            acc16 = acc16 + Pa[:, i] * Pb[:, i]
+        d64 = np.sqrt(np.maximum((n64[a] + n64[b]) - 2.0 * acc64, 0.0))
+        d16 = np.sqrt(np.maximum((n16[a] + n16[b]) - 2.0 * acc16, 0.0))
+        keep = d64 > 0
+        ratio = d16[keep] / d64[keep]
+        binv = np.floor(ratio * 10) / 10.0
+        vals, cnts = np.unique(binv, return_counts=True)
+        for v, c in zip(vals, cnts):
+            bins[float(v)] = bins.get(float(v), 0) + int(c)
+    return pd.DataFrame(
+        {
+            "ratio_bin": pd.Series(sorted(bins), dtype="float64"),
+            "n_pairs": pd.Series(
+                [bins[k] for k in sorted(bins)], dtype="int64"
+            ),
+        }
+    )
+
+
 @register(
     "a0054_jl_distortion",
     # The sign matrices are md5-CONSTANTS per (plane, dim) — DuckDB does
@@ -381,74 +485,34 @@ def a054_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios concentrated near 1; the histogram shows the actual spread
     for THIS corpus before anyone swaps the projection into a pipeline.
 
-    Scale shape: projection is one Arrow-kernel scan (bit-equal to the
-    retained {JL_DIM}-fold JVM twin — cross-checked in tests); squared
-    norms are hoisted per-vector so each pair pays ONE dot fold per
-    distance; the pair space is LSH-bucket-bounded (b55's discipline —
-    shuffle key is the 8-bit signature, never all-pairs); the histogram
-    is a tiny rollup. Ratio arithmetic is fold-identical on both
+    Scale shape (r11): projection is one Arrow-kernel scan (bit-equal to
+    the retained {JL_DIM}-fold JVM twin — cross-checked in tests);
+    squared norms are hoisted per-vector; the pair space is
+    LSH-bucket-bounded (shuffle key is the 8-bit signature, never
+    all-pairs) and each bucket's pair distances are computed INSIDE one
+    applyInPandas kernel (_jl_bucket_hist) in the fold's exact
+    left-to-right dimension order — only per-bucket histogram partials
+    leave Python, where the r10 shape streamed every pair as a row and
+    paid two interpreted HOF folds per pair (measured 171 s at sf3; the
+    sf3 bench straggler). Ratio arithmetic stays fold-identical on both
     engines, so even the bin edges are bit-stable."""
     emb = tables(spark, sf_dir)["embeddings"]
     from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
         lsh_signature,
     )
 
-    # squared norms hoisted to the per-VECTOR stage: each pair then needs
-    # one dot fold per distance (sqrt(na² + nb² − 2·a·b)) instead of a
-    # difference fold — half the per-pair compute, and the formula is
-    # mirrored verbatim in the oracle so values stay bit-identical.
     sig = emb.withColumn("proj", jl_project(F.col("embedding"))).select(
-        "vec_id",
-        "embedding",
         lsh_signature(F.col("embedding")).alias("s"),
+        "embedding",
         "proj",
         dot(F.col("embedding"), F.col("embedding")).alias("n64"),
         dot(F.col("proj"), F.col("proj")).alias("n16"),
     )
-    a = sig.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("proj").alias("pa"),
-        F.col("n64").alias("na64"),
-        F.col("n16").alias("na16"),
-        "s",
-    )
-    b = sig.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("proj").alias("pb"),
-        F.col("n64").alias("nb64"),
-        F.col("n16").alias("nb16"),
-        "s",
-    )
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            F.sqrt(
-                F.greatest(
-                    F.col("na64")
-                    + F.col("nb64")
-                    - F.lit(2.0) * dot(F.col("ea"), F.col("eb")),
-                    F.lit(0.0),
-                )
-            ).alias("d64"),
-            F.sqrt(
-                F.greatest(
-                    F.col("na16")
-                    + F.col("nb16")
-                    - F.lit(2.0) * dot(F.col("pa"), F.col("pb")),
-                    F.lit(0.0),
-                )
-            ).alias("d16"),
-        )
-        .filter(F.col("d64") > 0)
-        .select((F.col("d16") / F.col("d64")).alias("ratio"))
+    parts = sig.groupBy("s").applyInPandas(
+        _jl_bucket_hist, "ratio_bin double, n_pairs long"
     )
     return (
-        pairs.groupBy(
-            (F.floor(F.col("ratio") * 10) / 10.0).alias("ratio_bin")
-        )
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        parts.groupBy("ratio_bin")
+        .agg(F.sum("n_pairs").cast("long").alias("n_pairs"))
         .orderBy("ratio_bin")
     )

@@ -124,7 +124,7 @@ def _dsir_split_batch(rb, text_idx):
     return lens, di, ubuck[codes], ukeep[codes]
 
 
-def _dsir_count_batches(*args):
+def _dsir_count_batches(it):
     """Kernel 1: per-batch (bucket, raw, target) partial counts — at
     most DSIR_BUCKETS rows leave each batch, so the downstream shuffle
     is constant-size at any corpus size (guide §2.3: aggregate before
@@ -132,7 +132,6 @@ def _dsir_count_batches(*args):
     import numpy as np
     import pyarrow as pa
 
-    it = args[-1]
     for rb in it:
         if rb.num_rows == 0:
             continue
@@ -163,14 +162,13 @@ def _dsir_score_batches(lam_pairs):
     carries zero extra columns. Docs with no non-empty token emit
     nothing (they had no word rows before either)."""
 
-    def kernel(*args):
+    def kernel(it):
         import numpy as np
         import pyarrow as pa
 
         lam_vec = np.zeros(DSIR_BUCKETS, dtype=np.float64)
         for b, lam in lam_pairs:
             lam_vec[b] = lam
-        it = args[-1]
         for rb in it:
             if rb.num_rows == 0:
                 continue
@@ -336,7 +334,7 @@ def _retention_oracle() -> str:
         FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""
 
 
-@register("a141_cluster_retention", _retention_oracle())
+@register("a141_cluster_retention", _retention_oracle(), aqe="on")
 def a141_cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate retention policy: within every MinHash-LSH cluster
     (d96's connected components) keep the highest-quality member (q48

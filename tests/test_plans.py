@@ -210,8 +210,10 @@ def test_persisting_operators_release_caches(spark):
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
     minhash_lsh_pairs(d, "doc_id", "text").count()
     ngram_jaccard_pairs(d, "doc_id", "text").count()
+    # b55 stopped caching in r11: its signature frame is consumed once
+    # by the per-bucket pair kernel, so there is no reuse to persist
     reg["b55_embedding_neardup"].fn(spark, SF_DIR).count()
-    assert release_caches() >= 3
+    assert release_caches() >= 2
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
@@ -640,3 +642,30 @@ def test_rfm_stacked_ntile_small_inputs(spark, tmp_path):
             .collect()
         }
         assert got == want, (n_cust, got, want)
+
+
+def test_aqe_hints_registry_and_restore(spark):
+    """r11 (VERDICT r10 #7): per-operator AQE hints. Only the measured
+    winners may carry one (the CC/cluster trio — AQE on beat off at
+    sf0.1 AND sf3 AND sf10, tools/ab_aqe_hints.py), and bench.py's
+    apply/restore must leave the session conf untouched for everyone
+    else."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators import (
+        apply_aqe_hint,
+        load_all,
+    )
+
+    reg = load_all()
+    hinted = {n: s.aqe for n, s in reg.items() if s.aqe != "inherit"}
+    assert hinted == {
+        "d96_dup_clusters": "on",
+        "a141_cluster_retention": "on",
+        "a038_semantic_clusters": "on",
+    }
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    p = apply_aqe_hint(spark, reg["d96_dup_clusters"])
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert p == prev
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert apply_aqe_hint(spark, reg["q01_scan_count"]) is None
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev

@@ -215,11 +215,241 @@ def old_a115(spark, sf_dir):
     )
 
 
+def old_a0004(spark, sf_dir):
+    """r10 kernel: per-row ord() prep, per-row bit packing (runs on the
+    current png codec — the type-0 filter fast path is measured
+    separately by the committed microbench)."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.round5 import (
+        PHASH_PIXELS,
+        PNG_H,
+        PNG_W,
+    )
+
+    d = tables(spark, sf_dir)["documents"]
+    n_bytes = PHASH_PIXELS * 3
+    src = widen_narrow_scan(
+        d.select("doc_id", F.substring("text", 1, n_bytes).alias("t"))
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from one_stop_cdc_ingestion_toolkit_spark.functions import png_codec
+
+        weights = (np.int64(1) << np.arange(PHASH_PIXELS, dtype=np.int64))
+        for pdf in it:
+            ids, hs = [], []
+            for i, t in zip(pdf["doc_id"], pdf["t"]):
+                pixels = bytes(min(ord(c), 255) for c in t[:n_bytes]).ljust(
+                    n_bytes, b"\0"
+                )
+                img = png_codec.decode_png(
+                    png_codec.encode_png(pixels, PNG_W, PNG_H, 3)
+                )
+                arr = np.frombuffer(bytes(img.pixels), dtype=np.uint8)
+                gray = arr.reshape(PHASH_PIXELS, 3).astype(np.int64).sum(axis=1) // 3
+                bits = PHASH_PIXELS * gray > gray.sum()
+                ids.append(i)
+                hs.append(int(weights[bits].sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    hashed = src.mapInPandas(batches, "doc_id long, phash long")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("phash")
+    )
+
+
+def old_b55(spark, sf_dir):
+    """r10 shape: signature self-join streaming every candidate pair
+    through an interpreted HOF dot fold."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+        cosine_hoisted,
+        lsh_signature,
+        norm,
+    )
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    sig = track_cache(
+        emb.select(
+            "vec_id",
+            "embedding",
+            lsh_signature(F.col("embedding")).alias("s"),
+            norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "s",
+        F.col("nrm").alias("na"),
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "s",
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "__cos",
+            cosine_hoisted(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("__cos") >= 0.3)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def old_a0054(spark, sf_dir):
+    """r10 shape: signature self-join, two interpreted dot folds per
+    pair, per-pair ratio rows into a Spark histogram."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.quantization import (
+        dot,
+        jl_project,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    sig = emb.withColumn("proj", jl_project(F.col("embedding"))).select(
+        "vec_id",
+        "embedding",
+        lsh_signature(F.col("embedding")).alias("s"),
+        "proj",
+        dot(F.col("embedding"), F.col("embedding")).alias("n64"),
+        dot(F.col("proj"), F.col("proj")).alias("n16"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+        F.col("n64").alias("na64"),
+        F.col("n16").alias("na16"),
+        "s",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("proj").alias("pb"),
+        F.col("n64").alias("nb64"),
+        F.col("n16").alias("nb16"),
+        "s",
+    )
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.sqrt(
+                F.greatest(
+                    F.col("na64")
+                    + F.col("nb64")
+                    - F.lit(2.0) * dot(F.col("ea"), F.col("eb")),
+                    F.lit(0.0),
+                )
+            ).alias("d64"),
+            F.sqrt(
+                F.greatest(
+                    F.col("na16")
+                    + F.col("nb16")
+                    - F.lit(2.0) * dot(F.col("pa"), F.col("pb")),
+                    F.lit(0.0),
+                )
+            ).alias("d16"),
+        )
+        .filter(F.col("d64") > 0)
+        .select((F.col("d16") / F.col("d64")).alias("ratio"))
+    )
+    return (
+        pairs.groupBy(
+            (F.floor(F.col("ratio") * 10) / 10.0).alias("ratio_bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("ratio_bin")
+    )
+
+
+def old_a0052(spark, sf_dir):
+    """r10 shape: broadcast-queries x corpus join, 2*MK_QUERIES
+    interpreted cosine folds per corpus row."""
+    from one_stop_cdc_ingestion_toolkit_spark.operators.quantization import (
+        MK_QUERIES,
+        MK_TOPK,
+        PREFIX_DIM,
+    )
+    from one_stop_cdc_ingestion_toolkit_spark.operators.similarity import (
+        cosine_hoisted,
+        norm,
+    )
+    from pyspark.sql.window import Window as W
+
+    emb = tables(spark, sf_dir)["embeddings"]
+    qs = (
+        emb.filter(F.col("vec_id") < MK_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+        .withColumn("__qnf", norm(F.col("q_vec")))
+        .withColumn("__qnt", norm(F.slice(F.col("q_vec"), 1, PREFIX_DIM)))
+    )
+    cs = emb.withColumn("__cnf", norm(F.col("embedding"))).withColumn(
+        "__cnt", norm(F.slice(F.col("embedding"), 1, PREFIX_DIM))
+    )
+    scored = (
+        cs.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "cf",
+            cosine_hoisted(
+                F.col("q_vec"), F.col("embedding"), F.col("__qnf"), F.col("__cnf")
+            ),
+        )
+        .withColumn(
+            "ct",
+            cosine_hoisted(
+                F.slice(F.col("q_vec"), 1, PREFIX_DIM),
+                F.slice(F.col("embedding"), 1, PREFIX_DIM),
+                F.col("__qnt"),
+                F.col("__cnt"),
+            ),
+        )
+        .select("q_id", F.col("vec_id").alias("c_id"), "cf", "ct")
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("cf").desc(), F.col("c_id"))
+    wt = W.partitionBy("q_id").orderBy(F.col("ct").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rt", F.row_number().over(wt))
+        .filter((F.col("rf") <= MK_TOPK) & (F.col("rt") <= MK_TOPK))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(F.count(F.lit(1)) / MK_TOPK, 2).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
 PAIRS = {
     "c87_repetition_ratio": old_c87,
     "a019_countmin_heavy_hitters": old_a019,
     "a140_dsir_importance": old_a140,
     "a115_contamination_coverage": old_a115,
+    "a0004_phash_dedup": old_a0004,
+    "b55_embedding_neardup": old_b55,
+    "a0054_jl_distortion": old_a0054,
+    "a0052_matryoshka_recall": old_a0052,
 }
 
 
