@@ -390,23 +390,35 @@ def _jl_bucket_hist(pdf):
     P = np.array([np.asarray(v, dtype=np.float64) for v in pdf["proj"]])
     n64 = pdf["n64"].to_numpy(dtype=np.float64)
     n16 = pdf["n16"].to_numpy(dtype=np.float64)
-    ii, jj = np.triu_indices(n, 1)
     bins: dict[float, int] = {}
-    CHUNK = 1_000_000
-    for start in range(0, ii.size, CHUNK):
-        a = ii[start : start + CHUNK]
-        b = jj[start : start + CHUNK]
-        Xa, Xb = X[a], X[b]
-        acc64 = Xa[:, 0] * Xb[:, 0]
-        for i in range(1, X.shape[1]):
-            acc64 = acc64 + Xa[:, i] * Xb[:, i]
-        Pa, Pb = P[a], P[b]
-        acc16 = Pa[:, 0] * Pb[:, 0]
-        for i in range(1, P.shape[1]):
-            acc16 = acc16 + Pa[:, i] * Pb[:, i]
-        d64 = np.sqrt(np.maximum((n64[a] + n64[b]) - 2.0 * acc64, 0.0))
-        d16 = np.sqrt(np.maximum((n16[a] + n16[b]) - 2.0 * acc16, 0.0))
-        keep = d64 > 0
+    # Block outer-product accumulation (second r11 iteration): the first
+    # cut gathered X[a]/X[b] per pair — at sf10 (~780 vectors/bucket,
+    # ~78M pairs) those fancy-index copies moved ~80 GB and the kernel
+    # LOST to DuckDB 5.5x. M[i,j] = Σ_d x_i[d]·x_j[d] built as 64
+    # accumulated outer products touches each vector once per dim, no
+    # per-pair gather, and the += order is exactly the fold's seeded
+    # left-to-right d-ascending sum (M starts 0.0), so every double is
+    # still bit-identical. Row-blocking bounds the (block × n) frames on
+    # hot buckets.
+    B = 256
+    for bs in range(0, n - 1, B):
+        be = min(bs + B, n)
+        M = np.zeros((be - bs, n), dtype=np.float64)
+        for d in range(X.shape[1]):
+            M += X[bs:be, d, None] * X[None, :, d]
+        T = np.zeros((be - bs, n), dtype=np.float64)
+        for d in range(P.shape[1]):
+            T += P[bs:be, d, None] * P[None, :, d]
+        d64 = np.sqrt(
+            np.maximum((n64[bs:be, None] + n64[None, :]) - 2.0 * M, 0.0)
+        )
+        d16 = np.sqrt(
+            np.maximum((n16[bs:be, None] + n16[None, :]) - 2.0 * T, 0.0)
+        )
+        # strict upper triangle in GLOBAL indices: j > bs + local_i
+        cols = np.arange(n)[None, :]
+        rows = np.arange(bs, be)[:, None]
+        keep = (cols > rows) & (d64 > 0)
         ratio = d16[keep] / d64[keep]
         binv = np.floor(ratio * 10) / 10.0
         vals, cnts = np.unique(binv, return_counts=True)
